@@ -1,0 +1,31 @@
+"""Test configuration: force a virtual 8-device CPU mesh before jax loads.
+
+Multi-chip sharding logic is tested on a single host via
+XLA's host-platform device-count override (see SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    random.seed(1234)
+    np.random.seed(1234)
+    return random
+
+
+def random_dna(n: int, alphabet: str = "ACGT", seed=None) -> str:
+    r = random.Random(seed) if seed is not None else random
+    return "".join(r.choice(alphabet) for _ in range(n))

@@ -1,0 +1,298 @@
+"""Strobemer index: flat hash-sorted randstrobe arrays + bucket table.
+
+Data layout matches the reference StrobemerIndex
+(/root/reference/src/index.hpp:161-183): a vector of RefRandstrobe
+{hash u64, position u32, packed u32 = ref_index<<8 | strobe2_offset}
+sorted by (hash, position), plus `randstrobe_start_indices` where entry x
+is the index of the first randstrobe whose top `bits` hash bits are >= x
+(with a guard entry at the end). This layout is kept because it is ideal
+for TPU lookup too: pure gathers + vectorized binary search.
+
+Binary `.sti` v2 file interop: write()/read() are byte-compatible with
+the reference (/root/reference/src/index.cpp:73-132), so indexes are
+interchangeable with RabbitSAlign/strobealign.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.fasta import References
+from ..seed.randstrobes import randstrobes_reference
+from .params import BadParameter, IndexParameters
+
+STI_MAGIC = b"STI\x01"
+STI_FILE_FORMAT_VERSION = 2
+
+
+class InvalidIndexFile(RuntimeError):
+    pass
+
+
+@dataclass
+class IndexCreationStatistics:
+    """Mirrors reference IndexCreationStatistics (src/index.hpp:22-35)."""
+
+    tot_strobemer_count: int = 0
+    tot_occur_once: int = 0
+    tot_high_ab: int = 0
+    tot_mid_ab: int = 0
+    index_cutoff: int = 0
+    filter_cutoff: int = 0
+    distinct_strobemers: int = 0
+    elapsed_hash_index: float = 0.0
+    elapsed_generating_seeds: float = 0.0
+    elapsed_counting_hashes: float = 0.0
+    elapsed_sorting_seeds: float = 0.0
+
+
+def pick_bits(total_ref_len: int, params: IndexParameters) -> int:
+    """reference src/index.cpp:135-139"""
+    estimated = total_ref_len // (params.syncmer.k - params.syncmer.s + 1)
+    if estimated <= 0:
+        return 8
+    return int(np.clip(int(math.log2(estimated)) - 1, 8, 31))
+
+
+class StrobemerIndex:
+    END = np.uint64(0xFFFFFFFFFFFFFFFF)  # "not found" sentinel
+
+    def __init__(self, references: References, parameters: IndexParameters, bits: int = -1):
+        self.references = references
+        self.parameters = parameters
+        self.bits = pick_bits(references.total_length(), parameters) if bits == -1 else bits
+        if self.bits < 8 or self.bits > 31:
+            raise BadParameter("Bits must be between 8 and 31")
+        self.filter_cutoff = 0
+        self.stats = IndexCreationStatistics()
+        # struct-of-arrays RefRandstrobe storage
+        self.hashes = np.zeros(0, dtype=np.uint64)
+        self.positions = np.zeros(0, dtype=np.uint32)
+        self.packed = np.zeros(0, dtype=np.uint32)
+        self.randstrobe_start_indices = np.zeros(0, dtype=np.uint64)
+
+    # --- accessors (reference src/index.hpp:83-147) -------------------
+
+    def k(self) -> int:
+        return self.parameters.syncmer.k
+
+    def __len__(self) -> int:
+        return int(self.hashes.shape[0])
+
+    def size(self) -> int:
+        return len(self)
+
+    def get_hash(self, position):
+        """Hash at position; out-of-range yields the END sentinel."""
+        position = np.asarray(position)
+        in_range = position < self.hashes.shape[0]
+        safe = np.where(in_range, position, 0)
+        return np.where(in_range, self.hashes[safe], self.END)
+
+    def reference_index(self, position):
+        return self.packed[position] >> 8
+
+    def strobe2_offset(self, position):
+        return self.packed[position] & 0xFF
+
+    def get_strobe1_position(self, position):
+        return self.positions[position]
+
+    # --- lookup --------------------------------------------------------
+
+    def find(self, keys) -> np.ndarray:
+        """First index of each key hash, or -1 (vectorized).
+
+        Equivalent to StrobemerIndex::find (reference src/index.hpp:57-81):
+        bucket-bounded search for the first entry with the queried hash.
+        """
+        keys = np.asarray(keys, dtype=np.uint64)
+        scalar = keys.ndim == 0
+        keys = np.atleast_1d(keys)
+        pos = np.searchsorted(self.hashes, keys, side="left")
+        # bucket bounds — required for parity with the reference, whose
+        # bucket table does not cover the run of the globally smallest
+        # hash (see _build_buckets); keys in an empty bucket are missing.
+        tops = (keys >> np.uint64(64 - self.bits)).astype(np.int64)
+        lo = self.randstrobe_start_indices[tops].astype(np.int64)
+        hi = self.randstrobe_start_indices[tops + 1].astype(np.int64)
+        in_range = (pos >= lo) & (pos < hi) & (pos < self.hashes.shape[0])
+        safe = np.where(pos < self.hashes.shape[0], pos, 0)
+        found = in_range & (self.hashes[safe] == keys)
+        out = np.where(found, pos, -1).astype(np.int64)
+        return out[0] if scalar else out
+
+    def get_count(self, position) -> np.ndarray:
+        """Number of entries sharing the hash at `position`, counted from
+        `position` onward (reference src/index.hpp:115-147)."""
+        position = np.atleast_1d(np.asarray(position, dtype=np.int64))
+        key = self.hashes[position]
+        end = np.searchsorted(self.hashes, key, side="right")
+        out = (end - position).astype(np.int64)
+        return out if out.shape[0] > 1 else out[0]
+
+    def is_filtered(self, position) -> np.ndarray:
+        """Repetitive-seed filter: true when the hash still appears
+        `filter_cutoff` entries later (reference src/index.hpp:91-93)."""
+        position = np.asarray(position, dtype=np.int64)
+        return self.get_hash(position) == self.get_hash(position + self.filter_cutoff)
+
+    # --- construction ---------------------------------------------------
+
+    def populate(self, f: float, n_threads: int = 1) -> None:
+        """Build the index (reference src/index.cpp:141-242).
+
+        Threading is unnecessary here: generation is numpy-vectorized per
+        contig and the sort is a single vectorized lexsort.
+        """
+        import time
+
+        t0 = time.perf_counter()
+        all_hashes = []
+        all_positions = []
+        all_packed = []
+        for ref_index, seq in enumerate(self.references.sequences):
+            h, p1, p2 = randstrobes_reference(seq, self.parameters)
+            all_hashes.append(h)
+            all_positions.append(p1.astype(np.uint32))
+            all_packed.append(
+                ((np.uint32(ref_index) << np.uint32(8)) + (p2 - p1).astype(np.uint32)).astype(
+                    np.uint32
+                )
+            )
+        hashes = np.concatenate(all_hashes) if all_hashes else np.zeros(0, dtype=np.uint64)
+        positions = (
+            np.concatenate(all_positions) if all_positions else np.zeros(0, dtype=np.uint32)
+        )
+        packed = np.concatenate(all_packed) if all_packed else np.zeros(0, dtype=np.uint32)
+        self.stats.tot_strobemer_count = int(hashes.shape[0])
+        self.stats.elapsed_generating_seeds = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        # sort by (hash, position) — RefRandstrobe::operator<
+        order = np.lexsort((positions, hashes))
+        self.hashes = hashes[order]
+        self.positions = positions[order]
+        self.packed = packed[order]
+        self.stats.elapsed_sorting_seeds = time.perf_counter() - t1
+
+        t2 = time.perf_counter()
+        self._build_buckets()
+        self._compute_filter_cutoff(f)
+        self.stats.elapsed_hash_index = time.perf_counter() - t2
+
+    def _build_buckets(self) -> None:
+        """Bucket table replicating the reference loop exactly
+        (src/index.cpp:181-224), including its quirk: the loop `continue`s
+        while the hash equals the previous one starting from position 0, so
+        bucket entries up to the *first hash change* all point at that
+        change — the run of the globally smallest hash is not reachable
+        through the bucket table (inherited strobealign behavior, kept for
+        byte-identical .sti files)."""
+        n_buckets = 1 << self.bits
+        n = self.hashes.shape[0]
+        if n == 0:
+            self.randstrobe_start_indices = np.full(n_buckets + 1, 0, dtype=np.uint64)
+            return
+        change = np.flatnonzero(self.hashes[1:] != self.hashes[:-1]) + 1
+        tops_at_change = (self.hashes[change] >> np.uint64(64 - self.bits)).astype(np.uint64)
+        wanted = np.arange(n_buckets + 1, dtype=np.uint64)
+        idx = np.searchsorted(tops_at_change, wanted, side="left")
+        starts = np.where(idx < change.shape[0], change[np.minimum(idx, change.shape[0] - 1)], n)
+        self.randstrobe_start_indices = starts.astype(np.uint64)
+
+    def _compute_filter_cutoff(self, f: float) -> None:
+        """reference src/index.cpp:171-242"""
+        if self.hashes.shape[0] == 0:
+            self.filter_cutoff = 30
+            self.stats.distinct_strobemers = 0
+            return
+        _, counts = np.unique(self.hashes, return_counts=True)
+        unique_mers = int(counts.shape[0])
+        self.stats.distinct_strobemers = unique_mers
+        self.stats.tot_occur_once = int(np.sum(counts == 1))
+        nonunique = counts[counts > 1]
+        self.stats.tot_high_ab = int(np.sum(nonunique > 100))
+        self.stats.tot_mid_ab = int(nonunique.shape[0] - self.stats.tot_high_ab)
+        strobemer_counts = np.sort(nonunique)[::-1]
+        index_cutoff = int(np.float64(unique_mers) * np.float32(f))
+        self.stats.index_cutoff = index_cutoff
+        if strobemer_counts.shape[0] > 0:
+            fc = int(
+                strobemer_counts[index_cutoff]
+                if index_cutoff < strobemer_counts.shape[0]
+                else strobemer_counts[-1]
+            )
+            fc = max(30, fc)
+            fc = min(100, fc)
+            self.filter_cutoff = fc
+        else:
+            self.filter_cutoff = 30
+        self.stats.filter_cutoff = self.filter_cutoff
+
+    # --- .sti binary interop (reference src/index.cpp:73-132) -----------
+
+    def write(self, filename: str) -> None:
+        with open(filename, "wb") as f:
+            f.write(STI_MAGIC)
+            f.write(struct.pack("<I", STI_FILE_FORMAT_VERSION))
+            # reserved variable-length chunk (8 zero bytes)
+            reserved = b"\x00" * 8
+            f.write(struct.pack("<Q", len(reserved)))
+            f.write(reserved)
+            f.write(struct.pack("<i", self.filter_cutoff))
+            f.write(struct.pack("<i", self.bits))
+            self.parameters.write(f)
+            # randstrobes vector: u64 count + packed 16-byte records
+            n = self.hashes.shape[0]
+            f.write(struct.pack("<Q", n))
+            rec = np.zeros(n, dtype=[("hash", "<u8"), ("position", "<u4"), ("packed", "<u4")])
+            rec["hash"] = self.hashes
+            rec["position"] = self.positions
+            rec["packed"] = self.packed
+            f.write(rec.tobytes())
+            # start indices vector
+            f.write(struct.pack("<Q", self.randstrobe_start_indices.shape[0]))
+            f.write(self.randstrobe_start_indices.astype("<u8").tobytes())
+
+    def read(self, filename: str) -> None:
+        try:
+            f = open(filename, "rb")
+        except OSError as e:
+            raise InvalidIndexFile(f"{filename}: {e.strerror}")
+        with f:
+            magic = f.read(4)
+            if magic != STI_MAGIC:
+                raise InvalidIndexFile(
+                    "Index file has incorrect format (magic number mismatch)"
+                )
+            (version,) = struct.unpack("<I", f.read(4))
+            if version != STI_FILE_FORMAT_VERSION:
+                raise InvalidIndexFile(
+                    f"Can only read index file format version {STI_FILE_FORMAT_VERSION}, "
+                    f"but found version {version}"
+                )
+            (reserved_size,) = struct.unpack("<Q", f.read(8))
+            f.seek(reserved_size, 1)
+            (self.filter_cutoff,) = struct.unpack("<i", f.read(4))
+            (self.bits,) = struct.unpack("<i", f.read(4))
+            sti_parameters = IndexParameters.read(f)
+            if sti_parameters != self.parameters:
+                raise InvalidIndexFile(
+                    "Index parameters in .sti file and those specified on command line differ"
+                )
+            (n,) = struct.unpack("<Q", f.read(8))
+            rec = np.frombuffer(
+                f.read(16 * n), dtype=[("hash", "<u8"), ("position", "<u4"), ("packed", "<u4")]
+            )
+            self.hashes = rec["hash"].copy()
+            self.positions = rec["position"].copy()
+            self.packed = rec["packed"].copy()
+            (m,) = struct.unpack("<Q", f.read(8))
+            self.randstrobe_start_indices = np.frombuffer(f.read(8 * m), dtype="<u8").copy()
+            if self.randstrobe_start_indices.shape[0] != (1 << self.bits) + 1:
+                raise InvalidIndexFile("randstrobe_start_indices vector is of the wrong size")

@@ -6,3 +6,27 @@ g++ -O2 -std=c++17 -I/root/reference/src -I/root/reference/ext \
     seed_golden.cpp /root/reference/src/randstrobes.cpp \
     -o seed_golden
 echo built seed_golden
+
+if [ ! -d zstr ]; then
+    # header-only gzip istream wrapper used by reference refs.cpp; fetch from
+    # the local pip cache is unavailable (zero egress), so stub it: our test
+    # FASTAs are uncompressed and the reference only needs zstr for .gz.
+    mkdir -p zstr
+    cat > zstr/zstr.hpp <<'HPP'
+// minimal stand-in for the zstr::ifstream used by the reference refs.cpp;
+// supports only uncompressed files (sufficient for golden generation).
+#pragma once
+#include <fstream>
+namespace zstr { using ifstream = std::ifstream; }
+HPP
+fi
+
+g++ -O2 -std=c++17 -I/root/reference/src -I/root/reference/ext -Izstr \
+    sti_golden.cpp \
+    /root/reference/src/randstrobes.cpp \
+    /root/reference/src/indexparameters.cpp \
+    /root/reference/src/index.cpp \
+    /root/reference/src/refs.cpp \
+    /root/reference/src/io.cpp \
+    -o sti_golden -lpthread
+echo built sti_golden

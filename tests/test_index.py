@@ -1,0 +1,105 @@
+"""StrobemerIndex tests: build, lookup semantics, .sti byte-interop."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from rabbitsalign_tpu.index.params import IndexParameters
+from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex, pick_bits
+from rabbitsalign_tpu.io.fasta import References
+
+from .util import build_golden, have_reference, random_dna
+
+
+def make_refs(tmp_path, contigs):
+    path = tmp_path / "ref.fa"
+    with open(path, "w") as f:
+        for i, seq in enumerate(contigs):
+            f.write(f">c{i} desc here\n")
+            for j in range(0, len(seq), 60):
+                f.write(seq[j : j + 60] + "\n")
+    return path
+
+
+def test_fasta_parsing(tmp_path):
+    path = make_refs(tmp_path, ["ACGTacgtNNN", "GGGG"])
+    refs = References.from_fasta(str(path))
+    assert refs.names == ["c0", "c1"]
+    assert refs.sequences[0] == b"ACGTACGTNNN"
+    assert refs.lengths == [11, 4]
+    assert refs.total_length() == 15
+
+
+def test_pick_bits():
+    params = IndexParameters.from_read_length(150)
+    assert pick_bits(10_000_000, params) >= 8
+    assert pick_bits(100, params) == 8
+    assert pick_bits(3_100_000_000, params) <= 31
+
+
+def test_index_build_and_lookup(tmp_path):
+    contigs = [random_dna(30000, seed=11), random_dna(5000, seed=12)]
+    path = make_refs(tmp_path, contigs)
+    refs = References.from_fasta(str(path))
+    params = IndexParameters.from_read_length(150)
+    idx = StrobemerIndex(refs, params)
+    idx.populate(0.0002)
+    assert len(idx) > 0
+    assert np.all(np.diff(idx.hashes.astype(np.uint64)) >= np.uint64(0) )
+    # every hash except those sharing the first run must be findable
+    probe = idx.hashes[len(idx) // 2]
+    pos = int(idx.find(probe))
+    assert pos >= 0 and idx.hashes[pos] == probe
+    # first occurrence semantics
+    assert pos == int(np.searchsorted(idx.hashes, probe))
+    # reference quirk: globally smallest hash is not reachable
+    assert int(idx.find(idx.hashes[0])) == -1
+    # missing hash
+    assert int(idx.find(np.uint64(12345))) in (-1,) or idx.hashes[int(idx.find(np.uint64(12345)))] == np.uint64(12345)
+    # counts
+    c = int(idx.get_count(pos))
+    assert c >= 1
+    assert np.all(idx.hashes[pos : pos + c] == probe)
+
+
+def test_sti_roundtrip(tmp_path):
+    contigs = [random_dna(20000, seed=21)]
+    path = make_refs(tmp_path, contigs)
+    refs = References.from_fasta(str(path))
+    params = IndexParameters.from_read_length(150)
+    idx = StrobemerIndex(refs, params)
+    idx.populate(0.0002)
+    sti = tmp_path / "x.sti"
+    idx.write(str(sti))
+    idx2 = StrobemerIndex(refs, params)
+    idx2.read(str(sti))
+    np.testing.assert_array_equal(idx.hashes, idx2.hashes)
+    np.testing.assert_array_equal(idx.positions, idx2.positions)
+    np.testing.assert_array_equal(idx.packed, idx2.packed)
+    np.testing.assert_array_equal(idx.randstrobe_start_indices, idx2.randstrobe_start_indices)
+    assert idx.filter_cutoff == idx2.filter_cutoff
+
+
+@pytest.mark.skipif(not have_reference(), reason="reference tree not mounted")
+def test_sti_byte_identical_with_reference(tmp_path):
+    binary = build_golden("sti_golden")
+    contigs = [
+        random_dna(50000, seed=31)[:1000] + "N" * 300 + random_dna(30000, seed=32),
+        random_dna(8000, seed=33),
+        "ACGT" * 200,
+    ]
+    path = make_refs(tmp_path, contigs)
+    golden_sti = tmp_path / "golden.sti"
+    subprocess.run(
+        [str(binary), str(path), str(golden_sti), "0.0002", "150"],
+        check=True,
+        capture_output=True,
+    )
+    refs = References.from_fasta(str(path))
+    params = IndexParameters.from_read_length(150)
+    idx = StrobemerIndex(refs, params)
+    idx.populate(0.0002)
+    mine_sti = tmp_path / "mine.sti"
+    idx.write(str(mine_sti))
+    assert golden_sti.read_bytes() == mine_sti.read_bytes()

@@ -30,3 +30,14 @@ g++ -O2 -std=c++17 -I/root/reference/src -I/root/reference/ext -Izstr \
     /root/reference/src/io.cpp \
     -o sti_golden -lpthread
 echo built sti_golden
+
+g++ -O2 -std=c++17 -I/root/reference/src -I/root/reference/ext -Izstr \
+    nam_golden.cpp \
+    /root/reference/src/randstrobes.cpp \
+    /root/reference/src/indexparameters.cpp \
+    /root/reference/src/index.cpp \
+    /root/reference/src/nam.cpp \
+    /root/reference/src/refs.cpp \
+    /root/reference/src/io.cpp \
+    -o nam_golden -lpthread
+echo built nam_golden

@@ -41,3 +41,7 @@ g++ -O2 -std=c++17 -I/root/reference/src -I/root/reference/ext -Izstr \
     /root/reference/src/io.cpp \
     -o nam_golden -lpthread
 echo built nam_golden
+
+gcc -O2 -c /root/reference/ext/ssw/ssw.c -o ssw.o
+g++ -O2 -std=c++17 ssw_golden.cpp ssw.o -o ssw_golden
+echo built ssw_golden

@@ -1,0 +1,217 @@
+"""Application driver: index build/load, chunked mapping loop, output.
+
+Plays the role of reference src/main.cpp run_rabbitsalign + the worker
+loops in src/pc.cpp. Chunks are processed in order; the per-chunk RNG is
+seeded with the chunk index for reproducibility (reference
+src/pc.cpp:583,706). The NUMA index-replication machinery of the
+reference has no TPU analog (the index is one set of numpy/device arrays
+shared by the process); multi-chip scaling is handled by the parallel/
+package instead.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional, TextIO
+
+from ..align.aligner import Aligner, AlignmentParameters
+from ..cli import CommandLineOptions
+from ..index.params import DEFAULT, IndexParameters
+from ..index.strobemer_index import StrobemerIndex
+from ..io.fasta import References
+from ..io.fastq import InputBuffer, estimate_read_length
+from ..io.sam import CIGAR_OPS_EQX, CIGAR_OPS_M, Sam, sam_header
+from ..map.common import InsertSizeDistribution, MappingParameters
+from ..map.pe import align_PE_read
+from ..map.randomness import MinstdRand
+from ..map.se import align_SE_read
+from ..map.stats import AlignmentStatistics
+from ..utils.logger import logger
+
+
+def run_aligner(opt: CommandLineOptions) -> int:
+    logger.set_level("debug" if opt.verbose else "info")
+    t_start = time.perf_counter()
+
+    if opt.c >= 64 or opt.c <= 0:
+        raise ValueError("c must be greater than 0 and less than 64")
+
+    if not opt.r_set and opt.reads_filename1:
+        opt.r = estimate_read_length(opt.reads_filename1, opt.reads_filename2)
+        logger.info(f"Estimated read length: {opt.r} bp")
+
+    index_parameters = IndexParameters.from_read_length(
+        opt.r,
+        opt.k if opt.k_set else DEFAULT,
+        opt.s if opt.s_set else DEFAULT,
+        opt.l if opt.l_set else DEFAULT,
+        opt.u if opt.u_set else DEFAULT,
+        opt.c if opt.c_set else DEFAULT,
+        opt.max_seed_len if opt.max_seed_len_set else DEFAULT,
+    )
+    aln_params = AlignmentParameters(
+        match=opt.A, mismatch=opt.B, gap_open=opt.O, gap_extend=opt.E,
+        end_bonus=opt.end_bonus,
+    )
+    map_param = MappingParameters(
+        r=opt.r,
+        max_secondary=opt.max_secondary,
+        dropoff_threshold=opt.dropoff_threshold,
+        rescue_level=opt.rescue_level,
+        max_tries=opt.max_tries,
+        is_sam_out=opt.is_sam_out,
+        cigar_eqx=opt.cigar_eqx,
+        output_unmapped=opt.output_unmapped,
+        details=opt.details,
+    )
+    map_param.verify()
+
+    t0 = time.perf_counter()
+    references = References.from_fasta(opt.ref_filename)
+    logger.info(f"Time reading reference: {time.perf_counter() - t0:.2f} s")
+    if references.total_length() == 0:
+        raise RuntimeError("No reference sequences found")
+    logger.info(
+        f"Reference size: {references.total_length() / 1e6:.2f} Mbp "
+        f"({len(references)} contig{'s' if len(references) != 1 else ''})"
+    )
+
+    index = StrobemerIndex(references, index_parameters, opt.bits)
+    if opt.use_index:
+        sti_path = opt.ref_filename + index_parameters.filename_extension()
+        logger.info(f"Reading index from {sti_path}")
+        t0 = time.perf_counter()
+        index.read(sti_path)
+        logger.info(f"Total time reading index: {time.perf_counter() - t0:.2f} s")
+    else:
+        logger.info("Indexing ...")
+        t0 = time.perf_counter()
+        index.populate(opt.f, opt.n_threads)
+        logger.info(f"Total time indexing: {time.perf_counter() - t0:.2f} s")
+        if opt.logfile_name:
+            from ..index.diagnostics import print_diagnostics
+
+            print_diagnostics(index, opt.logfile_name, index_parameters.syncmer.k)
+        if opt.only_gen_index:
+            sti_path = opt.ref_filename + index_parameters.filename_extension()
+            logger.info(f"Writing index to {sti_path}")
+            index.write(sti_path)
+            return 0
+
+    map_param.rescue_cutoff = (
+        map_param.rescue_level * index.filter_cutoff
+        if map_param.rescue_level < 100
+        else 1000
+    )
+    logger.debug(f"Using rescue cutoff: {map_param.rescue_cutoff}")
+
+    out: TextIO = (
+        sys.stdout if opt.write_to_stdout else open(opt.output_file_name, "w")
+    )
+    try:
+        _map_reads(opt, out, references, index, index_parameters, map_param, aln_params)
+    finally:
+        if not opt.write_to_stdout:
+            out.close()
+    logger.info("Done!")
+    logger.info(f"Total time mapping: {time.perf_counter() - t_start:.2f} s.")
+    return 0
+
+
+def _map_reads(
+    opt: CommandLineOptions,
+    out: TextIO,
+    references: References,
+    index: StrobemerIndex,
+    index_parameters: IndexParameters,
+    map_param: MappingParameters,
+    aln_params: AlignmentParameters,
+) -> None:
+    if map_param.is_sam_out:
+        cmd_line = " ".join(sys.argv)
+        out.write(
+            sam_header(references, opt.read_group_id, opt.read_group_fields, cmd_line)
+        )
+
+    input_buffer = InputBuffer(
+        opt.reads_filename1, opt.reads_filename2, opt.chunk_size, opt.is_interleaved
+    )
+    aligner = Aligner(aln_params)
+    statistics = AlignmentStatistics()
+    isize_est = InsertSizeDistribution()
+    random_engine = MinstdRand(0)
+    cigar_ops = CIGAR_OPS_EQX if opt.cigar_eqx else CIGAR_OPS_M
+
+    use_tpu = getattr(opt, "use_tpu", False)
+    batch_aligner = None
+    if use_tpu and map_param.is_sam_out:
+        try:
+            from ..ops.batch_extend import BatchAligner
+
+            batch_aligner = BatchAligner(aln_params, getattr(opt, "tpu_batch", 512))
+        except Exception as e:  # pragma: no cover - defensive
+            logger.info(f"TPU extend path unavailable ({e}); using host alignment")
+            batch_aligner = None
+
+    n_reads = 0
+    t0 = time.perf_counter()
+    for chunk_index, records1, records2, records3 in input_buffer.chunks():
+        random_engine.seed(chunk_index)
+        sam = Sam(
+            references,
+            cigar_ops,
+            opt.read_group_id,
+            opt.output_unmapped,
+            opt.details,
+        )
+        paf_out: List[str] = []
+        if batch_aligner is not None:
+            from .batched import map_chunk_batched
+
+            n_reads += map_chunk_batched(
+                records1, records2, records3, sam, paf_out, statistics, isize_est,
+                aligner, batch_aligner, map_param, index_parameters, references,
+                index, random_engine,
+            )
+        else:
+            if opt.is_SE:
+                for record in records1:
+                    details = align_SE_read(
+                        record, sam, paf_out, statistics, aligner, map_param,
+                        index_parameters, references, index, random_engine,
+                    )
+                    statistics.add_details(details)
+                    n_reads += 1
+            else:
+                for r1, r2 in zip(records1, records2):
+                    details = align_PE_read(
+                        r1, r2, sam, paf_out, statistics, isize_est, aligner,
+                        map_param, index_parameters, references, index,
+                        random_engine,
+                    )
+                    statistics.add_details(details[0])
+                    statistics.add_details(details[1])
+                    n_reads += 2
+                for record in records3:
+                    details = align_SE_read(
+                        record, sam, paf_out, statistics, aligner, map_param,
+                        index_parameters, references, index, random_engine,
+                    )
+                    statistics.add_details(details)
+                    n_reads += 1
+        if map_param.is_sam_out:
+            out.write(sam.take())
+        else:
+            out.write("".join(paf_out))
+
+    statistics.n_reads = n_reads
+    statistics.tot_aligner_calls = aligner.calls_count()
+    elapsed = time.perf_counter() - t0
+    logger.info(f"Mapped {n_reads} reads in {elapsed:.2f} s "
+                f"({n_reads / max(elapsed, 1e-9):.0f} reads/s)")
+    logger.info(f"Total mapping sites tried: {statistics.tot_all_tried}")
+    logger.info(f"Total calls to ssw: {statistics.tot_aligner_calls}")
+    logger.info(f"Inconsistent NAM ends: {statistics.inconsistent_nams}")
+    logger.info(f"Tried NAM rescue: {statistics.nam_rescue}")
+    logger.info(f"Mates rescued by alignment: {statistics.tot_rescued}")

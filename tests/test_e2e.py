@@ -1,0 +1,164 @@
+"""End-to-end mapping tests through the CLI entry point."""
+
+import random
+
+import pytest
+
+from rabbitsalign_tpu.cli import main
+from rabbitsalign_tpu.utils.dna import reverse_complement
+
+from .util import random_dna
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    random.seed(2025)
+    tmp = tmp_path_factory.mktemp("e2e")
+    genome = random_dna(80_000)
+    ref = tmp / "ref.fa"
+    with open(ref, "w") as f:
+        f.write(">chr1 test\n")
+        for j in range(0, len(genome), 70):
+            f.write(genome[j : j + 70] + "\n")
+    return tmp, genome, str(ref)
+
+
+def simulate_se(genome, n=60):
+    reads, truth = [], []
+    for i in range(n):
+        st = random.randrange(0, len(genome) - 150)
+        rd = genome[st : st + 150]
+        kind = i % 4
+        if kind == 1:
+            chars = list(rd)
+            for _ in range(3):
+                chars[random.randrange(150)] = random.choice("ACGT")
+            rd = "".join(chars)
+        elif kind == 2:
+            rd = reverse_complement(rd).decode()
+        elif kind == 3:
+            rd = genome[st : st + 70] + genome[st + 74 : st + 154]
+        reads.append(rd)
+        truth.append(st)
+    return reads, truth
+
+
+def write_fastq(path, reads, prefix="r"):
+    with open(path, "w") as f:
+        for i, rd in enumerate(reads):
+            f.write(f"@{prefix}{i}\n{rd}\n+\n{'I' * len(rd)}\n")
+
+
+def test_se_sam(dataset):
+    tmp, genome, ref = dataset
+    random.seed(5)
+    reads, truth = simulate_se(genome)
+    fq = tmp / "se.fq"
+    write_fastq(fq, reads)
+    out = tmp / "se.sam"
+    assert main(["--no-tpu", ref, str(fq), "-o", str(out)]) == 0
+    lines = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert len(lines) == len(reads)
+    placed = 0
+    for fields, st in zip(lines, truth):
+        flag = int(fields[1])
+        if flag & 4:
+            continue
+        assert abs(int(fields[3]) - 1 - st) <= 5
+        placed += 1
+    assert placed == len(reads)
+    # header sanity
+    header = [l for l in open(out) if l.startswith("@")]
+    assert any(l.startswith("@SQ\tSN:chr1\tLN:80000") for l in header)
+
+
+def test_se_paf(dataset):
+    tmp, genome, ref = dataset
+    random.seed(6)
+    reads, truth = simulate_se(genome, 30)
+    fq = tmp / "se2.fq"
+    write_fastq(fq, reads)
+    out = tmp / "se.paf"
+    assert main(["--no-tpu", "-x", ref, str(fq), "-o", str(out)]) == 0
+    lines = [l.split("\t") for l in open(out)]
+    assert len(lines) >= 25
+    for fields in lines:
+        assert fields[5] == "chr1"
+        assert fields[11].strip() == "255"
+
+
+def test_pe_sam(dataset):
+    tmp, genome, ref = dataset
+    random.seed(7)
+    r1s, r2s, truth = [], [], []
+    for i in range(60):
+        insert = random.randint(200, 450)
+        st = random.randrange(0, len(genome) - insert)
+        frag = genome[st : st + insert]
+        r1s.append(frag[:150])
+        r2s.append(reverse_complement(frag[-150:]).decode())
+        truth.append((st, st + insert - 150))
+    fq1, fq2 = tmp / "pe1.fq", tmp / "pe2.fq"
+    write_fastq(fq1, r1s, "p")
+    write_fastq(fq2, r2s, "p")
+    out = tmp / "pe.sam"
+    assert main(["--no-tpu", ref, str(fq1), str(fq2), "-o", str(out)]) == 0
+    lines = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert len(lines) == 120
+    proper = 0
+    for i in range(0, len(lines), 2):
+        f1, f2 = lines[i], lines[i + 1]
+        st1, st2 = truth[i // 2]
+        assert int(f1[1]) & 64  # READ1
+        assert int(f2[1]) & 128  # READ2
+        if int(f1[1]) & 2:
+            proper += 1
+            tlen1, tlen2 = int(f1[8]), int(f2[8])
+            assert tlen1 == -tlen2 and tlen1 != 0
+        assert abs(int(f1[3]) - 1 - st1) <= 5
+        assert abs(int(f2[3]) - 1 - st2) <= 5
+    assert proper >= 55
+
+
+def test_create_and_use_index(dataset):
+    tmp, genome, ref = dataset
+    random.seed(8)
+    reads, truth = simulate_se(genome, 20)
+    fq = tmp / "idx.fq"
+    write_fastq(fq, reads)
+    assert main(["-i", ref, str(fq)]) == 0
+    out1 = tmp / "a.sam"
+    out2 = tmp / "b.sam"
+    assert main(["--no-tpu", ref, str(fq), "-o", str(out1)]) == 0
+    assert main(["--no-tpu", "--use-index", ref, str(fq), "-o", str(out2)]) == 0
+    body1 = [l for l in open(out1) if not l.startswith("@")]
+    body2 = [l for l in open(out2) if not l.startswith("@")]
+    assert body1 == body2
+
+
+def test_unmapped_suppression(dataset):
+    tmp, genome, ref = dataset
+    junk = ["".join(random.choice("ACGT") for _ in range(150)) for _ in range(5)]
+    fq = tmp / "junk.fq"
+    write_fastq(fq, junk)
+    out = tmp / "junk.sam"
+    assert main(["--no-tpu", "-U", ref, str(fq), "-o", str(out)]) == 0
+    body = [l for l in open(out) if not l.startswith("@")]
+    assert body == []
+
+
+def test_eqx_and_rg(dataset):
+    tmp, genome, ref = dataset
+    st = 1000
+    fq = tmp / "one.fq"
+    write_fastq(fq, [genome[st : st + 150]])
+    out = tmp / "one.sam"
+    assert main([
+        "--no-tpu", "--eqx", "--rg-id", "rg1", "--rg", "SM:sample1",
+        ref, str(fq), "-o", str(out),
+    ]) == 0
+    content = open(out).read()
+    assert "@RG\tID:rg1\tSM:sample1" in content
+    body = [l for l in content.splitlines() if not l.startswith("@")]
+    assert "150=" in body[0]
+    assert "RG:Z:rg1" in body[0]

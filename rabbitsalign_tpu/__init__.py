@@ -15,9 +15,23 @@ over ICI).
 
 # 64-bit integers are required throughout (randstrobe hashes are uint64).
 # This must run before any jax.numpy array is created.
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the wavefront kernels take ~1 min to
+# compile per (Q, T) bucket; cache them across runs.
+_cache_dir = _os.environ.get(
+    "RABBITSALIGN_TPU_CACHE", _os.path.expanduser("~/.cache/rabbitsalign_tpu/jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 __version__ = "0.1.0"
 

@@ -144,15 +144,22 @@ def _map_reads(
     cigar_ops = CIGAR_OPS_EQX if opt.cigar_eqx else CIGAR_OPS_M
 
     use_tpu = getattr(opt, "use_tpu", False)
-    batch_aligner = None
-    if use_tpu and map_param.is_sam_out:
+    if use_tpu:
         try:
             from ..ops.batch_extend import BatchAligner
 
             batch_aligner = BatchAligner(aln_params, getattr(opt, "tpu_batch", 512))
         except Exception as e:  # pragma: no cover - defensive
             logger.info(f"TPU extend path unavailable ({e}); using host alignment")
-            batch_aligner = None
+            from ..ops.batch_extend import HostBatchAligner
+
+            batch_aligner = HostBatchAligner(aln_params)
+    else:
+        from ..ops.batch_extend import HostBatchAligner
+
+        batch_aligner = HostBatchAligner(aln_params)
+
+    from .batched import map_chunk_batched
 
     n_reads = 0
     t0 = time.perf_counter()
@@ -166,40 +173,11 @@ def _map_reads(
             opt.details,
         )
         paf_out: List[str] = []
-        if batch_aligner is not None:
-            from .batched import map_chunk_batched
-
-            n_reads += map_chunk_batched(
-                records1, records2, records3, sam, paf_out, statistics, isize_est,
-                aligner, batch_aligner, map_param, index_parameters, references,
-                index, random_engine,
-            )
-        else:
-            if opt.is_SE:
-                for record in records1:
-                    details = align_SE_read(
-                        record, sam, paf_out, statistics, aligner, map_param,
-                        index_parameters, references, index, random_engine,
-                    )
-                    statistics.add_details(details)
-                    n_reads += 1
-            else:
-                for r1, r2 in zip(records1, records2):
-                    details = align_PE_read(
-                        r1, r2, sam, paf_out, statistics, isize_est, aligner,
-                        map_param, index_parameters, references, index,
-                        random_engine,
-                    )
-                    statistics.add_details(details[0])
-                    statistics.add_details(details[1])
-                    n_reads += 2
-                for record in records3:
-                    details = align_SE_read(
-                        record, sam, paf_out, statistics, aligner, map_param,
-                        index_parameters, references, index, random_engine,
-                    )
-                    statistics.add_details(details)
-                    n_reads += 1
+        n_reads += map_chunk_batched(
+            records1, records2, records3, sam, paf_out, statistics, isize_est,
+            aligner, batch_aligner, map_param, index_parameters, references,
+            index, random_engine,
+        )
         if map_param.is_sam_out:
             out.write(sam.take())
         else:

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Round benchmark: end-to-end read mapping throughput on one chip.
+
+Simulates a 1 Mbp genome and 150 bp single-end reads (2% SNPs + indels,
+25% reverse-complemented, 2% unmappable), builds the strobemer index,
+maps through the production two-phase pipeline (TPU batched extension
+when a TPU is present, host SSW otherwise) and reports reads/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/BASELINE}
+
+BASELINE = 100_000 reads/s — an estimate of RabbitSAlign's single-node
+GPU-assisted throughput for short single-end reads (the reference
+publishes no hard numbers; its README claims ~2x strobealign,
+/root/reference/README.md:3, and strobealign maps a few hundred thousand
+reads/s on a full multicore node). Secondary numbers (SW kernel cell
+rate, extension batch stats) go to stderr.
+"""
+
+import json
+import random
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 100_000.0
+
+GENOME_MB = 1.0
+N_READS = 6000
+READ_LEN = 150
+
+
+def simulate(genome: str, n: int, seed: int = 7):
+    rng = random.Random(seed)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    reads = []
+    for i in range(n):
+        st = rng.randrange(0, len(genome) - READ_LEN - 10)
+        rd = genome[st : st + READ_LEN]
+        kind = i % 50
+        if kind < 2:  # unmappable
+            rd = "".join(rng.choice("ACGT") for _ in range(READ_LEN))
+        else:
+            chars = list(rd)
+            # ~2% SNPs
+            for _ in range(3):
+                p = rng.randrange(READ_LEN)
+                chars[p] = rng.choice("ACGT")
+            rd = "".join(chars)
+            if kind % 5 == 1:  # indel -> gapped extension on device
+                cut = rng.randrange(40, 100)
+                glen = rng.randrange(1, 6)
+                rd = genome[st : st + cut] + genome[st + cut + glen : st + READ_LEN + glen]
+            if kind % 4 == 2:
+                rd = "".join(comp[c] for c in reversed(rd))
+        reads.append(rd)
+    return reads
+
+
+def main() -> None:
+    import jax
+
+    from rabbitsalign_tpu.align.aligner import Aligner, AlignmentParameters
+    from rabbitsalign_tpu.index.params import IndexParameters
+    from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+    from rabbitsalign_tpu.io.fasta import References
+    from rabbitsalign_tpu.io.sam import Sam
+    from rabbitsalign_tpu.map.common import InsertSizeDistribution, MappingParameters
+    from rabbitsalign_tpu.map.randomness import MinstdRand
+    from rabbitsalign_tpu.map.stats import AlignmentStatistics
+    from rabbitsalign_tpu.ops.batch_extend import BatchAligner, HostBatchAligner
+    from rabbitsalign_tpu.pipeline.batched import map_chunk_batched
+    from rabbitsalign_tpu.io.sam import SamRecord
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    print(f"bench: platform={platform} devices={jax.devices()}", file=sys.stderr)
+
+    rng = random.Random(1234)
+    genome = "".join(rng.choice("ACGT") for _ in range(int(GENOME_MB * 1e6)))
+    refs = References()
+    refs.add("chr1", genome.encode())
+
+    params = IndexParameters.from_read_length(READ_LEN)
+    t0 = time.perf_counter()
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    print(f"bench: index build {time.perf_counter() - t0:.2f}s "
+          f"({len(index)} randstrobes)", file=sys.stderr)
+
+    reads = simulate(genome, N_READS)
+    records = [SamRecord(f"r{i}", rd.encode(), b"I" * len(rd)) for i, rd in enumerate(reads)]
+
+    aln_params = AlignmentParameters()
+    map_param = MappingParameters(r=READ_LEN)
+    map_param.rescue_cutoff = min(map_param.rescue_level * index.filter_cutoff, 1000)
+    aligner = Aligner(aln_params)
+    if on_tpu:
+        batch = BatchAligner(aln_params, batch_size=512)
+    else:
+        batch = HostBatchAligner(aln_params)
+    statistics = AlignmentStatistics()
+    isize = InsertSizeDistribution()
+    engine = MinstdRand(0)
+
+    # warmup on a small slice (compiles kernels; excluded from timing)
+    sam = Sam(refs)
+    warm = list(records[:256])
+    engine.seed(0)
+    map_chunk_batched([r for r in warm], [], [], sam, [], statistics, isize,
+                      aligner, batch, map_param, params, refs, index, engine)
+
+    t0 = time.perf_counter()
+    n_mapped = 0
+    chunk_size = 2000
+    for ci in range(0, len(records), chunk_size):
+        chunk = records[ci : ci + chunk_size]
+        engine.seed(ci // chunk_size)
+        sam = Sam(refs)
+        n_mapped += map_chunk_batched(
+            chunk, [], [], sam, [], statistics, isize, aligner, batch,
+            map_param, params, refs, index, engine,
+        )
+        _ = sam.take()
+    elapsed = time.perf_counter() - t0
+    reads_per_sec = n_mapped / elapsed
+    print(
+        f"bench: mapped {n_mapped} reads in {elapsed:.2f}s; "
+        f"device jobs={getattr(batch, 'n_device_jobs', 0)} "
+        f"fallbacks={getattr(batch, 'n_fallbacks', 0)}",
+        file=sys.stderr,
+    )
+
+    # secondary: device SW kernel cell rate
+    if on_tpu:
+        try:
+            from rabbitsalign_tpu.ops.extend_device import extend_batch_packed, pack_input
+            from rabbitsalign_tpu.ops.sw_jax import SwParams
+
+            B, Q, T = 512, 256, 512
+            r2 = np.random.RandomState(0)
+            q_t = r2.randint(0, 4, (Q, B)).astype(np.uint8)
+            t_t = r2.randint(0, 4, (T, B)).astype(np.uint8)
+            qlen = np.full(B, 150, np.int32)
+            tlen = np.full(B, 250, np.int32)
+            buf = pack_input(q_t, t_t, qlen, tlen)
+            sw = SwParams(2, 8, 12, 1)
+            out = jax.block_until_ready(extend_batch_packed(buf, Q, T, sw))
+            t0 = time.perf_counter()
+            N = 10
+            for _ in range(N):
+                out = jax.block_until_ready(extend_batch_packed(buf, Q, T, sw))
+            dt = (time.perf_counter() - t0) / N
+            padded = B * Q * T / dt
+            print(f"bench: SW kernel {padded/1e9:.1f} Gcells/s padded "
+                  f"({B} pairs in {dt*1e3:.2f} ms, fwd+traceback on device)",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"bench: kernel microbench skipped: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "reads/sec/chip (SE 150bp simulated vs 1Mbp ref, end-to-end)",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,7 @@ class BatchAligner:
     def __init__(
         self,
         parameters: AlignmentParameters,
-        batch_size: int = 1024,
+        batch_size: int = 512,
         buckets: Tuple[Tuple[int, int], ...] = DEFAULT_BUCKETS,
         golden_check: bool = False,
     ):

@@ -130,15 +130,17 @@ def sw_forward(
         out = dirs if with_dirs else jnp.zeros((), dtype=jnp.uint8)
         return (H, H1, E, F, revt, best_h, best_t), out
 
-    zeros = jnp.zeros((B, Q), dtype=jnp.int32)
+    # init derived from the inputs (not constants) so the carries carry
+    # the same device-varying type as the inputs under shard_map
+    zeros = q_i32 * 0
     init = (
         zeros,
         zeros,
-        jnp.full((B, Q), NEG, dtype=jnp.int32),
-        jnp.full((B, Q), NEG, dtype=jnp.int32),
-        jnp.zeros((B, Q), dtype=jnp.int32),
+        zeros + NEG,
+        zeros + NEG,
         zeros,
-        jnp.full((B, Q), -1, dtype=jnp.int32),
+        zeros,
+        zeros - 1,
     )
     (H1, H2, E1, F1, revt, best_h, best_t), dirs = jax.lax.scan(
         step, init, jnp.arange(D, dtype=jnp.int32)

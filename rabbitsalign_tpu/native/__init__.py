@@ -1,0 +1,83 @@
+"""Native (C++) runtime accelerators, loaded via ctypes.
+
+Compiled on demand with g++ -O3 into a per-user cache; every accelerated
+path has a pure-Python equivalent used as a fallback (and as the golden
+implementation in tests).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import Optional
+
+_SRC_DIR = Path(__file__).parent
+_CACHE = Path(
+    os.environ.get(
+        "RABBITSALIGN_TPU_CACHE", os.path.expanduser("~/.cache/rabbitsalign_tpu")
+    )
+)
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build(name: str) -> Optional[Path]:
+    src = _SRC_DIR / f"{name}.cpp"
+    out = _CACHE / f"{name}.so"
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(src), "-o", str(out),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"rabbitsalign_tpu: native build failed ({e}); "
+              "falling back to Python host path", file=sys.stderr)
+        return None
+    return out
+
+
+def load_seednam() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the seed+NAM accelerator, or None."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("RABBITSALIGN_TPU_NO_NATIVE"):
+        return None
+    path = _build("seednam")
+    if path is None:
+        return None
+    lib = ctypes.CDLL(str(path))
+    lib.seednam_chunk.restype = ctypes.c_void_p
+    lib.seednam_chunk.argtypes = [
+        ctypes.c_void_p,  # hashes
+        ctypes.c_void_p,  # positions
+        ctypes.c_void_p,  # packed
+        ctypes.c_void_p,  # buckets
+        ctypes.c_uint64,  # n_index
+        ctypes.c_int,     # bits
+        ctypes.c_uint32,  # filter_cutoff
+        ctypes.c_void_p,  # seqs
+        ctypes.c_void_p,  # offsets
+        ctypes.c_int64,   # n_reads
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # k s t
+        ctypes.c_int, ctypes.c_int,                # wmin wmax
+        ctypes.c_uint64, ctypes.c_int,             # qmask max_dist
+        ctypes.c_uint32, ctypes.c_int,             # rescue_cutoff rescue_level
+    ]
+    lib.seednam_total_nams.restype = ctypes.c_int64
+    lib.seednam_total_nams.argtypes = [ctypes.c_void_p]
+    lib.seednam_copy.restype = None
+    lib.seednam_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.seednam_free.restype = None
+    lib.seednam_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib

@@ -1,0 +1,619 @@
+// Native host hot path: syncmer/randstrobe seeding, strobemer index
+// lookup and NAM chaining for a whole chunk of reads.
+//
+// This is the TPU framework's equivalent of the reference's CPU hot loops
+// (randstrobes_query -> find_nams / find_nams_rescue); a fresh C++
+// implementation of the same semantics as rabbitsalign_tpu's Python layer
+// (seed/syncmers.py, seed/randstrobes.py, chain/nams.py), which is itself
+// validated bit-exact against the reference. Exposed via ctypes; the
+// index arrays are borrowed zero-copy from numpy.
+//
+// Per-read NAMs are returned in emission order (nam_id == order); score
+// sorting and tie shuffling stay in Python where the reproducible RNG
+// lives.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using u8 = uint8_t;
+using u32 = uint32_t;
+using u64 = uint64_t;
+using i64 = int64_t;
+
+constexpr u64 UMAX = ~0ULL;
+
+inline u64 xxh64(u64 x) {
+    constexpr u64 P1 = 0x9E3779B185EBCA87ULL, P2 = 0xC2B2AE3D27D4EB4FULL,
+                  P3 = 0x165667B19E3779F9ULL, P4 = 0x85EBCA77C2B2AE63ULL,
+                  P5 = 0x27D4EB2F165667C5ULL;
+    u64 r = P5 + 8;
+    x *= P2;
+    x = (x << 31) | (x >> 33);
+    r ^= x * P1;
+    r = (r << 27) | (r >> 37);
+    r = r * P1 + P4;
+    r ^= r >> 33;
+    r *= P2;
+    r ^= r >> 29;
+    r *= P3;
+    r ^= r >> 32;
+    return r;
+}
+
+// nucleotide -> 2-bit code, 4 for ambiguous
+inline int nt4(u8 c) {
+    switch (c) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': case 'U': case 'u': return 3;
+        default: return 4;
+    }
+}
+
+struct Syncmer {
+    u64 hash;
+    i64 pos;
+};
+
+// canonical closed syncmers; exact port of the min-queue automaton
+// (same semantics as seed/syncmers.py syncmers_slow)
+static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
+                        std::vector<Syncmer>& out) {
+    out.clear();
+    const u64 kmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : UMAX;
+    const u64 smask = (1ULL << (2 * s)) - 1;
+    const int kshift = (k - 1) * 2;
+    const int sshift = (s - 1) * 2;
+    const int w = k - s + 1;
+
+    // ring buffer of the last w s-mer hashes
+    std::vector<u64> qs(w);
+    int qs_size = 0;
+    int qs_head = 0;  // index of oldest
+    u64 qs_min_val = UMAX;
+    i64 qs_min_pos = -1;
+    i64 l = 0;
+    u64 xk0 = 0, xk1 = 0, xs0 = 0, xs1 = 0;
+
+    for (i64 i = 0; i < n; ++i) {
+        int c = nt4(seq[i]);
+        if (c < 4) {
+            xk0 = ((xk0 << 2) | (u64)c) & kmask;
+            xk1 = (xk1 >> 2) | ((u64)(3 - c) << kshift);
+            xs0 = ((xs0 << 2) | (u64)c) & smask;
+            xs1 = (xs1 >> 2) | ((u64)(3 - c) << sshift);
+            if (++l < s) continue;
+            u64 ys = xs0 < xs1 ? xs0 : xs1;
+            u64 hash_s = xxh64(ys);
+            // push
+            if (qs_size < w) {
+                qs[(qs_head + qs_size) % w] = hash_s;
+                qs_size++;
+                if (qs_size < w) continue;
+                // first full window: leftmost minimum
+                for (int j = 0; j < w; ++j) {
+                    u64 v = qs[(qs_head + j) % w];
+                    if (v < qs_min_val) {
+                        qs_min_val = v;
+                        qs_min_pos = i - k + j + 1;
+                    }
+                }
+            } else {
+                // pop front, push back
+                qs[qs_head] = hash_s;
+                qs_head = (qs_head + 1) % w;
+                if (qs_min_pos == i - k) {
+                    // tracked min slid out: rightmost minimum wins
+                    qs_min_val = UMAX;
+                    qs_min_pos = i - s + 1;
+                    for (int j = w - 1; j >= 0; --j) {
+                        u64 v = qs[(qs_head + j) % w];
+                        if (v < qs_min_val) {
+                            qs_min_val = v;
+                            qs_min_pos = i - k + j + 1;
+                        }
+                    }
+                } else if (hash_s < qs_min_val) {
+                    qs_min_val = hash_s;
+                    qs_min_pos = i - s + 1;
+                }
+            }
+            if (qs_min_pos == i - k + t) {
+                u64 yk = xk0 < xk1 ? xk0 : xk1;
+                out.push_back({xxh64(yk), i - k + 1});
+            }
+        } else {
+            qs_min_val = UMAX;
+            qs_min_pos = -1;
+            l = 0;
+            xs0 = xs1 = xk0 = xk1 = 0;
+            qs_size = 0;
+            qs_head = 0;
+        }
+    }
+}
+
+struct QueryRandstrobe {
+    u64 hash;
+    int start;
+    int end;
+    bool is_reverse;
+};
+
+inline int popcount64(u64 x) { return __builtin_popcountll(x); }
+
+// link syncmers into randstrobes (same semantics as link_randstrobes)
+static void link_strobes(const std::vector<Syncmer>& sync, int wmin, int wmax,
+                         u64 qmask, int max_dist, int k, bool is_reverse,
+                         std::vector<QueryRandstrobe>& out) {
+    const i64 n = (i64)sync.size();
+    for (i64 i = 0; i + wmin < n; ++i) {
+        const Syncmer& s1 = sync[i];
+        i64 wend = std::min(i + (i64)wmax, n - 1);
+        i64 max_position = s1.pos + max_dist;
+        u64 min_val = UMAX;
+        i64 best = i;
+        for (i64 j = i + wmin; j <= wend && sync[j].pos <= max_position; ++j) {
+            u64 res = (u64)popcount64((s1.hash ^ sync[j].hash) & qmask);
+            if (res < min_val) {
+                min_val = res;
+                best = j;
+            }
+        }
+        out.push_back({s1.hash + sync[best].hash, (int)s1.pos,
+                       (int)sync[best].pos + k, is_reverse});
+    }
+}
+
+struct Hit {
+    int query_start, query_end, ref_start, ref_end;
+};
+
+struct Nam {
+    int nam_id;
+    int query_start, query_end, query_prev;
+    int ref_start, ref_end, ref_prev;
+    int n_hits;
+    int ref_id;
+    float score;
+    int is_rc;
+};
+
+struct IndexView {
+    const u64* hashes;
+    const u32* positions;
+    const u32* packed;
+    const u64* buckets;
+    u64 n;
+    int bits;
+    u32 filter_cutoff;
+    int k;
+};
+
+inline u64 hash_at(const IndexView& ix, u64 pos) {
+    return pos < ix.n ? ix.hashes[pos] : UMAX;
+}
+
+// bucket-bounded first-occurrence lookup (semantics of
+// StrobemerIndex.find incl. the skipped-first-run quirk)
+static i64 ix_find(const IndexView& ix, u64 key) {
+    u64 top = key >> (64 - ix.bits);
+    u64 lo = ix.buckets[top];
+    u64 hi = ix.buckets[top + 1];
+    if (lo >= hi) return -1;
+    const u64* first = std::lower_bound(ix.hashes + lo, ix.hashes + hi, key);
+    u64 pos = (u64)(first - ix.hashes);
+    if (pos < hi && pos < ix.n && ix.hashes[pos] == key) return (i64)pos;
+    return -1;
+}
+
+static u64 ix_count(const IndexView& ix, u64 pos) {
+    u64 key = ix.hashes[pos];
+    const u64* last = std::upper_bound(ix.hashes + pos, ix.hashes + ix.n, key);
+    return (u64)(last - (ix.hashes + pos));
+}
+
+// insertion-ordered per-ref hit lists (matches the Python dict layer)
+struct HitsPerRef {
+    std::vector<std::pair<int, std::vector<Hit>>> refs;
+
+    std::vector<Hit>& get(int ref_id) {
+        for (auto& p : refs)
+            if (p.first == ref_id) return p.second;
+        refs.emplace_back(ref_id, std::vector<Hit>());
+        return refs.back().second;
+    }
+    void touch(int ref_id) { (void)get(ref_id); }
+};
+
+static void add_to_hits_per_ref(HitsPerRef& hpr, int qs, int qe,
+                                const IndexView& ix, u64 position) {
+    int min_diff = INT32_MAX;
+    u64 h0 = ix.hashes[position];
+    int qspan = qe - qs;
+    for (u64 p = position; p < ix.n && ix.hashes[p] == h0; ++p) {
+        int rs = (int)ix.positions[p];
+        int re = rs + (int)(ix.packed[p] & 0xFF) + ix.k;
+        int diff = std::abs(qspan - (re - rs));
+        if (diff <= min_diff) {
+            hpr.get((int)(ix.packed[p] >> 8)).push_back({qs, qe, rs, re});
+            min_diff = diff;
+        }
+    }
+}
+
+static void pre_create_keys(HitsPerRef& hpr, int qs, int qe,
+                            const IndexView& ix, u64 position) {
+    int min_diff = INT32_MAX;
+    u64 h0 = ix.hashes[position];
+    int qspan = qe - qs;
+    for (u64 p = position; p < ix.n && ix.hashes[p] == h0; ++p) {
+        int rs = (int)ix.positions[p];
+        int re = rs + (int)(ix.packed[p] & 0xFF) + ix.k;
+        int diff = std::abs(qspan - (re - rs));
+        if (diff <= min_diff) {
+            hpr.touch((int)(ix.packed[p] >> 8));
+            min_diff = diff;
+        }
+    }
+}
+
+static inline float nam_score(const Nam& n) {
+    int qspan = n.query_end - n.query_start;
+    int rspan = n.ref_end - n.ref_start;
+    int mx = std::max(qspan, rspan);
+    int mn = std::min(qspan, rspan);
+    int v = 2 * mn - mx;
+    return v > 0 ? (float)(n.n_hits * v) : 1.0f;
+}
+
+static void flush_open(std::vector<Nam>& open_nams, int query_start,
+                       std::vector<Nam>& nams) {
+    size_t w = 0;
+    for (size_t i = 0; i < open_nams.size(); ++i) {
+        Nam& nm = open_nams[i];
+        if (nm.query_end < query_start) {
+            nm.score = nam_score(nm);
+            nm.nam_id = (int)nams.size();
+            nams.push_back(nm);
+        } else {
+            open_nams[w++] = nm;
+        }
+    }
+    open_nams.resize(w);
+}
+
+static void merge_hits(HitsPerRef& hpr, int k, bool sort, bool is_rc,
+                       std::vector<Nam>& nams) {
+    for (auto& [ref_id, hits] : hpr.refs) {
+        if (sort)
+            std::stable_sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
+                return a.query_start != b.query_start ? a.query_start < b.query_start
+                                                      : a.ref_start < b.ref_start;
+            });
+        std::vector<Nam> open_nams;
+        int prev_q_start = 0;
+        for (const Hit& h : hits) {
+            bool is_added = false;
+            for (Nam& o : open_nams) {
+                if (o.query_prev < h.query_start && h.query_start <= o.query_end &&
+                    o.ref_prev < h.ref_start && h.ref_start <= o.ref_end) {
+                    if (h.query_end > o.query_end && h.ref_end > o.ref_end) {
+                        o.query_end = h.query_end;
+                        o.ref_end = h.ref_end;
+                        o.query_prev = h.query_start;
+                        o.ref_prev = h.ref_start;
+                        o.n_hits++;
+                        is_added = true;
+                        break;
+                    } else if (h.query_end <= o.query_end && h.ref_end <= o.ref_end) {
+                        o.query_prev = h.query_start;
+                        o.ref_prev = h.ref_start;
+                        o.n_hits++;
+                        is_added = true;
+                        break;
+                    }
+                }
+            }
+            if (!is_added) {
+                Nam nm{};
+                nm.query_start = nm.query_prev = h.query_start;
+                nm.query_end = h.query_end;
+                nm.ref_start = nm.ref_prev = h.ref_start;
+                nm.ref_end = h.ref_end;
+                nm.ref_id = ref_id;
+                nm.n_hits = 1;
+                nm.is_rc = is_rc ? 1 : 0;
+                open_nams.push_back(nm);
+            }
+            if (h.query_start > prev_q_start + k) {
+                flush_open(open_nams, h.query_start, nams);
+                prev_q_start = h.query_start;
+            }
+        }
+        for (Nam& nm : open_nams) {
+            nm.score = nam_score(nm);
+            nm.nam_id = (int)nams.size();
+            nams.push_back(nm);
+        }
+    }
+}
+
+// grouped variant used by the rescue path (chain/nams.py
+// merge_hits_into_nams_fast semantics)
+static void merge_hits_fast(HitsPerRef& hpr, int k, bool sort, bool is_rc,
+                            std::vector<Nam>& nams) {
+    for (auto& [ref_id, hits] : hpr.refs) {
+        if (sort)
+            std::stable_sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
+                return a.query_start != b.query_start ? a.query_start < b.query_start
+                                                      : a.ref_start < b.ref_start;
+            });
+        std::vector<Nam> open_nams;
+        int prev_q_start = 0;
+        size_t i = 0;
+        while (i < hits.size()) {
+            size_t i_start = i, i_end = i + 1;
+            while (i_end < hits.size() && hits[i_end].query_start == hits[i].query_start)
+                i_end++;
+            i = i_end;
+            std::vector<Hit> group(hits.begin() + i_start, hits.begin() + i_end);
+            std::stable_sort(group.begin(), group.end(), [](const Hit& a, const Hit& b) {
+                return a.query_start != b.query_start ? a.query_start < b.query_start
+                                                      : a.ref_start < b.ref_start;
+            });
+            size_t i_size = group.size();
+            std::vector<char> is_added(i_size, 0);
+            int query_start = group[0].query_start;
+            size_t cnt_done = 0;
+
+            for (Nam& o : open_nams) {
+                // binary search the [ref_prev+1, ref_end+1) window
+                size_t lower = std::lower_bound(
+                                   group.begin(), group.end(), o.ref_prev + 1,
+                                   [](const Hit& h, int v) { return h.ref_start < v; }) -
+                               group.begin();
+                size_t upper = std::lower_bound(
+                                   group.begin(), group.end(), o.ref_end + 1,
+                                   [](const Hit& h, int v) { return h.ref_start < v; }) -
+                               group.begin();
+                for (size_t j = lower; j < upper; ++j) {
+                    if (is_added[j]) continue;
+                    if (query_start <= o.query_end) {
+                        const Hit& h = group[j];
+                        if (o.ref_prev < h.ref_start && h.ref_start <= o.ref_end) {
+                            if (h.query_end > o.query_end && h.ref_end > o.ref_end) {
+                                o.query_end = h.query_end;
+                                o.ref_end = h.ref_end;
+                                o.query_prev = h.query_start;
+                                o.ref_prev = h.ref_start;
+                                o.n_hits++;
+                                is_added[j] = 1;
+                                cnt_done++;
+                                break;
+                            } else if (h.query_end <= o.query_end && h.ref_end <= o.ref_end) {
+                                o.query_prev = h.query_start;
+                                o.ref_prev = h.ref_start;
+                                o.n_hits++;
+                                is_added[j] = 1;
+                                cnt_done++;
+                                break;
+                            }
+                        }
+                    }
+                }
+                if (cnt_done == i_size) break;
+            }
+
+            for (size_t j = 0; j < i_size; ++j) {
+                if (!is_added[j]) {
+                    const Hit& h = group[j];
+                    Nam nm{};
+                    nm.query_start = nm.query_prev = h.query_start;
+                    nm.query_end = h.query_end;
+                    nm.ref_start = nm.ref_prev = h.ref_start;
+                    nm.ref_end = h.ref_end;
+                    nm.ref_id = ref_id;
+                    nm.n_hits = 1;
+                    nm.is_rc = is_rc ? 1 : 0;
+                    open_nams.push_back(nm);
+                }
+            }
+            if (query_start > prev_q_start + k) {
+                flush_open(open_nams, query_start, nams);
+                prev_q_start = query_start;
+            }
+        }
+        for (Nam& nm : open_nams) {
+            nm.score = nam_score(nm);
+            nm.nam_id = (int)nams.size();
+            nams.push_back(nm);
+        }
+    }
+}
+
+struct RescueHit {
+    u64 position;
+    u32 count;
+    int query_start, query_end;
+};
+
+struct ReadResult {
+    std::vector<Nam> nams;
+    float nonrep_frac = 1.0f;
+    int used_rescue = 0;
+};
+
+struct ChunkResult {
+    std::vector<ReadResult> reads;
+    std::vector<i64> nam_offsets;  // per read start into flat array
+    std::vector<int> flat_int;     // 10 ints per nam
+    std::vector<float> flat_score;
+};
+
+static void find_nams_one(const IndexView& ix,
+                          const std::vector<QueryRandstrobe>& qrs,
+                          ReadResult& rr) {
+    HitsPerRef hpr[2];
+    int total_hits = 0, good_hits = 0;
+    for (const auto& q : qrs) {
+        i64 pos = ix_find(ix, q.hash);
+        if (pos >= 0) {
+            total_hits++;
+            if (hash_at(ix, (u64)pos) == hash_at(ix, (u64)pos + ix.filter_cutoff))
+                continue;  // repetitive
+            good_hits++;
+            add_to_hits_per_ref(hpr[q.is_reverse ? 1 : 0], q.start, q.end, ix, (u64)pos);
+        }
+    }
+    rr.nonrep_frac = total_hits > 0 ? (float)good_hits / (float)total_hits : 1.0f;
+    for (int rc = 0; rc < 2; ++rc)
+        merge_hits(hpr[rc], ix.k, true, rc != 0, rr.nams);
+}
+
+static void find_nams_rescue_one(const IndexView& ix,
+                                 const std::vector<QueryRandstrobe>& qrs,
+                                 u32 rescue_cutoff, ReadResult& rr) {
+    rr.nams.clear();
+    HitsPerRef hpr[2];
+    std::vector<RescueHit> hits_fw, hits_rc;
+    for (const auto& q : qrs) {
+        i64 pos = ix_find(ix, q.hash);
+        if (pos >= 0) {
+            u32 count = (u32)ix_count(ix, (u64)pos);
+            RescueHit rh{(u64)pos, count, q.start, q.end};
+            (q.is_reverse ? hits_rc : hits_fw).push_back(rh);
+        }
+    }
+    auto cmp1 = [](const RescueHit& a, const RescueHit& b) {
+        if (a.count != b.count) return a.count < b.count;
+        if (a.query_start != b.query_start) return a.query_start < b.query_start;
+        return a.query_end < b.query_end;
+    };
+    std::stable_sort(hits_fw.begin(), hits_fw.end(), cmp1);
+    std::stable_sort(hits_rc.begin(), hits_rc.end(), cmp1);
+    std::vector<RescueHit> rhs[2];
+    int is_rc_i = 0;
+    for (auto* rescue_hits : {&hits_fw, &hits_rc}) {
+        int cnt = 0;
+        for (auto& rh : *rescue_hits) {
+            if ((rh.count > rescue_cutoff && cnt >= 5) || rh.count > 1000) break;
+            rhs[is_rc_i].push_back(rh);
+            pre_create_keys(hpr[is_rc_i], rh.query_start, rh.query_end, ix, rh.position);
+            cnt++;
+        }
+        is_rc_i++;
+    }
+    for (int i = 0; i < 2; ++i) {
+        std::stable_sort(rhs[i].begin(), rhs[i].end(),
+                         [](const RescueHit& a, const RescueHit& b) {
+                             return a.query_start < b.query_start;
+                         });
+        for (auto& rh : rhs[i])
+            add_to_hits_per_ref(hpr[i], rh.query_start, rh.query_end, ix, rh.position);
+    }
+    for (int rc = 0; rc < 2; ++rc)
+        merge_hits_fast(hpr[rc], ix.k, false, rc != 0, rr.nams);
+    rr.used_rescue = 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns an opaque handle; call seednam_sizes / seednam_copy / seednam_free.
+void* seednam_chunk(
+    const u64* hashes, const u32* positions, const u32* packed,
+    const u64* buckets, u64 n_index, int bits, u32 filter_cutoff,
+    const u8* seqs, const i64* offsets, i64 n_reads,
+    int k, int s, int t, int wmin, int wmax, u64 qmask, int max_dist,
+    u32 rescue_cutoff, int rescue_level) {
+    IndexView ix{hashes, positions, packed, buckets, n_index, bits, filter_cutoff, k};
+    auto* result = new ChunkResult();
+    result->reads.resize(n_reads);
+
+    std::vector<Syncmer> sync, sync_rc;
+    std::vector<QueryRandstrobe> qrs;
+    for (i64 r = 0; r < n_reads; ++r) {
+        const u8* seq = seqs + offsets[r];
+        i64 len = offsets[r + 1] - offsets[r];
+        ReadResult& rr = result->reads[r];
+        qrs.clear();
+        if (len >= wmax) {
+            syncmers_of(seq, len, k, s, t, sync);
+            if (!sync.empty()) {
+                link_strobes(sync, wmin, wmax, qmask, max_dist, k, false, qrs);
+                // reverse-complement strand: reverse + mirror positions
+                sync_rc.resize(sync.size());
+                for (size_t i2 = 0; i2 < sync.size(); ++i2) {
+                    const Syncmer& m = sync[sync.size() - 1 - i2];
+                    sync_rc[i2] = {m.hash, len - m.pos - k};
+                }
+                link_strobes(sync_rc, wmin, wmax, qmask, max_dist, k, true, qrs);
+            }
+        }
+        find_nams_one(ix, qrs, rr);
+        if (rescue_level > 1 && (rr.nams.empty() || rr.nonrep_frac < 0.7f)) {
+            find_nams_rescue_one(ix, qrs, rescue_cutoff, rr);
+        }
+    }
+
+    // flatten
+    result->nam_offsets.resize(n_reads + 1);
+    i64 total = 0;
+    for (i64 r = 0; r < n_reads; ++r) {
+        result->nam_offsets[r] = total;
+        total += (i64)result->reads[r].nams.size();
+    }
+    result->nam_offsets[n_reads] = total;
+    result->flat_int.resize(total * 10);
+    result->flat_score.resize(total);
+    i64 w = 0;
+    for (i64 r = 0; r < n_reads; ++r) {
+        for (const Nam& nm : result->reads[r].nams) {
+            int* p = &result->flat_int[w * 10];
+            p[0] = nm.nam_id;
+            p[1] = nm.query_start;
+            p[2] = nm.query_end;
+            p[3] = nm.query_prev;
+            p[4] = nm.ref_start;
+            p[5] = nm.ref_end;
+            p[6] = nm.ref_prev;
+            p[7] = nm.n_hits;
+            p[8] = nm.ref_id;
+            p[9] = nm.is_rc;
+            result->flat_score[w] = nm.score;
+            w++;
+        }
+    }
+    return result;
+}
+
+i64 seednam_total_nams(void* handle) {
+    return ((ChunkResult*)handle)->nam_offsets.back();
+}
+
+void seednam_copy(void* handle, i64* nam_offsets, int* flat_int,
+                  float* flat_score, float* nonrep, int* used_rescue) {
+    auto* res = (ChunkResult*)handle;
+    std::memcpy(nam_offsets, res->nam_offsets.data(),
+                res->nam_offsets.size() * sizeof(i64));
+    if (!res->flat_int.empty())
+        std::memcpy(flat_int, res->flat_int.data(), res->flat_int.size() * sizeof(int));
+    if (!res->flat_score.empty())
+        std::memcpy(flat_score, res->flat_score.data(),
+                    res->flat_score.size() * sizeof(float));
+    for (size_t r = 0; r < res->reads.size(); ++r) {
+        nonrep[r] = res->reads[r].nonrep_frac;
+        used_rescue[r] = res->reads[r].used_rescue;
+    }
+}
+
+void seednam_free(void* handle) { delete (ChunkResult*)handle; }
+
+}  // extern "C"

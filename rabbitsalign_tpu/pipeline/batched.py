@@ -775,6 +775,22 @@ def align_PE_last(
                 break
 
 
+def _chunk_nams_native(seqs, index, index_parameters, map_param):
+    """All-reads NAM finding through the C++ accelerator; returns a list
+    of (nams, used_rescue) per read, or None when unavailable."""
+    try:
+        from ..chain.native_nams import find_nams_chunk, native_available
+    except Exception:  # pragma: no cover
+        return None
+    if not native_available():
+        return None
+    rescue_level = map_param.rescue_level if map_param.rescue_level > 1 else 0
+    nams_per_read, _, used_rescue = find_nams_chunk(
+        seqs, index, index_parameters, map_param.rescue_cutoff, rescue_level
+    )
+    return list(zip(nams_per_read, (bool(u) for u in used_rescue)))
+
+
 def map_chunk_batched(
     records1: List[SamRecord],
     records2: List[SamRecord],
@@ -793,21 +809,45 @@ def map_chunk_batched(
 ) -> int:
     """Process one chunk in two phases with a batched extend in between.
     Returns the number of reads handled."""
+    from ..map.common import shuffle_top_nams
+
     k = index_parameters.syncmer.k
     is_pe = bool(records2)
     n_reads = 0
+
+    # bulk NAM finding (native when available)
+    all_seqs: List[bytes] = []
+    if is_pe:
+        for r1, r2 in zip(records1, records2):
+            all_seqs.append(r1.seq)
+            all_seqs.append(r2.seq)
+    else:
+        all_seqs.extend(r.seq for r in records1)
+    all_seqs.extend(r.seq for r in records3)
+    precomputed = _chunk_nams_native(all_seqs, index, index_parameters, map_param)
+    pre_i = 0
+
+    def next_nams(seq: bytes, details: Details) -> List[Nam]:
+        nonlocal pre_i
+        if precomputed is not None:
+            nams, used_rescue = precomputed[pre_i]
+            pre_i += 1
+            details.nam_rescue = used_rescue
+            details.nams = len(nams)
+            nams.sort(key=lambda n: -n.score)
+            shuffle_top_nams(nams, random_engine)
+            return nams
+        return get_nams_for_read(
+            seq, index, index_parameters, map_param, random_engine, details
+        )
 
     # ---- phase A: seeding + NAM + decision recording ----
     work = []  # (kind, records, tmp, details, nams...)
     if is_pe:
         for r1, r2 in zip(records1, records2):
             details = [Details(), Details()]
-            nams1 = get_nams_for_read(
-                r1.seq, index, index_parameters, map_param, random_engine, details[0]
-            )
-            nams2 = get_nams_for_read(
-                r2.seq, index, index_parameters, map_param, random_engine, details[1]
-            )
+            nams1 = next_nams(r1.seq, details[0])
+            nams2 = next_nams(r2.seq, details[1])
             if not map_param.is_sam_out:
                 nam1, nam2 = get_best_map_location(nams1, nams2, isize_est)
                 output_hits_paf_PE(paf_out, nam1, r1.name, references, len(r1.seq))
@@ -826,9 +866,7 @@ def map_chunk_batched(
     se_records = list(se_records) + list(records3)
     for record in se_records:
         details = Details()
-        nams = get_nams_for_read(
-            record.seq, index, index_parameters, map_param, random_engine, details
-        )
+        nams = next_nams(record.seq, details)
         if not map_param.is_sam_out:
             output_hits_paf(paf_out, nams, record.name, references, len(record.seq))
             work.append(None)

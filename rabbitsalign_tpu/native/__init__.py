@@ -81,3 +81,47 @@ def load_seednam() -> Optional[ctypes.CDLL]:
     lib.seednam_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def _register_hamming(lib: ctypes.CDLL) -> None:
+    lib.hamming_try.restype = ctypes.c_int
+    lib.hamming_try.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
+
+
+_ham_vals = None
+_ham_cigar = None
+_ham_len = None
+
+
+def hamming_try(query: bytes, ref: bytes, match: int, mismatch: int, end_bonus: int):
+    """Native Hamming fast path: returns (score, seg_start, seg_end, edits,
+    packed_cigar_ops list) when the <5% gate passes, else None. Falls back
+    to None when the native library is unavailable (caller uses Python)."""
+    global _ham_vals, _ham_cigar, _ham_len
+    lib = load_seednam()
+    if lib is None:
+        return None  # no native library: caller uses the Python path
+    if len(query) != len(ref) or len(query) == 0:
+        return False  # gate cannot pass
+    if _ham_vals is None:
+        import numpy as np
+
+        _ham_vals = np.zeros(4, dtype=np.int32)
+        _ham_cigar = np.zeros(4096, dtype=np.uint32)
+        _ham_len = np.zeros(1, dtype=np.int64)
+        _register_hamming(lib)
+    ok = lib.hamming_try(
+        query, ref, len(query), match, mismatch, end_bonus,
+        _ham_vals.ctypes.data, _ham_cigar.ctypes.data, 4096, _ham_len.ctypes.data,
+    )
+    if not ok:
+        return False  # gate failed: gapped alignment needed
+    n = int(_ham_len[0])
+    return (
+        int(_ham_vals[0]), int(_ham_vals[1]), int(_ham_vals[2]), int(_ham_vals[3]),
+        _ham_cigar[:n].tolist(),
+    )

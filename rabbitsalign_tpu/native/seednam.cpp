@@ -617,3 +617,74 @@ void seednam_copy(void* handle, i64* nam_offsets, int* flat_int,
 void seednam_free(void* handle) { delete (ChunkResult*)handle; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Hamming fast path: distance gate + highest-scoring-segment alignment in
+// one call (semantics of align/hamming.py, i.e. reference
+// src/aligner.cpp:219-302 + the <5% gate of src/aln.cpp:453-466).
+
+extern "C" {
+
+// Returns 1 when the Hamming path applies (distance gate passed) and
+// fills outputs; returns 0 when the caller must do a gapped alignment.
+// cigar_out receives packed (len<<4|op) u32 ops; *cigar_len their count.
+// out_vals: [score, segment_start, segment_end, edits]
+int hamming_try(const u8* query, const u8* ref, i64 n,
+                int match, int mismatch, int end_bonus,
+                int* out_vals, u32* cigar_out, i64 cigar_cap, i64* cigar_len) {
+    // distance gate (char comparison, like hamming_distance)
+    i64 dist = 0;
+    for (i64 i = 0; i < n; ++i) dist += (query[i] != ref[i]);
+    if (!(n > 0 && (double)dist / (double)n < 0.05)) return 0;
+
+    // highest-scoring segment (reference src/aligner.cpp:219-252)
+    i64 start = 0;
+    i64 score = end_bonus;
+    i64 best_start = 0, best_end = 0, best_score = 0;
+    for (i64 i = 0; i < n; ++i) {
+        score += (query[i] == ref[i]) ? match : -mismatch;
+        if (score < 0) {
+            start = i + 1;
+            score = 0;
+        }
+        if (score > best_score) {
+            best_start = start;
+            best_score = score;
+            best_end = i + 1;
+        }
+    }
+    if (score + end_bonus > best_score) {
+        best_score = score + end_bonus;
+        best_end = n;
+        best_start = start;
+    }
+
+    // cigar: S? (=|X)* S?  (reference src/aligner.cpp:254-302)
+    i64 cl = 0;
+    auto push = [&](u32 op, i64 len) {
+        if (cl > 0 && (cigar_out[cl - 1] & 0xF) == op)
+            cigar_out[cl - 1] += (u32)(len << 4);
+        else if (cl < cigar_cap)
+            cigar_out[cl++] = (u32)((len << 4) | op);
+    };
+    if (best_start > 0) push(4, best_start);  // S
+    i64 edits = 0;
+    i64 i = best_start;
+    while (i < best_end) {
+        bool m = query[i] == ref[i];
+        i64 j = i;
+        while (j < best_end && (query[j] == ref[j]) == m) j++;
+        push(m ? 7 : 8, j - i);  // '=' or 'X'
+        if (!m) edits += j - i;
+        i = j;
+    }
+    if (n - best_end > 0) push(4, n - best_end);
+    out_vals[0] = (int)best_score;
+    out_vals[1] = (int)best_start;
+    out_vals[2] = (int)best_end;
+    out_vals[3] = (int)edits;
+    *cigar_len = cl;
+    return 1;
+}
+
+}  // extern "C"

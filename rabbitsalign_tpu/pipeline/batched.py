@@ -60,6 +60,12 @@ from ..utils.dna import Read
 
 INT_MAX = 2**31 - 1
 
+try:
+    from ..native import hamming_try as _native_hamming
+except Exception:  # pragma: no cover
+    def _native_hamming(*a):
+        return None
+
 
 @dataclass
 class AlignTmpRes:
@@ -103,26 +109,38 @@ def extend_seed_part(
     tmp.is_extend_seed.append(True)
     if projected_ref_end - projected_ref_start == len(query) and consistent_nam:
         segm = ref[projected_ref_start : projected_ref_start + len(query)]
-        hd = hamming_distance(query, segm)
-        if hd >= 0 and hd / len(query) < 0.05:
-            info = hamming_align(
-                query, segm, aligner.parameters.match, aligner.parameters.mismatch,
-                aligner.parameters.end_bonus,
-            )
+        p = aligner.parameters
+        # native fast path (distance gate + segment + cigar in one call)
+        ham = _native_hamming(query, segm, p.match, p.mismatch, p.end_bonus)
+        if ham is None:
+            hd = hamming_distance(query, segm)
+            if hd >= 0 and hd / len(query) < 0.05:
+                info = hamming_align(query, segm, p.match, p.mismatch, p.end_bonus)
+                ham = (
+                    info.sw_score,
+                    info.query_start,
+                    info.query_end,
+                    info.edit_distance,
+                    info.cigar.ops,
+                )
+            else:
+                ham = False
+        if ham is not False:
+            score, seg_start, seg_end, edits, cigar_ops = ham
             gapped = False
-            softclipped = info.query_start + (len(query) - info.query_end)
+            softclipped = seg_start + (len(query) - seg_end)
             tmp.done_align.append(True)
             tmp.job_ids.append(-1)
             tmp.job_ref_start.append(0)
             tmp.job_qlen.append(len(query))
             tmp.align_res.append(
                 Alignment(
-                    cigar=info.cigar,
-                    edit_distance=info.edit_distance,
-                    global_ed=info.edit_distance + softclipped,
-                    score=info.sw_score,
-                    ref_start=projected_ref_start + info.ref_start,
-                    length=info.ref_span(),
+                    cigar=Cigar(list(cigar_ops)),
+                    edit_distance=edits,
+                    global_ed=edits + softclipped,
+                    score=score,
+                    ref_start=projected_ref_start + seg_start,
+                    length=seg_end - seg_start,
                     is_rc=nam.is_rc,
                     is_unaligned=False,
                     ref_id=nam.ref_id,

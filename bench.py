@@ -111,17 +111,35 @@ def main() -> None:
     map_chunk_batched([r for r in warm], [], [], sam, [], statistics, isize,
                       aligner, batch, map_param, params, refs, index, engine)
 
+    from rabbitsalign_tpu.pipeline.batched import phase_a_chunk, phase_b_chunk
+
     t0 = time.perf_counter()
     n_mapped = 0
     chunk_size = 2000
+    pending = None
     for ci in range(0, len(records), chunk_size):
         chunk = records[ci : ci + chunk_size]
-        engine.seed(ci // chunk_size)
-        sam = Sam(refs)
-        n_mapped += map_chunk_batched(
-            chunk, [], [], sam, [], statistics, isize, aligner, batch,
-            map_param, params, refs, index, engine,
+        eng = MinstdRand(ci // chunk_size)
+        work, n = phase_a_chunk(
+            chunk, [], [], [], isize, aligner, batch, map_param, params,
+            refs, index, eng,
         )
+        n_mapped += n
+        token = batch.dispatch()
+        if pending is not None:
+            w, t, e = pending
+            infos = batch.collect(t)
+            sam = Sam(refs)
+            phase_b_chunk(w, infos, sam, statistics, isize, aligner, map_param,
+                          params, refs, e)
+            _ = sam.take()
+        pending = (work, token, eng)
+    if pending is not None:
+        w, t, e = pending
+        infos = batch.collect(t)
+        sam = Sam(refs)
+        phase_b_chunk(w, infos, sam, statistics, isize, aligner, map_param,
+                      params, refs, e)
         _ = sam.take()
     elapsed = time.perf_counter() - t0
     reads_per_sec = n_mapped / elapsed

@@ -33,7 +33,7 @@ from ..seed.randstrobes import QueryRandstrobes
 _INT_MAX = 2**31 - 1
 
 
-@dataclass
+@dataclass(slots=True)
 class Nam:
     """reference src/nam.hpp:11-38"""
 

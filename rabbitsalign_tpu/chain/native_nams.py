@@ -80,25 +80,17 @@ def find_nams_chunk(
         lib.seednam_free(handle)
 
     out: List[List[Nam]] = []
+    flat_rows = flat_int[:total].tolist() if total else []
+    scores = flat_score[:total].tolist() if total else []
     for r in range(n):
         lo, hi = int(nam_offsets[r]), int(nam_offsets[r + 1])
-        nams = []
-        for j in range(lo, hi):
-            f = flat_int[j]
-            nams.append(
-                Nam(
-                    nam_id=int(f[0]),
-                    query_start=int(f[1]),
-                    query_end=int(f[2]),
-                    query_prev_hit_startpos=int(f[3]),
-                    ref_start=int(f[4]),
-                    ref_end=int(f[5]),
-                    ref_prev_hit_startpos=int(f[6]),
-                    n_hits=int(f[7]),
-                    ref_id=int(f[8]),
-                    score=float(flat_score[j]),
-                    is_rc=bool(f[9]),
-                )
+        nams = [
+            Nam(
+                row[0], row[1], row[2], row[3], row[4], row[5], row[6],
+                row[7], row[8], scores[j], bool(row[9]),
             )
+            for j in range(lo, hi)
+            for row in (flat_rows[j],)
+        ]
         out.append(nams)
     return out, nonrep, used_rescue

@@ -79,6 +79,13 @@ class BatchAligner:
     def flush(self) -> List[AlignmentInfo]:
         """Align all queued jobs; returns AlignmentInfo per job (same
         semantics as Aligner.align). Clears the queue."""
+        return self.collect(self.dispatch())
+
+    def dispatch(self):
+        """Launch all queued jobs asynchronously; returns a token for
+        collect(). The queue is cleared, so new jobs can be submitted while
+        the device works (cross-chunk software pipelining, the analog of
+        the reference's per-worker GPU thread, src/pc.cpp:938-1011)."""
         jobs = self.jobs
         self.jobs = []
         results: List[Optional[AlignmentInfo]] = [None] * len(jobs)
@@ -117,6 +124,11 @@ class BatchAligner:
                 pending.append((bucket, chunk, out_dev))
                 self.n_device_jobs += len(chunk)
 
+        return jobs, results, pending
+
+    def collect(self, token) -> List[AlignmentInfo]:
+        """Fetch and post-process the results of a dispatch()."""
+        jobs, results, pending = token
         for (Q, T), chunk, out_dev in pending:
             D = Q + T - 1
             out = np.asarray(out_dev)
@@ -206,4 +218,12 @@ class HostBatchAligner:
     def flush(self) -> List[AlignmentInfo]:
         jobs = self.jobs
         self.jobs = []
+        return [self.host_aligner.align(j.query, j.ref) for j in jobs]
+
+    def dispatch(self):
+        jobs = self.jobs
+        self.jobs = []
+        return jobs
+
+    def collect(self, jobs) -> List[AlignmentInfo]:
         return [self.host_aligner.align(j.query, j.ref) for j in jobs]

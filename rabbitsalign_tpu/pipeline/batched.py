@@ -266,6 +266,7 @@ def align_SE_part(
     aligner: Aligner,
     nams: List[Nam],
     record: SamRecord,
+    read: Read,
     k: int,
     references: References,
     details: Details,
@@ -276,7 +277,6 @@ def align_SE_part(
     if not nams:
         tmp.type = 0
         return
-    read = Read(record.seq)
     tries = 0
     n_max = nams[0]
     tmp.type = 4
@@ -294,6 +294,7 @@ def align_SE_part(
 def align_SE_last(
     tmp: AlignTmpRes,
     record: SamRecord,
+    read: Read,
     sam: Sam,
     statistics,
     aligner: Aligner,
@@ -307,7 +308,6 @@ def align_SE_last(
         sam.add_unmapped(record)
         return details
 
-    read = Read(record.seq)
     alignments: List[Alignment] = []
     tries = 0
     n_max = tmp.todo_nams[0]
@@ -503,6 +503,8 @@ def align_PE_part(
     nams2: List[Nam],
     record1: SamRecord,
     record2: SamRecord,
+    read1: Read,
+    read2: Read,
     k: int,
     references: References,
     details: List[Details],
@@ -513,8 +515,6 @@ def align_PE_part(
     """reference src/aln.cpp:1372-1580"""
     mu = isize_est.mu
     sigma = isize_est.sigma
-    read1 = Read(record1.seq)
-    read2 = Read(record2.seq)
 
     if not nams1 and not nams2:
         tmp.type = 0
@@ -650,6 +650,8 @@ def align_PE_last(
     tmp: AlignTmpRes,
     record1: SamRecord,
     record2: SamRecord,
+    read1: Read,
+    read2: Read,
     sam: Sam,
     isize_est: InsertSizeDistribution,
     map_param: MappingParameters,
@@ -661,8 +663,6 @@ def align_PE_last(
     """reference src/aln.cpp:2083-2306 align_PE_read_last"""
     mu = isize_est.mu
     sigma = isize_est.sigma
-    read1 = Read(record1.seq)
-    read2 = Read(record2.seq)
     secondary_dropoff = 2 * aligner.parameters.mismatch + aligner.parameters.gap_open
     max_secondary = map_param.max_secondary
 
@@ -809,13 +809,11 @@ def _chunk_nams_native(seqs, index, index_parameters, map_param):
     return list(zip(nams_per_read, (bool(u) for u in used_rescue)))
 
 
-def map_chunk_batched(
+def phase_a_chunk(
     records1: List[SamRecord],
     records2: List[SamRecord],
     records3: List[SamRecord],
-    sam: Sam,
     paf_out: List[str],
-    statistics,
     isize_est: InsertSizeDistribution,
     aligner: Aligner,
     batch: BatchAligner,
@@ -824,9 +822,10 @@ def map_chunk_batched(
     references: References,
     index: StrobemerIndex,
     random_engine: MinstdRand,
-) -> int:
-    """Process one chunk in two phases with a batched extend in between.
-    Returns the number of reads handled."""
+):
+    """Phase A for one chunk: seeding + NAM finding + decision recording.
+    Gapped extension jobs are submitted to `batch`; returns (work, n_reads)
+    to be completed by phase_b_chunk after the batch is flushed."""
     from ..map.common import shuffle_top_nams
 
     k = index_parameters.syncmer.k
@@ -859,8 +858,7 @@ def map_chunk_batched(
             seq, index, index_parameters, map_param, random_engine, details
         )
 
-    # ---- phase A: seeding + NAM + decision recording ----
-    work = []  # (kind, records, tmp, details, nams...)
+    work = []
     if is_pe:
         for r1, r2 in zip(records1, records2):
             details = [Details(), Details()]
@@ -872,13 +870,15 @@ def map_chunk_batched(
                 output_hits_paf_PE(paf_out, nam2, r2.name, references, len(r2.seq))
                 work.append(None)
             else:
+                read1 = Read(r1.seq)
+                read2 = Read(r2.seq)
                 tmp = AlignTmpRes()
                 align_PE_part(
-                    tmp, batch, aligner, nams1, nams2, r1, r2, k, references,
-                    details, map_param.dropoff_threshold, isize_est,
+                    tmp, batch, aligner, nams1, nams2, r1, r2, read1, read2, k,
+                    references, details, map_param.dropoff_threshold, isize_est,
                     map_param.max_tries,
                 )
-                work.append(("pe", r1, r2, tmp, details))
+                work.append(("pe", r1, r2, read1, read2, tmp, details))
             n_reads += 2
     se_records = records1 if not is_pe else []
     se_records = list(se_records) + list(records3)
@@ -889,41 +889,81 @@ def map_chunk_batched(
             output_hits_paf(paf_out, nams, record.name, references, len(record.seq))
             work.append(None)
         else:
+            read = Read(record.seq)
             tmp = AlignTmpRes()
             align_SE_part(
-                tmp, batch, aligner, nams, record, k, references, details,
+                tmp, batch, aligner, nams, record, read, k, references, details,
                 map_param.dropoff_threshold, map_param.max_tries,
             )
-            work.append(("se", record, tmp, details))
+            work.append(("se", record, read, tmp, details))
         n_reads += 1
+    return work, n_reads
 
-    # ---- batched extension ----
-    if len(batch):
-        infos = batch.flush()
-    else:
-        infos = []
 
-    # ---- phase B: scoring / pairing / output ----
+def phase_b_chunk(
+    work,
+    infos,
+    sam: Sam,
+    statistics,
+    isize_est: InsertSizeDistribution,
+    aligner: Aligner,
+    map_param: MappingParameters,
+    index_parameters: IndexParameters,
+    references: References,
+    random_engine: MinstdRand,
+) -> None:
+    """Phase B: replay scoring/pairing over the completed batch results."""
+    k = index_parameters.syncmer.k
     for item in work:
         if item is None:
             continue
         if item[0] == "pe":
-            _, r1, r2, tmp, details = item
+            _, r1, r2, read1, read2, tmp, details = item
             fill_results(tmp, infos)
             align_PE_last(
-                tmp, r1, r2, sam, isize_est, map_param, references, details,
-                random_engine, aligner,
+                tmp, r1, r2, read1, read2, sam, isize_est, map_param, references,
+                details, random_engine, aligner,
             )
             statistics.add_details(details[0])
             statistics.add_details(details[1])
         else:
-            _, record, tmp, details = item
+            _, record, read, tmp, details = item
             fill_results(tmp, infos)
             last_details = align_SE_last(
-                tmp, record, sam, statistics, aligner, map_param, k, random_engine
+                tmp, record, read, sam, statistics, aligner, map_param, k,
+                random_engine,
             )
             details.nam_inconsistent += last_details.nam_inconsistent
             details.tried_alignment += last_details.tried_alignment
             details.gapped += last_details.gapped
             statistics.add_details(details)
+
+
+def map_chunk_batched(
+    records1: List[SamRecord],
+    records2: List[SamRecord],
+    records3: List[SamRecord],
+    sam: Sam,
+    paf_out: List[str],
+    statistics,
+    isize_est: InsertSizeDistribution,
+    aligner: Aligner,
+    batch: BatchAligner,
+    map_param: MappingParameters,
+    index_parameters: IndexParameters,
+    references: References,
+    index: StrobemerIndex,
+    random_engine: MinstdRand,
+) -> int:
+    """Process one chunk in two phases with a batched extend in between.
+    Returns the number of reads handled."""
+    work, n_reads = phase_a_chunk(
+        records1, records2, records3, paf_out, isize_est, aligner, batch,
+        map_param, index_parameters, references, index, random_engine,
+    )
+    infos = batch.flush() if len(batch) else []
+    phase_b_chunk(
+        work, infos, sam, statistics, isize_est, aligner, map_param,
+        index_parameters, references, random_engine,
+    )
     return n_reads

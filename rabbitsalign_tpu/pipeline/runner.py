@@ -159,29 +159,49 @@ def _map_reads(
 
         batch_aligner = HostBatchAligner(aln_params)
 
-    from .batched import map_chunk_batched
+    from .batched import phase_a_chunk, phase_b_chunk
 
     n_reads = 0
     t0 = time.perf_counter()
-    for chunk_index, records1, records2, records3 in input_buffer.chunks():
-        random_engine.seed(chunk_index)
+    pending = None  # (work, token, engine, paf_out) of the previous chunk
+
+    def finish(prev):
+        work, token, engine, paf_out = prev
+        infos = batch_aligner.collect(token)
         sam = Sam(
-            references,
-            cigar_ops,
-            opt.read_group_id,
-            opt.output_unmapped,
+            references, cigar_ops, opt.read_group_id, opt.output_unmapped,
             opt.details,
         )
-        paf_out: List[str] = []
-        n_reads += map_chunk_batched(
-            records1, records2, records3, sam, paf_out, statistics, isize_est,
-            aligner, batch_aligner, map_param, index_parameters, references,
-            index, random_engine,
+        phase_b_chunk(
+            work, infos, sam, statistics, isize_est, aligner, map_param,
+            index_parameters, references, engine,
         )
         if map_param.is_sam_out:
             out.write(sam.take())
         else:
             out.write("".join(paf_out))
+
+    # Software pipelining across chunks, mirroring the reference's worker
+    # schedule (src/pc.cpp:1206-1510): the device extends chunk i while the
+    # host finishes chunk i-1 and seeds chunk i+1. Each chunk has its own
+    # RNG engine seeded with the chunk index (the reference's
+    # random_engine/pre_random_engine pair, src/pc.cpp:583,706,801).
+    for chunk_index, records1, records2, records3 in input_buffer.chunks():
+        engine = MinstdRand(0)
+        engine.seed(chunk_index)
+        paf_out: List[str] = []
+        work, n = phase_a_chunk(
+            records1, records2, records3, paf_out, isize_est, aligner,
+            batch_aligner, map_param, index_parameters, references, index,
+            engine,
+        )
+        n_reads += n
+        token = batch_aligner.dispatch()
+        if pending is not None:
+            finish(pending)
+        pending = (work, token, engine, paf_out)
+    if pending is not None:
+        finish(pending)
 
     statistics.n_reads = n_reads
     statistics.tot_aligner_calls = aligner.calls_count()

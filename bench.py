@@ -95,58 +95,36 @@ def main() -> None:
     aln_params = AlignmentParameters()
     map_param = MappingParameters(r=READ_LEN)
     map_param.rescue_cutoff = min(map_param.rescue_level * index.filter_cutoff, 1000)
-    aligner = Aligner(aln_params)
-    if on_tpu:
-        batch = BatchAligner(aln_params, batch_size=512)
-    else:
-        batch = HostBatchAligner(aln_params)
-    statistics = AlignmentStatistics()
-    isize = InsertSizeDistribution()
-    engine = MinstdRand(0)
 
-    # warmup on a small slice (compiles kernels; excluded from timing)
-    sam = Sam(refs)
-    warm = list(records[:256])
-    engine.seed(0)
-    map_chunk_batched([r for r in warm], [], [], sam, [], statistics, isize,
-                      aligner, batch, map_param, params, refs, index, engine)
+    from rabbitsalign_tpu.pipeline.native_pipeline import (
+        NativePipeline,
+        native_pipeline_available,
+    )
 
-    from rabbitsalign_tpu.pipeline.batched import phase_a_chunk, phase_b_chunk
-
-    t0 = time.perf_counter()
-    n_mapped = 0
+    assert native_pipeline_available(), "native engine must build for bench"
     chunk_size = 2000
-    pending = None
-    for ci in range(0, len(records), chunk_size):
-        chunk = records[ci : ci + chunk_size]
-        eng = MinstdRand(ci // chunk_size)
-        work, n = phase_a_chunk(
-            chunk, [], [], [], isize, aligner, batch, map_param, params,
-            refs, index, eng,
-        )
-        n_mapped += n
-        token = batch.dispatch()
-        if pending is not None:
-            w, t, e = pending
-            infos = batch.collect(t)
-            sam = Sam(refs)
-            phase_b_chunk(w, infos, sam, statistics, isize, aligner, map_param,
-                          params, refs, e)
-            _ = sam.take()
-        pending = (work, token, eng)
-    if pending is not None:
-        w, t, e = pending
-        infos = batch.collect(t)
-        sam = Sam(refs)
-        phase_b_chunk(w, infos, sam, statistics, isize, aligner, map_param,
-                      params, refs, e)
-        _ = sam.take()
+
+    def chunks_of(recs):
+        for ci in range(0, len(recs), chunk_size):
+            yield ci // chunk_size, recs[ci : ci + chunk_size], [], []
+
+    sink = []
+
+    # warmup (compiles device kernels per bucket shape; excluded from timing)
+    warm = NativePipeline(index, params, refs, aln_params, map_param,
+                          use_device=on_tpu)
+    warm.map_all(chunks_of(records[:512]), sink.append)
+
+    pipeline = NativePipeline(index, params, refs, aln_params, map_param,
+                              use_device=on_tpu)
+    t0 = time.perf_counter()
+    n_mapped = pipeline.map_all(chunks_of(records), sink.append)
     elapsed = time.perf_counter() - t0
     reads_per_sec = n_mapped / elapsed
+    c = pipeline.counters()
     print(
         f"bench: mapped {n_mapped} reads in {elapsed:.2f}s; "
-        f"device jobs={getattr(batch, 'n_device_jobs', 0)} "
-        f"fallbacks={getattr(batch, 'n_fallbacks', 0)}",
+        f"aligner calls={c['aligner_calls']} fallbacks={c['fallbacks']}",
         file=sys.stderr,
     )
 

@@ -25,11 +25,13 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build(name: str) -> Optional[Path]:
+def _build(name: str, deps: tuple = ()) -> Optional[Path]:
     src = _SRC_DIR / f"{name}.cpp"
     out = _CACHE / f"{name}.so"
     _CACHE.mkdir(parents=True, exist_ok=True)
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    newest = max([src.stat().st_mtime]
+                 + [(_SRC_DIR / d).stat().st_mtime for d in deps])
+    if out.exists() and out.stat().st_mtime >= newest:
         return out
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
@@ -45,14 +47,15 @@ def _build(name: str) -> Optional[Path]:
 
 
 def load_seednam() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the seed+NAM accelerator, or None."""
+    """Load (building if needed) the native runtime (engine.cpp, which
+    also exports the seed+NAM accelerator entry points), or None."""
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
     if os.environ.get("RABBITSALIGN_TPU_NO_NATIVE"):
         return None
-    path = _build("seednam")
+    path = _build("engine", deps=("seednam.cpp",))
     if path is None:
         return None
     lib = ctypes.CDLL(str(path))

@@ -1,0 +1,2474 @@
+// Native mapping engine: per-chunk phase A (seeding, NAM chaining,
+// mapping decisions, Hamming fast path, job emission) and phase B
+// (device-result post-processing, pairing/rescue replay, SAM/PAF
+// formatting) in C++, with the batched gapped extension running on the
+// TPU in between.
+//
+// This is the TPU framework's equivalent of the reference's worker core
+// (/root/reference/src/aln.cpp align_{SE,PE}_read_part/_last,
+// /root/reference/src/pc.cpp part2_* helpers, /root/reference/src/sam.cpp)
+// — a fresh implementation of the same semantics as the validated Python
+// layer (pipeline/batched.py, map/{se,pe,common}.py, io/sam.py,
+// align/{ssw,aligner,hamming}.py), which this engine must match
+// byte-for-byte (tests/test_engine.py).
+//
+// Exposed via ctypes; all numpy arrays are borrowed zero-copy. Calls
+// release the GIL (ctypes default), so N Python threads running chunks
+// through their own Engine instances scale like the reference's worker
+// threads.
+
+#include "seednam.cpp"
+
+#include <cassert>
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <string>
+#include <tuple>
+
+namespace engine {
+
+using NamT = Nam;  // from seednam.cpp (anonymous namespace, same TU)
+
+// ------------------------------------------------------------------
+// CIGAR: packed (len<<4 | op) u32 ops. Ops: M I D N S H P = X -> 0..8
+// (same layout as align/cigar.py / reference src/cigar.hpp).
+
+enum { OP_M = 0, OP_I = 1, OP_D = 2, OP_S = 4, OP_EQ = 7, OP_X = 8 };
+static const char OPS_STR[] = "MIDNSHP=X";
+
+struct CigarC {
+    std::vector<u32> ops;
+
+    bool empty() const { return ops.empty(); }
+    void clear() { ops.clear(); }
+    void push(int op, i64 len) {
+        if (len == 0) return;
+        if (!ops.empty() && (int)(ops.back() & 0xF) == op)
+            ops.back() += (u32)(len << 4);
+        else
+            ops.push_back((u32)((len << 4) | op));
+    }
+    void extend(const CigarC& other) {
+        for (u32 ol : other.ops) push(ol & 0xF, ol >> 4);
+    }
+    // append as text; to_m merges =/X into M (io/sam.py _cigar_string)
+    void append_str(std::string& out, bool eqx) const {
+        if (ops.empty()) {
+            out += '*';
+            return;
+        }
+        char buf[16];
+        if (eqx) {
+            for (u32 ol : ops) {
+                int n = snprintf(buf, sizeof buf, "%u%c", ol >> 4, OPS_STR[ol & 0xF]);
+                out.append(buf, n);
+            }
+        } else {
+            u32 run_len = 0;
+            int run_op = -1;
+            for (u32 ol : ops) {
+                int op = ol & 0xF;
+                if (op == OP_EQ || op == OP_X) op = OP_M;
+                if (op == run_op)
+                    run_len += ol >> 4;
+                else {
+                    if (run_op >= 0) {
+                        int n = snprintf(buf, sizeof buf, "%u%c", run_len, OPS_STR[run_op]);
+                        out.append(buf, n);
+                    }
+                    run_op = op;
+                    run_len = ol >> 4;
+                }
+            }
+            int n = snprintf(buf, sizeof buf, "%u%c", run_len, OPS_STR[run_op]);
+            out.append(buf, n);
+        }
+    }
+};
+
+// ------------------------------------------------------------------
+// std::minstd_rand + libstdc++ uniform_int_distribution + std::shuffle,
+// bit-exact (map/randomness.py; validated against libstdc++ goldens).
+
+struct MinstdRand {
+    u64 state;
+    static constexpr u64 M = 2147483647ULL;
+    static constexpr u64 A = 48271ULL;
+    static constexpr u64 URNGRANGE = 2147483645ULL;  // max-min
+
+    explicit MinstdRand(u64 seed = 1) { reseed(seed); }
+    void reseed(u64 value) {
+        value %= M;
+        state = value != 0 ? value : 1;
+    }
+    u64 next() {
+        state = (state * A) % M;
+        return state;
+    }
+};
+
+static i64 uniform_int(MinstdRand& g, i64 a, i64 b) {
+    u64 urange = (u64)(b - a);
+    u64 uerange = urange + 1;
+    u64 scaling = MinstdRand::URNGRANGE / uerange;
+    u64 past = uerange * scaling;
+    u64 ret;
+    do {
+        ret = g.next() - 1;  // minstd min() == 1
+    } while (ret >= past);
+    return (i64)(ret / scaling) + a;
+}
+
+template <class T>
+static void shuffle_vec(std::vector<T>& seq, size_t n, MinstdRand& g) {
+    // libstdc++ std::shuffle two-uniform-ints fast path (always taken for
+    // minstd + small n); shuffles seq[0..n)
+    if (n == 0) return;
+    size_t i = 1;
+    if (n % 2 == 0) {
+        i64 j = uniform_int(g, 0, 1);
+        std::swap(seq[1], seq[j]);
+        i = 2;
+    }
+    while (i < n) {
+        i64 swap_range = (i64)i + 1;
+        i64 x = uniform_int(g, 0, swap_range * (swap_range + 1) - 1);
+        i64 p0 = x / (swap_range + 1);
+        i64 p1 = x % (swap_range + 1);
+        std::swap(seq[i], seq[p0]);
+        i += 1;
+        std::swap(seq[i], seq[p1]);
+        i += 1;
+    }
+}
+
+// ------------------------------------------------------------------
+// Alignment result types (align/hamming.py AlignmentInfo, io/sam.py
+// Alignment / reference src/aligner.hpp:20-30, src/sam.hpp:12-25).
+
+struct AlignmentInfoC {
+    CigarC cigar;
+    int edit_distance = 0;
+    int ref_start = 0, ref_end = 0;
+    int query_start = 0, query_end = 0;
+    int sw_score = 0;
+    int ref_span() const { return ref_end - ref_start; }
+};
+
+struct AlignmentC {
+    int ref_id = 0;
+    int ref_start = 0;
+    CigarC cigar;
+    int edit_distance = 0;
+    int global_ed = 0;
+    int score = 0;
+    int length = 0;
+    bool is_rc = false;
+    bool is_unaligned = false;
+    bool gapped = false;
+};
+
+// ------------------------------------------------------------------
+// SSW scalar reimplementation (align/ssw.py semantics, which match
+// reference ext/ssw/ssw.c): forward pass tie-breaks to first ref column
+// / first read row; reverse pass for begins; banded_sw for the cigar.
+
+static constexpr i64 SSW_NEG_INF = -((i64)1 << 30);
+
+struct FwdResult {
+    i64 score;
+    i64 ref_end;   // -1 when score == 0
+    i64 read_end;
+};
+
+// q, r: code arrays (0..3 bases, 4 = N); sub = +A iff equal && <4 else -B
+static FwdResult ssw_forward(const u8* q, i64 m, const u8* r, i64 n,
+                             int A, int B, int O, int E,
+                             std::vector<i64>& H, std::vector<i64>& F,
+                             std::vector<i64>& bestH) {
+    H.assign(m, 0);
+    F.assign(m, SSW_NEG_INF);
+    i64 best = 0, best_i = -1;
+    for (i64 i = 0; i < n; ++i) {
+        u8 rc = r[i];
+        i64 hdiag = 0;  // H[j-1] from previous column, j=0 -> 0
+        i64 ecol = SSW_NEG_INF;
+        i64 prev_hhat = SSW_NEG_INF;
+        i64 cmax = 0;
+        for (i64 j = 0; j < m; ++j) {
+            i64 sub = (q[j] == rc && q[j] < 4) ? A : -B;
+            i64 f = std::max(H[j] - O, F[j] - E);
+            F[j] = f;
+            i64 hhat = hdiag + sub;
+            if (f > hhat) hhat = f;
+            if (hhat < 0) hhat = 0;
+            if (j > 0) {
+                i64 open = prev_hhat - O;
+                ecol = ecol - E;
+                if (open > ecol) ecol = open;
+            }
+            i64 h = (j > 0 && ecol > hhat) ? ecol : hhat;
+            hdiag = H[j];
+            H[j] = h;
+            prev_hhat = hhat;
+            if (h > cmax) cmax = h;
+        }
+        if (cmax > best) {
+            best = cmax;
+            best_i = i;
+            bestH = H;
+        }
+    }
+    if (best == 0) return {0, -1, 0};
+    i64 read_end = 0;
+    for (i64 j = 0; j < m; ++j)
+        if (bestH[j] == best) {
+            read_end = j;
+            break;
+        }
+    return {best, best_i, read_end};
+}
+
+// literal port of banded_sw (align/ssw.py:85-200 / ext/ssw/ssw.c:590-770)
+static bool banded_sw(const u8* r, i64 ref_len, const u8* q, i64 read_len,
+                      i64 score, int O, int E, i64 band_width, int A, int B,
+                      CigarC& out) {
+    i64 length = std::max(ref_len, read_len);
+    std::vector<i64> h_b, e_b, h_c;
+    std::vector<int8_t> direction;  // (read_len, width_d, 3)
+    i64 width_d = 0;
+    while (true) {
+        i64 width = band_width * 2 + 3;
+        width_d = band_width * 2 + 1;
+        h_b.assign(width + 1, 0);
+        e_b.assign(width + 1, 0);
+        h_c.assign(width + 1, 0);
+        direction.assign((size_t)(read_len * width_d * 3), 0);
+        i64 mx = 0;
+        for (i64 i = 0; i < read_len; ++i) {
+            i64 beg = std::max((i64)0, i - band_width);
+            i64 end = std::min(ref_len - 1, i + band_width);
+            i64 u_final = 0;
+            i64 edge = std::min(end + 1, width - 1);
+            i64 f = 0;
+            h_b[0] = e_b[0] = h_b[edge] = e_b[edge] = h_c[0] = 0;
+            for (i64 j = beg; j <= end; ++j) {
+                i64 x = std::max((i64)0, i - band_width);
+                i64 u = j - x + 1;
+                i64 x1 = std::max((i64)0, i - 1 - band_width);
+                i64 e_idx = j - x1 + 1;
+                i64 b = j - 1 - x + 1;
+                i64 d = j - 1 - x1 + 1;
+                i64 temp1 = (i == 0) ? -O : h_b[e_idx] - O;
+                i64 temp2 = (i == 0) ? -E : e_b[e_idx] - E;
+                i64 e_val = std::max(temp1, temp2);
+                int de = temp1 > temp2 ? 3 : 2;
+                temp1 = h_c[b] - O;
+                temp2 = f - E;
+                f = std::max(temp1, temp2);
+                int df = temp1 > temp2 ? 5 : 4;
+                i64 e1 = std::max(e_val, (i64)0);
+                i64 f1 = std::max(f, (i64)0);
+                temp1 = std::max(e1, f1);
+                i64 sub = (q[i] == r[j] && q[i] < 4) ? A : -B;
+                temp2 = h_b[d] + sub;
+                i64 h_val = std::max(temp1, temp2);
+                if (h_val > mx) mx = h_val;
+                int dh = temp1 <= temp2 ? 1 : (e1 > f1 ? de : df);
+                e_b[u] = e_val;
+                h_c[u] = h_val;
+                int8_t* dir = &direction[(size_t)((i * width_d + (j - x)) * 3)];
+                dir[0] = (int8_t)de;
+                dir[1] = (int8_t)df;
+                dir[2] = (int8_t)dh;
+                u_final = u;
+            }
+            for (i64 u = 1; u <= u_final; ++u) h_b[u] = h_c[u];
+        }
+        band_width *= 2;
+        if (mx >= score || band_width > length) {
+            band_width /= 2;
+            break;
+        }
+    }
+
+    // traceback
+    i64 i = read_len - 1, j = ref_len - 1;
+    i64 e_count = 0;
+    std::vector<u32> ops;  // packed, reversed at the end
+    char op = 'M', prev_op = 'M';
+    int p = 2;
+    bool ok = true;
+    auto op_code = [](char c) -> int {
+        switch (c) {
+            case 'M': return 0;
+            case 'I': return 1;
+            case 'D': return 2;
+            default: return 0;
+        }
+    };
+    while (i >= 0 && j > 0) {
+        i64 x = std::max((i64)0, i - band_width);
+        int dgn = direction[(size_t)((i * width_d + (j - x)) * 3 + p)];
+        switch (dgn) {
+            case 1: i--; j--; p = 2; op = 'M'; break;
+            case 2: i--; p = 0; op = 'I'; break;
+            case 3: i--; p = 2; op = 'I'; break;
+            case 4: j--; p = 1; op = 'D'; break;
+            case 5: j--; p = 2; op = 'D'; break;
+            default: ok = false; break;
+        }
+        if (!ok) break;
+        if (op == prev_op)
+            e_count += 1;
+        else {
+            ops.push_back((u32)((e_count << 4) | op_code(prev_op)));
+            prev_op = op;
+            e_count = 1;
+        }
+    }
+    if (!ok) {
+        out.clear();
+        return false;
+    }
+    if (op == 'M') {
+        ops.push_back((u32)(((e_count + 1) << 4) | OP_M));
+    } else {
+        ops.push_back((u32)((e_count << 4) | op_code(op)));
+        ops.push_back((u32)((1 << 4) | OP_M));
+    }
+    std::reverse(ops.begin(), ops.end());
+    out.ops = std::move(ops);
+    return true;
+}
+
+struct SswResultC {
+    i64 score1;
+    i64 ref_begin, ref_end;
+    i64 read_begin, read_end;
+    int flag;
+    CigarC cigar;  // M/I/D over the clipped region
+};
+
+struct SswScratch {
+    std::vector<i64> H, F, bestH;
+    std::vector<u8> qcodes, rcodes, qrev, rrev;
+};
+
+static void encode_codes(const u8* seq, i64 n, std::vector<u8>& out) {
+    out.resize(n);
+    for (i64 i = 0; i < n; ++i) out[i] = (u8)nt4(seq[i]);
+}
+
+static SswResultC ssw_align_c(const u8* q, i64 m, const u8* r, i64 n,
+                              int A, int B, int O, int E, SswScratch& s) {
+    FwdResult fwd = ssw_forward(q, m, r, n, A, B, O, E, s.H, s.F, s.bestH);
+    SswResultC res;
+    if (fwd.score == 0) {
+        res = {0, -1, -1, 0, 0, 0, {}};
+        res.cigar.ops.push_back((1 << 4) | OP_M);
+        return res;
+    }
+    // reverse pass over reversed prefixes
+    s.qrev.assign(q, q + fwd.read_end + 1);
+    std::reverse(s.qrev.begin(), s.qrev.end());
+    s.rrev.assign(r, r + fwd.ref_end + 1);
+    std::reverse(s.rrev.begin(), s.rrev.end());
+    FwdResult rev = ssw_forward(s.qrev.data(), (i64)s.qrev.size(), s.rrev.data(),
+                                (i64)s.rrev.size(), A, B, O, E, s.H, s.F, s.bestH);
+    i64 ref_begin = fwd.ref_end - rev.ref_end;
+    i64 read_begin = fwd.read_end - rev.read_end;
+    int flag = fwd.score > rev.score ? 2 : 0;
+
+    i64 ref_len = fwd.ref_end - ref_begin + 1;
+    i64 read_len = fwd.read_end - read_begin + 1;
+    i64 band_width = std::abs(ref_len - read_len) + 1;
+    CigarC cig;
+    bool ok = banded_sw(r + ref_begin, ref_len, q + read_begin, read_len,
+                        fwd.score, O, E, band_width, A, B, cig);
+    if (!ok || cig.empty()) flag = 1;
+    return {fwd.score, ref_begin, fwd.ref_end, read_begin, fwd.read_end, flag,
+            std::move(cig)};
+}
+
+// ------------------------------------------------------------------
+// Aligner facade (align/aligner.py / reference src/aligner.cpp).
+
+struct AlnParams {
+    int match, mismatch, gap_open, gap_extend, end_bonus;
+};
+
+struct AlignerC {
+    AlnParams p;
+    i64 calls = 0;
+    SswScratch scratch;
+
+    void fail_info(AlignmentInfoC& aln, int score) {
+        aln = AlignmentInfoC();
+        aln.edit_distance = 100000;
+        aln.ref_start = 0;
+        aln.sw_score = score;
+    }
+
+    // greedy end-bonus extension (align/aligner.py _extend_to_ends)
+    void extend_to_ends(AlignmentInfoC& aln, const u8* query, i64 qn,
+                        const u8* ref, i64 rn) {
+        // front
+        i64 qstart = aln.query_start, rstart = aln.ref_start;
+        i64 score = aln.sw_score, edits = aln.edit_distance;
+        std::vector<int> front_ops;
+        while (qstart > 0 && rstart > 0) {
+            qstart--;
+            rstart--;
+            if (query[qstart] == ref[rstart]) {
+                score += p.match;
+                front_ops.push_back(OP_EQ);
+            } else {
+                score -= p.mismatch;
+                front_ops.push_back(OP_X);
+                edits++;
+            }
+        }
+        if (qstart == 0 && score + p.end_bonus > aln.sw_score) {
+            CigarC front;
+            for (auto it = front_ops.rbegin(); it != front_ops.rend(); ++it)
+                front.push(*it, 1);
+            if (aln.query_start > 0) {
+                // drop the leading softclip
+                CigarC rest;
+                rest.ops.assign(aln.cigar.ops.begin() + 1, aln.cigar.ops.end());
+                front.extend(rest);
+                aln.cigar = std::move(front);
+            } else if (!front.ops.empty()) {
+                front.extend(aln.cigar);
+                aln.cigar = std::move(front);
+            }
+            aln.query_start = 0;
+            aln.ref_start = (int)rstart;
+            aln.sw_score = (int)(score + p.end_bonus);
+            aln.edit_distance = (int)edits;
+        }
+        // back
+        i64 qend = aln.query_end, rend = aln.ref_end;
+        score = aln.sw_score;
+        edits = aln.edit_distance;
+        CigarC back;
+        while (qend < qn && rend < rn) {
+            if (query[qend] == ref[rend]) {
+                score += p.match;
+                back.push(OP_EQ, 1);
+            } else {
+                score -= p.mismatch;
+                back.push(OP_X, 1);
+                edits++;
+            }
+            qend++;
+            rend++;
+        }
+        if (qend == qn && score + p.end_bonus > aln.sw_score) {
+            if (aln.query_end < qn && !aln.cigar.ops.empty())
+                aln.cigar.ops.pop_back();  // trailing softclip
+            aln.cigar.extend(back);
+            aln.query_end = (int)qn;
+            aln.ref_end = (int)rend;
+            aln.sw_score = (int)(score + p.end_bonus);
+            aln.edit_distance = (int)edits;
+        }
+    }
+
+    // full host alignment (align/aligner.py Aligner.align)
+    void align(const u8* query, i64 qn, const u8* ref, i64 rn,
+               AlignmentInfoC& aln) {
+        calls++;
+        if (rn > 2000) {
+            fail_info(aln, -1000000);
+            return;
+        }
+        encode_codes(query, qn, scratch.qcodes);
+        encode_codes(ref, rn, scratch.rcodes);
+        SswResultC res = ssw_align_c(scratch.qcodes.data(), qn,
+                                     scratch.rcodes.data(), rn, p.match,
+                                     p.mismatch, p.gap_open, p.gap_extend,
+                                     scratch);
+        if (res.score1 == 0 || res.flag != 0) {
+            fail_info(aln, -100000);
+            return;
+        }
+        // '='/'X' cigar + mismatch count on codes
+        aln = AlignmentInfoC();
+        CigarC& cigar = aln.cigar;
+        if (res.read_begin > 0) cigar.push(OP_S, res.read_begin);
+        i64 i = res.read_begin, j = res.ref_begin;
+        i64 mismatches = 0;
+        const u8* qc = scratch.qcodes.data();
+        const u8* rc = scratch.rcodes.data();
+        for (u32 ol : res.cigar.ops) {
+            int op = ol & 0xF;
+            i64 length = ol >> 4;
+            if (op == OP_M) {
+                i64 run_start = 0;
+                bool run_eq = false;
+                for (i64 t2 = 0; t2 < length; ++t2) {
+                    bool eq = qc[i + t2] == rc[j + t2];
+                    if (!eq) mismatches++;
+                    if (t2 == 0) {
+                        run_eq = eq;
+                        run_start = 0;
+                    } else if (eq != run_eq) {
+                        cigar.push(run_eq ? OP_EQ : OP_X, t2 - run_start);
+                        run_eq = eq;
+                        run_start = t2;
+                    }
+                }
+                if (length) cigar.push(run_eq ? OP_EQ : OP_X, length - run_start);
+                i += length;
+                j += length;
+            } else if (op == OP_I) {
+                mismatches += length;
+                cigar.push(op, length);
+                i += length;
+            } else if (op == OP_D) {
+                mismatches += length;
+                cigar.push(op, length);
+                j += length;
+            }
+        }
+        i64 end_clip = qn - res.read_end - 1;
+        if (end_clip > 0) cigar.push(OP_S, end_clip);
+        aln.edit_distance = (int)mismatches;
+        aln.sw_score = (int)res.score1;
+        aln.ref_start = (int)res.ref_begin;
+        aln.ref_end = (int)res.ref_end + 1;
+        aln.query_start = (int)res.read_begin;
+        aln.query_end = (int)res.read_end + 1;
+        extend_to_ends(aln, query, qn, ref, rn);
+    }
+
+    // postprocess an externally computed alignment (BatchAligner._finish +
+    // align_from_ends semantics)
+    void align_from_ends(const u8* query, i64 qn, const u8* ref, i64 rn,
+                         int score, i64 query_start, i64 query_end,
+                         i64 ref_start, i64 ref_end, const CigarC& eqx_cigar,
+                         int edit_distance, AlignmentInfoC& aln) {
+        calls++;
+        if (rn > 2000) {
+            fail_info(aln, -1000000);
+            return;
+        }
+        aln = AlignmentInfoC();
+        CigarC cigar;
+        if (query_start > 0) cigar.push(OP_S, query_start);
+        cigar.extend(eqx_cigar);
+        i64 end_clip = qn - query_end;
+        if (end_clip > 0) cigar.push(OP_S, end_clip);
+        aln.cigar = std::move(cigar);
+        aln.edit_distance = edit_distance;
+        aln.sw_score = score;
+        aln.ref_start = (int)ref_start;
+        aln.ref_end = (int)ref_end;
+        aln.query_start = (int)query_start;
+        aln.query_end = (int)query_end;
+        extend_to_ends(aln, query, qn, ref, rn);
+    }
+};
+
+// ------------------------------------------------------------------
+// Hamming fast path (align/hamming.py hamming_align; the distance gate
+// is applied by the caller via hamming_try-style logic).
+
+static bool hamming_fastpath(const u8* query, const u8* ref, i64 n, int match,
+                             int mismatch, int end_bonus, AlignmentInfoC& out) {
+    i64 dist = 0;
+    for (i64 i = 0; i < n; ++i) dist += (query[i] != ref[i]);
+    if (!(n > 0 && (double)dist / (double)n < 0.05)) return false;
+
+    i64 start = 0, score = end_bonus;
+    i64 best_start = 0, best_end = 0, best_score = 0;
+    for (i64 i = 0; i < n; ++i) {
+        score += (query[i] == ref[i]) ? match : -mismatch;
+        if (score < 0) {
+            start = i + 1;
+            score = 0;
+        }
+        if (score > best_score) {
+            best_start = start;
+            best_score = score;
+            best_end = i + 1;
+        }
+    }
+    if (score + end_bonus > best_score) {
+        best_score = score + end_bonus;
+        best_end = n;
+        best_start = start;
+    }
+
+    out = AlignmentInfoC();
+    CigarC& cigar = out.cigar;
+    if (best_start > 0) cigar.push(OP_S, best_start);
+    i64 edits = 0, i = best_start;
+    while (i < best_end) {
+        bool m = query[i] == ref[i];
+        i64 j = i;
+        while (j < best_end && (query[j] == ref[j]) == m) j++;
+        cigar.push(m ? OP_EQ : OP_X, j - i);
+        if (!m) edits += j - i;
+        i = j;
+    }
+    if (n - best_end > 0) cigar.push(OP_S, n - best_end);
+    out.sw_score = (int)best_score;
+    out.edit_distance = (int)edits;
+    out.ref_start = (int)best_start;
+    out.ref_end = (int)best_end;
+    out.query_start = (int)best_start;
+    out.query_end = (int)best_end;
+    return true;
+}
+
+}  // namespace engine
+namespace engine {
+
+// ------------------------------------------------------------------
+// Borrowed references (io/fasta.py References): concatenated sequence
+// bytes + offsets, names as std::string copies (small).
+
+struct RefsView {
+    const u8* seqs = nullptr;
+    const i64* off = nullptr;
+    i64 n = 0;
+    std::vector<std::string> names;
+
+    const u8* seq(i64 id) const { return seqs + off[id]; }
+    i64 len(i64 id) const { return off[id + 1] - off[id]; }
+};
+
+// reverse complement (utils/dna.py REVCOMP_TABLE: ACGTU either case ->
+// uppercase complement, everything else -> 'N')
+static u8 REVCOMP[256];
+static bool init_revcomp() {
+    for (int i = 0; i < 256; ++i) REVCOMP[i] = 'N';
+    REVCOMP['A'] = 'T'; REVCOMP['C'] = 'G'; REVCOMP['G'] = 'C';
+    REVCOMP['T'] = 'A'; REVCOMP['U'] = 'A';
+    REVCOMP['a'] = 'T'; REVCOMP['c'] = 'G'; REVCOMP['g'] = 'C';
+    REVCOMP['t'] = 'A'; REVCOMP['u'] = 'A';
+    return true;
+}
+static const bool _revcomp_init = init_revcomp();
+
+struct ReadC {
+    const u8* seq = nullptr;
+    i64 n = 0;
+    std::string rc;
+
+    void set(const u8* s, i64 len) {
+        seq = s;
+        n = len;
+        rc.resize(len);
+        for (i64 i = 0; i < len; ++i) rc[(size_t)(len - 1 - i)] = (char)REVCOMP[s[i]];
+    }
+    const u8* rc_ptr() const { return (const u8*)rc.data(); }
+};
+
+// ------------------------------------------------------------------
+// Insert-size estimator (map/common.py InsertSizeDistribution /
+// reference src/aln.cpp:1880-1903). Double math, exact order.
+
+struct InsertSizeC {
+    double sample_size = 1.0;
+    double mu = 300.0;
+    double sigma = 100.0;
+    double V = 10000.0;
+    double SSE = 10000.0;
+
+    void update(i64 dist) {
+        if (dist >= 2000) return;
+        double e = (double)dist - mu;
+        mu += e / sample_size;
+        SSE += e * ((double)dist - mu);
+        V = sample_size > 1.0 ? SSE / (sample_size - 1.0) : SSE;
+        sigma = std::sqrt(V);
+        sample_size += 1.0;
+    }
+};
+
+// ------------------------------------------------------------------
+// Details / statistics (io/sam.py Details, map/stats.py).
+
+struct DetailsC {
+    bool nam_rescue = false;
+    i64 nams = 0;
+    i64 nam_inconsistent = 0;
+    i64 mate_rescue = 0;
+    i64 tried_alignment = 0;
+    i64 gapped = 0;
+};
+
+struct StatsC {
+    i64 tot_rescued = 0;
+    i64 tot_all_tried = 0;
+    i64 inconsistent_nams = 0;
+    i64 nam_rescue = 0;
+
+    void add(const DetailsC& d) {
+        nam_rescue += d.nam_rescue ? 1 : 0;
+        tot_rescued += d.mate_rescue;
+        tot_all_tried += d.tried_alignment;
+        inconsistent_nams += d.nam_inconsistent;
+    }
+};
+
+// ------------------------------------------------------------------
+// SAM writer (io/sam.py Sam / reference src/sam.cpp). Appends to a
+// chunk-owned std::string.
+
+enum SamFlags {
+    F_PAIRED = 1, F_PROPER_PAIR = 2, F_UNMAP = 4, F_MUNMAP = 8,
+    F_REVERSE = 0x10, F_MREVERSE = 0x20, F_READ1 = 0x40, F_READ2 = 0x80,
+    F_SECONDARY = 0x100,
+};
+
+struct RecordView {
+    const u8* name; i64 name_len;
+    const u8* seq; i64 seq_len;
+    const u8* qual; i64 qual_len;
+};
+
+static void append_int(std::string& out, i64 v) {
+    char buf[24];
+    int n = snprintf(buf, sizeof buf, "%lld", (long long)v);
+    out.append(buf, n);
+}
+
+struct SamC {
+    std::string* out = nullptr;
+    const RefsView* refs = nullptr;
+    bool eqx = false;
+    bool output_unmapped = true;
+    bool show_details = false;
+    std::string tail = "\n";  // "\n" or "\tRG:Z:<id>\n"
+
+    void append_name_stripped(const RecordView& r) {
+        i64 n = r.name_len;
+        if (n >= 2 && r.name[n - 2] == '/' &&
+            (r.name[n - 1] == '1' || r.name[n - 1] == '2'))
+            n -= 2;
+        out->append((const char*)r.name, n);
+    }
+
+    void append_details(const DetailsC& d, bool paired) {
+        out->append("\tna:i:");
+        append_int(*out, d.nams);
+        out->append("\tnr:i:");
+        append_int(*out, d.nam_rescue ? 1 : 0);
+        out->append("\tal:i:");
+        append_int(*out, d.tried_alignment);
+        out->append("\tga:i:");
+        append_int(*out, d.gapped);
+        if (paired) {
+            out->append("\tmr:i:");
+            append_int(*out, d.mate_rescue);
+        }
+    }
+
+    void add_unmapped(const RecordView& r, int flags = F_UNMAP) {
+        if (!output_unmapped) return;
+        append_name_stripped(r);
+        out->push_back('\t');
+        append_int(*out, flags);
+        out->append("\t*\t0\t0\t*\t*\t0\t0\t");
+        if (r.seq_len)
+            out->append((const char*)r.seq, r.seq_len);
+        else
+            out->push_back('*');
+        out->push_back('\t');
+        if (r.qual_len)
+            out->append((const char*)r.qual, r.qual_len);
+        else
+            out->push_back('*');
+        out->append(tail);
+    }
+
+    void add_unmapped_mate(const RecordView& r, int flags,
+                           const std::string& mate_ref_name, i64 mate_pos) {
+        append_name_stripped(r);
+        out->push_back('\t');
+        append_int(*out, flags);
+        out->push_back('\t');
+        out->append(mate_ref_name);
+        out->push_back('\t');
+        append_int(*out, mate_pos + 1);
+        out->append("\t0\t*\t=\t");
+        append_int(*out, mate_pos + 1);
+        out->append("\t0\t");
+        if (r.seq_len)
+            out->append((const char*)r.seq, r.seq_len);
+        else
+            out->push_back('*');
+        out->push_back('\t');
+        if (r.qual_len)
+            out->append((const char*)r.qual, r.qual_len);
+        else
+            out->push_back('*');
+        out->append(tail);
+    }
+
+    void add_unmapped_pair(const RecordView& r1, const RecordView& r2) {
+        add_unmapped(r1, F_PAIRED | F_UNMAP | F_MUNMAP | F_READ1);
+        add_unmapped(r2, F_PAIRED | F_UNMAP | F_MUNMAP | F_READ2);
+    }
+
+    void add_record(const RecordView& r, int flags,
+                    const std::string& reference_name, i64 pos, int mapq,
+                    const CigarC& cigar, const std::string& mate_reference_name,
+                    i64 mate_pos, i64 template_len, const u8* seq_rc, i64 ed,
+                    i64 aln_score, const DetailsC& details) {
+        append_name_stripped(r);
+        out->push_back('\t');
+        append_int(*out, flags);
+        out->push_back('\t');
+        out->append(reference_name);
+        out->push_back('\t');
+        append_int(*out, pos + 1);
+        out->push_back('\t');
+        append_int(*out, mapq);
+        out->push_back('\t');
+        cigar.append_str(*out, eqx);
+        out->push_back('\t');
+        out->append(mate_reference_name);
+        out->push_back('\t');
+        append_int(*out, mate_pos + 1);
+        out->push_back('\t');
+        append_int(*out, template_len);
+        out->push_back('\t');
+
+        // SEQ
+        if (flags & F_SECONDARY) {
+            out->push_back('*');
+        } else if (flags & F_REVERSE) {
+            if (r.seq_len)
+                out->append((const char*)seq_rc, r.seq_len);
+            else
+                out->push_back('*');
+        } else {
+            if (r.seq_len)
+                out->append((const char*)r.seq, r.seq_len);
+            else
+                out->push_back('*');
+        }
+
+        if (!(flags & F_UNMAP)) {
+            out->push_back('\t');
+            if (flags & F_SECONDARY) {
+                out->push_back('*');
+            } else if (flags & F_REVERSE) {
+                if (r.qual_len) {
+                    size_t base = out->size();
+                    out->resize(base + r.qual_len);
+                    for (i64 i = 0; i < r.qual_len; ++i)
+                        (*out)[base + i] = (char)r.qual[r.qual_len - 1 - i];
+                } else {
+                    out->push_back('*');
+                }
+            } else {
+                if (r.qual_len)
+                    out->append((const char*)r.qual, r.qual_len);
+                else
+                    out->push_back('*');
+            }
+            out->append("\tNM:i:");
+            append_int(*out, ed);
+            out->append("\tAS:i:");
+            append_int(*out, aln_score);
+        } else {
+            out->push_back('\t');
+            if (r.qual_len)
+                out->append((const char*)r.qual, r.qual_len);
+            else
+                out->push_back('*');
+        }
+        if (show_details) {
+            append_details(details, (flags & F_PAIRED) != 0);
+        }
+        out->append(tail);
+    }
+
+    void add(const AlignmentC& alignment, const RecordView& r, const u8* seq_rc,
+             int mapq, bool is_primary, const DetailsC& details) {
+        if (alignment.is_unaligned) {
+            add_unmapped(r);
+            return;
+        }
+        int flags = 0;
+        if (alignment.is_rc) flags |= F_REVERSE;
+        if (!is_primary) {
+            flags |= F_SECONDARY;
+            mapq = 255;
+        }
+        add_record(r, flags, refs->names[alignment.ref_id], alignment.ref_start,
+                   mapq, alignment.cigar, "*", -1, 0, seq_rc,
+                   alignment.edit_distance, alignment.score, details);
+    }
+
+    void add_pair(const AlignmentC& a1, const AlignmentC& a2,
+                  const RecordView& r1, const RecordView& r2, const u8* rc1,
+                  const u8* rc2, int mapq1, int mapq2, bool is_proper,
+                  bool is_primary, const DetailsC& d1, const DetailsC& d2) {
+        int f1 = F_PAIRED | F_READ1;
+        int f2 = F_PAIRED | F_READ2;
+        if (!is_primary) {
+            f1 |= F_SECONDARY;
+            f2 |= F_SECONDARY;
+        }
+        i64 template_len1 = 0;
+        bool both = !a1.is_unaligned && !a2.is_unaligned;
+        if (both && a1.ref_id == a2.ref_id) {
+            i64 dist = (i64)a2.ref_start - a1.ref_start;
+            template_len1 = dist > 0 ? dist + a2.length : dist - a1.length;
+        }
+        if (is_proper) {
+            f1 |= F_PROPER_PAIR;
+            f2 |= F_PROPER_PAIR;
+        }
+        static const std::string STAR = "*";
+        static const std::string EQ = "=";
+
+        i64 pos1 = a1.ref_start;
+        const std::string* reference_name1 = &STAR;
+        if (a1.is_unaligned) {
+            f1 |= F_UNMAP;
+            f2 |= F_MUNMAP;
+            pos1 = -1;
+        } else {
+            if (a1.is_rc) {
+                f1 |= F_REVERSE;
+                f2 |= F_MREVERSE;
+            }
+            reference_name1 = &refs->names[a1.ref_id];
+        }
+        i64 pos2 = a2.ref_start;
+        const std::string* reference_name2 = &STAR;
+        if (a2.is_unaligned) {
+            f2 |= F_UNMAP;
+            f1 |= F_MUNMAP;
+            pos2 = -1;
+        } else {
+            if (a2.is_rc) {
+                f1 |= F_MREVERSE;
+                f2 |= F_REVERSE;
+            }
+            reference_name2 = &refs->names[a2.ref_id];
+        }
+        const std::string* mate_ref1 = reference_name1;
+        const std::string* mate_ref2 = reference_name2;
+        if ((!a1.is_unaligned && !a2.is_unaligned && a1.ref_id == a2.ref_id) ||
+            (a1.is_unaligned != a2.is_unaligned)) {
+            mate_ref1 = &EQ;
+            mate_ref2 = &EQ;
+        }
+        if (a1.is_unaligned != a2.is_unaligned) {
+            if (a1.is_unaligned)
+                pos1 = pos2;
+            else
+                pos2 = pos1;
+        }
+        if (a1.is_unaligned)
+            add_unmapped_mate(r1, f1, *reference_name2, pos2);
+        else
+            add_record(r1, f1, *reference_name1, a1.ref_start, mapq1, a1.cigar,
+                       *mate_ref2, pos2, template_len1, rc1, a1.edit_distance,
+                       a1.score, d1);
+        if (a2.is_unaligned)
+            add_unmapped_mate(r2, f2, *reference_name1, pos1);
+        else
+            add_record(r2, f2, *reference_name2, a2.ref_start, mapq2, a2.cigar,
+                       *mate_ref1, pos1, -template_len1, rc2, a2.edit_distance,
+                       a2.score, d2);
+    }
+};
+
+static bool is_proper_pair_c(const AlignmentC& a1, const AlignmentC& a2,
+                             double mu, double sigma) {
+    i64 dist = (i64)a2.ref_start - a1.ref_start;
+    bool same_ref = a1.ref_id == a2.ref_id;
+    bool both = same_ref && !a1.is_unaligned && !a2.is_unaligned;
+    bool r1_r2 = !a1.is_rc && a2.is_rc && dist >= 0;
+    bool r2_r1 = !a2.is_rc && a1.is_rc && dist <= 0;
+    bool orient = r1_r2 || r2_r1;
+    bool insert_good = (double)std::abs(dist) <= mu + 6.0 * sigma;
+    return both && insert_good && orient;
+}
+
+}  // namespace engine
+namespace engine {
+
+// ------------------------------------------------------------------
+// NAM helpers (map/common.py).
+
+// float32-precision normal pdf (map/common.py normal_pdf / reference
+// src/aln.cpp:529-534)
+static float normal_pdf_f32(float x, float mu, float sigma) {
+    const float inv_sqrt_2pi = 0.3989422804014327f;
+    float a = (x - mu) / sigma;
+    return inv_sqrt_2pi / sigma * std::exp(-0.5f * a * a);
+}
+
+// check/fix NAM orientation; mutates nam when flipped
+// (map/common.py reverse_nam_if_needed / reference src/aln.cpp:60-93)
+static bool reverse_nam_if_needed(NamT& nam, const ReadC& read,
+                                  const RefsView& refs, int k) {
+    const u8* ref = refs.seq(nam.ref_id);
+    const u8* seq;
+    const u8* seq_rc;
+    if (nam.is_rc) {
+        seq = read.rc_ptr();
+        seq_rc = read.seq;
+    } else {
+        seq = read.seq;
+        seq_rc = read.rc_ptr();
+    }
+    bool ok_start = memcmp(ref + nam.ref_start, seq + nam.query_start, k) == 0;
+    bool ok_end =
+        ok_start && memcmp(ref + nam.ref_end - k, seq + nam.query_end - k, k) == 0;
+    if (ok_start && ok_end) return true;
+
+    i64 read_len = read.n;
+    i64 q_start_tmp = read_len - nam.query_end;
+    i64 q_end_tmp = read_len - nam.query_start;
+    ok_start = memcmp(ref + nam.ref_start, seq_rc + q_start_tmp, k) == 0;
+    ok_end = ok_start &&
+             memcmp(ref + nam.ref_end - k, seq_rc + q_end_tmp - k, k) == 0;
+    if (ok_start && ok_end) {
+        nam.is_rc = nam.is_rc ? 0 : 1;
+        nam.query_start = (int)q_start_tmp;
+        nam.query_end = (int)q_end_tmp;
+        return true;
+    }
+    return false;
+}
+
+// NAM-based mapq (map/common.py get_mapq / reference src/aln.cpp:493-503)
+static int get_mapq(const std::vector<NamT>& nams, const NamT& n_max) {
+    if (nams.size() <= 1) return 60;
+    double s1 = n_max.score;
+    double s2 = nams[1].score;
+    double min_matches = std::min((double)n_max.n_hits / 10.0, 1.0);
+    int uncapped = (int)(40.0 * (1.0 - s2 / s1) * min_matches * std::log(s1));
+    return std::min(uncapped, 60);
+}
+
+// map/common.py top_dropoff / reference src/aln.cpp:1361-1370
+static double top_dropoff(const std::vector<NamT>& nams) {
+    const NamT& n_max = nams[0];
+    if (n_max.n_hits <= 2) return 1.0;
+    if (nams.size() > 1) return (double)nams[1].n_hits / (double)n_max.n_hits;
+    return 0.0;
+}
+
+// shuffle the maximal-score prefix (map/common.py shuffle_top_nams)
+static void shuffle_top_nams(std::vector<NamT>& nams, MinstdRand& g) {
+    if (nams.empty()) return;
+    float best_score = nams[0].score;
+    size_t it = nams.size();
+    for (size_t i = 0; i < nams.size(); ++i)
+        if (nams[i].score != best_score) {
+            it = i;
+            break;
+        }
+    if (it != nams.size()) shuffle_vec(nams, it, g);
+}
+
+// ------------------------------------------------------------------
+// PE pairing helpers (map/pe.py).
+
+// Pairs reference the SHARED NamT objects in nams1/nams2 (like the Python
+// NamPair holding references): reverse_nam_if_needed mutations made while
+// processing one pair must be visible to later pairs using the same NAM.
+struct NamPairC {
+    i64 score;
+    NamT* nam1;
+    NamT* nam2;  // ref_start == -1 marks the dummy partner
+};
+
+// map/pe.py is_proper_nam_pair / reference src/aln.cpp:560-577
+static bool is_proper_nam_pair(const NamT& nam1, const NamT& nam2, double mu,
+                               double sigma) {
+    if (nam1.ref_id != nam2.ref_id || nam1.is_rc == nam2.is_rc) return false;
+    i64 a = std::max(0, nam1.ref_start - nam1.query_start);
+    i64 b = std::max(0, nam2.ref_start - nam2.query_start);
+    double window = mu + 10.0 * sigma;
+    if (nam2.is_rc && a <= b && (double)(b - a) < window) return true;
+    if (nam1.is_rc && b <= a && (double)(a - b) < window) return true;
+    return false;
+}
+
+// map/pe.py get_best_scoring_nam_pairs ("fast_loop3" variant of reference
+// src/aln.cpp:591-996): proper pairs via per-orientation projected-start
+// sort + binary-searched insert window, then unpaired high-scoring singles
+static void get_best_scoring_nam_pairs(std::vector<NamT>& nams1,
+                                       std::vector<NamT>& nams2,
+                                       double mu, double sigma,
+                                       std::vector<NamPairC>& joint,
+                                       std::deque<NamT>& dummy_pool) {
+    joint.clear();
+    if (nams1.empty() && nams2.empty()) return;
+
+    auto make_dummy = [&dummy_pool]() -> NamT* {
+        dummy_pool.emplace_back();
+        dummy_pool.back() = NamT{};
+        dummy_pool.back().ref_start = -1;
+        return &dummy_pool.back();
+    };
+
+    std::vector<char> added_n1, added_n2;  // indexed by nam_id
+    i64 max_id1 = 0, max_id2 = 0;
+    for (const auto& n : nams1) max_id1 = std::max(max_id1, (i64)n.nam_id);
+    for (const auto& n : nams2) max_id2 = std::max(max_id2, (i64)n.nam_id);
+    added_n1.assign(max_id1 + 1, 0);
+    added_n2.assign(max_id2 + 1, 0);
+    i64 best_joint_hits = 0;
+
+    std::vector<NamT*> nams2_sorted[2];
+    for (auto& n : nams2) nams2_sorted[n.is_rc ? 1 : 0].push_back(&n);
+    for (auto& lst : nams2_sorted)
+        std::stable_sort(lst.begin(), lst.end(), [](const NamT* x, const NamT* y) {
+            return std::max(0, x->ref_start - x->query_start) <
+                   std::max(0, y->ref_start - y->query_start);
+        });
+
+    double window = mu + 10.0 * sigma;
+    for (auto& nam1 : nams1) {
+        i64 nam1_val = std::max(0, nam1.ref_start - nam1.query_start);
+        if (nam1.is_rc) {
+            const auto& lst = nams2_sorted[0];
+            double L_val = (double)nam1_val - window;
+            double R_val = (double)nam1_val;
+            i64 lo = 0, hi = (i64)lst.size() - 1, ans_pos = (i64)lst.size();
+            while (lo <= hi) {
+                i64 mid = (lo + hi) / 2;
+                i64 now_val =
+                    std::max(0, lst[mid]->ref_start - lst[mid]->query_start);
+                if ((double)now_val > L_val) {
+                    hi = mid - 1;
+                    ans_pos = mid;
+                } else {
+                    lo = mid + 1;
+                }
+            }
+            for (i64 idx = ans_pos; idx < (i64)lst.size(); ++idx) {
+                NamT* nam2 = lst[idx];
+                i64 joint_hits = nam1.n_hits + nam2->n_hits;
+                if (nam1.ref_id != nam2->ref_id) continue;
+                i64 a = std::max(0, nam1.ref_start - nam1.query_start);
+                i64 b = std::max(0, nam2->ref_start - nam2->query_start);
+                if ((double)b > R_val - 1e-6) break;
+                bool r2_r1 = (a - b >= 0) && ((double)(a - b) < window);
+                if (r2_r1) {
+                    joint.push_back({joint_hits, &nam1, nam2});
+                    added_n1[nam1.nam_id] = 1;
+                    added_n2[nam2->nam_id] = 1;
+                }
+            }
+        } else {
+            const auto& lst = nams2_sorted[1];
+            double L_val = (double)nam1_val;
+            double R_val = (double)nam1_val + window;
+            i64 lo = 0, hi = (i64)lst.size() - 1, ans_pos = (i64)lst.size();
+            while (lo <= hi) {
+                i64 mid = (lo + hi) / 2;
+                i64 now_val =
+                    std::max(0, lst[mid]->ref_start - lst[mid]->query_start);
+                if ((double)now_val >= L_val) {
+                    hi = mid - 1;
+                    ans_pos = mid;
+                } else {
+                    lo = mid + 1;
+                }
+            }
+            for (i64 idx = ans_pos; idx < (i64)lst.size(); ++idx) {
+                NamT* nam2 = lst[idx];
+                i64 joint_hits = nam1.n_hits + nam2->n_hits;
+                if (nam1.ref_id != nam2->ref_id) continue;
+                i64 a = std::max(0, nam1.ref_start - nam1.query_start);
+                i64 b = std::max(0, nam2->ref_start - nam2->query_start);
+                if ((double)b >= R_val - 1e-6) break;
+                bool r1_r2 = (b - a >= 0) && ((double)(b - a) < window);
+                if (r1_r2) {
+                    joint.push_back({joint_hits, &nam1, nam2});
+                    added_n1[nam1.nam_id] = 1;
+                    added_n2[nam2->nam_id] = 1;
+                }
+            }
+        }
+    }
+
+    if (!nams1.empty()) {
+        i64 best1 = best_joint_hits > 0 ? best_joint_hits : nams1[0].n_hits;
+        for (auto& nam1 : nams1) {
+            if (nam1.n_hits < best1 / 2) break;
+            if (added_n1[nam1.nam_id]) continue;
+            joint.push_back({nam1.n_hits, &nam1, make_dummy()});
+        }
+    }
+    if (!nams2.empty()) {
+        i64 best2 = best_joint_hits > 0 ? best_joint_hits : nams2[0].n_hits;
+        for (auto& nam2 : nams2) {
+            if (nam2.n_hits < best2 / 2) break;
+            if (added_n2[nam2.nam_id]) continue;
+            joint.push_back({nam2.n_hits, make_dummy(), &nam2});
+        }
+    }
+    std::stable_sort(joint.begin(), joint.end(),
+                     [](const NamPairC& a, const NamPairC& b) {
+                         return a.score > b.score;
+                     });
+}
+
+// map/pe.py has_shared_substring / reference src/aln.cpp:1002-1013
+static bool has_shared_substring(const u8* read_seq, i64 read_len,
+                                 const u8* ref_seq, i64 ref_len, int k) {
+    i64 sub_size = 2 * k / 3;
+    i64 step_size = k / 3;
+    i64 i = 0;
+    while (i + sub_size < read_len) {
+        const void* found =
+            memmem(ref_seq, (size_t)ref_len, read_seq + i, (size_t)sub_size);
+        if (found != nullptr) return true;
+        i += step_size;
+    }
+    return false;
+}
+
+}  // namespace engine
+namespace engine {
+
+// ------------------------------------------------------------------
+// Engine and chunk state.
+
+struct MapParams {
+    double dropoff_threshold = 0.5;
+    i64 max_tries = 20;
+    i64 max_secondary = 0;
+    int rescue_level = 2;
+    u32 rescue_cutoff = 0;
+    bool is_sam_out = true;
+};
+
+struct SeedParams {
+    int k, s, t, wmin, wmax, max_dist;
+    u64 qmask;
+};
+
+struct EngineC {
+    IndexView ix;
+    SeedParams sp;
+    RefsView refs;
+    AlnParams ap;
+    MapParams mp;
+    AlignerC aligner;
+    InsertSizeC isize;
+    StatsC stats;
+    // SAM options
+    bool cigar_eqx = false;
+    bool output_unmapped = true;
+    bool show_details = false;
+    std::string rg_tail = "\n";
+    i64 fallbacks = 0;  // device results rejected by validation
+};
+
+struct JobC {
+    const u8* q;
+    i64 qn;
+    const u8* t;
+    i64 tn;
+};
+
+// the reference's AlignTmpRes (src/sam.hpp:27-45 / pipeline/batched.py)
+struct TmpResC {
+    int type = 0;
+    int mapq1 = 0, mapq2 = 0;
+    i64 type4_loop_size = 0;
+    std::vector<char> is_extend_seed, consistent_nam, is_read1, done_align;
+    std::vector<NamT> type4_nams, todo_nams;
+    std::vector<AlignmentC> align_res;
+    std::vector<i64> job_ids;       // -1 when resolved inline
+    std::vector<i64> job_ref_start;
+    std::vector<i64> job_qlen;
+};
+
+struct WorkItem {
+    int kind = 0;  // 0 = paf/none, 1 = SE, 2 = PE
+    i64 rec1 = -1, rec2 = -1;
+    TmpResC tmp;
+    DetailsC det1, det2;
+};
+
+struct ChunkC {
+    EngineC* eng = nullptr;
+    MinstdRand rng{0};
+    std::string seqs, names, quals;  // owned copies of the record blobs
+    std::vector<RecordView> records;
+    std::vector<ReadC> reads;  // rc materialized on demand
+    std::vector<char> read_ready;
+    std::vector<JobC> jobs;
+    std::vector<AlignmentInfoC> job_results;
+    std::vector<char> job_done;
+    std::vector<WorkItem> work;
+    std::string out;
+    i64 n_pairs = 0, n_singles = 0;
+
+    const ReadC& read(i64 i) {
+        if (!read_ready[i]) {
+            reads[i].set(records[i].seq, records[i].seq_len);
+            read_ready[i] = 1;
+        }
+        return reads[i];
+    }
+};
+
+// ------------------------------------------------------------------
+// Seeding + NAM finding + sort + tie shuffle for one read
+// (map/se.py get_nams_for_read; seeding via seednam.cpp internals).
+
+struct SeedScratch {
+    std::vector<Syncmer> sync, sync_rc;
+    std::vector<QueryRandstrobe> qrs;
+};
+
+static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
+                          SeedScratch& ss, MinstdRand& rng, DetailsC& details,
+                          std::vector<NamT>& nams) {
+    const SeedParams& sp = eng.sp;
+    ss.qrs.clear();
+    if (len >= sp.wmax) {
+        syncmers_of(seq, len, sp.k, sp.s, sp.t, ss.sync);
+        if (!ss.sync.empty()) {
+            link_strobes(ss.sync, sp.wmin, sp.wmax, sp.qmask, sp.max_dist, sp.k,
+                         false, ss.qrs);
+            ss.sync_rc.resize(ss.sync.size());
+            for (size_t i = 0; i < ss.sync.size(); ++i) {
+                const Syncmer& m = ss.sync[ss.sync.size() - 1 - i];
+                ss.sync_rc[i] = {m.hash, len - m.pos - sp.k};
+            }
+            link_strobes(ss.sync_rc, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
+                         sp.k, true, ss.qrs);
+        }
+    }
+    ReadResult rr;
+    find_nams_one(eng.ix, ss.qrs, rr);
+    if (eng.mp.rescue_level > 1 && (rr.nams.empty() || rr.nonrep_frac < 0.7f)) {
+        find_nams_rescue_one(eng.ix, ss.qrs, eng.mp.rescue_cutoff, rr);
+        details.nam_rescue = true;
+    }
+    details.nams = (i64)rr.nams.size();
+    nams = std::move(rr.nams);
+    std::stable_sort(nams.begin(), nams.end(),
+                     [](const NamT& a, const NamT& b) { return a.score > b.score; });
+    shuffle_top_nams(nams, rng);
+}
+
+// ------------------------------------------------------------------
+// Phase A decision recording (pipeline/batched.py extend_seed_part /
+// rescue_mate_part / align_SE_part / rescue_read_part / align_PE_part).
+
+// returns true when a gapped job was emitted
+static bool extend_seed_part(EngineC& eng, ChunkC& ch, TmpResC& tmp,
+                             const NamT& nam, const ReadC& read,
+                             bool consistent_nam) {
+    const u8* query = nam.is_rc ? read.rc_ptr() : read.seq;
+    const u8* ref = eng.refs.seq(nam.ref_id);
+    i64 ref_len = eng.refs.len(nam.ref_id);
+    i64 qn = read.n;
+
+    i64 projected_ref_start = std::max((i64)0, (i64)nam.ref_start - nam.query_start);
+    i64 projected_ref_end =
+        std::min((i64)nam.ref_end + qn - nam.query_end, ref_len);
+
+    tmp.todo_nams.push_back(nam);
+    tmp.is_extend_seed.push_back(1);
+    if (projected_ref_end - projected_ref_start == qn && consistent_nam) {
+        AlignmentInfoC info;
+        if (hamming_fastpath(query, ref + projected_ref_start, qn, eng.ap.match,
+                             eng.ap.mismatch, eng.ap.end_bonus, info)) {
+            i64 softclipped = info.query_start + (qn - info.query_end);
+            tmp.done_align.push_back(1);
+            tmp.job_ids.push_back(-1);
+            tmp.job_ref_start.push_back(0);
+            tmp.job_qlen.push_back(qn);
+            AlignmentC a;
+            a.cigar = std::move(info.cigar);
+            a.edit_distance = info.edit_distance;
+            a.global_ed = info.edit_distance + (int)softclipped;
+            a.score = info.sw_score;
+            a.ref_start = (int)(projected_ref_start + info.query_start);
+            a.length = info.query_end - info.query_start;
+            a.is_rc = nam.is_rc != 0;
+            a.is_unaligned = false;
+            a.ref_id = nam.ref_id;
+            a.gapped = false;
+            tmp.align_res.push_back(std::move(a));
+            return false;
+        }
+    }
+    i64 diff = std::abs((i64)(nam.ref_end - nam.ref_start) -
+                        (i64)(nam.query_end - nam.query_start));
+    i64 ext_left = std::min((i64)50, projected_ref_start);
+    i64 ref_start = projected_ref_start - ext_left;
+    i64 ext_right = std::min((i64)50, ref_len - nam.ref_end);
+    i64 ref_segm_size = qn + diff + ext_left + ext_right;
+    if (ref_start + ref_segm_size > ref_len) ref_segm_size = ref_len - ref_start;
+    tmp.done_align.push_back(0);
+    tmp.job_ids.push_back((i64)ch.jobs.size());
+    ch.jobs.push_back({query, qn, ref + ref_start, ref_segm_size});
+    tmp.job_ref_start.push_back(ref_start);
+    tmp.job_qlen.push_back(qn);
+    tmp.align_res.emplace_back();
+    return true;
+}
+
+// returns true when the mate is (already known) unaligned
+static bool rescue_mate_part(EngineC& eng, ChunkC& ch, TmpResC& tmp,
+                             const NamT& nam, const ReadC& read, double mu,
+                             double sigma, int k) {
+    i64 read_len = read.n;
+    const u8* r_tmp;
+    i64 a, b;
+    if (nam.is_rc) {
+        r_tmp = read.seq;
+        a = (i64)((double)(nam.ref_start - nam.query_start) - (mu + 5.0 * sigma));
+        b = (i64)nam.ref_start - nam.query_start + read_len / 2;
+    } else {
+        r_tmp = read.rc_ptr();
+        a = (i64)nam.ref_end + (read_len - nam.query_end) - read_len / 2;
+        b = (i64)((double)(nam.ref_end + (read_len - nam.query_end)) +
+                  (mu + 5.0 * sigma));
+    }
+    i64 ref_len = eng.refs.len(nam.ref_id);
+    i64 ref_start = std::max((i64)0, std::min(a, ref_len));
+    i64 ref_end = std::min(ref_len, std::max((i64)0, b));
+
+    tmp.todo_nams.push_back(nam);
+    tmp.is_extend_seed.push_back(0);
+    auto push_unaligned = [&]() {
+        tmp.done_align.push_back(1);
+        tmp.job_ids.push_back(-1);
+        tmp.job_ref_start.push_back(0);
+        tmp.job_qlen.push_back(read_len);
+        AlignmentC al;
+        al.edit_distance = (int)read_len;
+        al.score = 0;
+        al.ref_start = 0;
+        al.is_rc = nam.is_rc != 0;
+        al.ref_id = nam.ref_id;
+        al.is_unaligned = true;
+        tmp.align_res.push_back(std::move(al));
+    };
+    if (ref_end < ref_start + k) {
+        push_unaligned();
+        return true;
+    }
+    const u8* ref_segm = eng.refs.seq(nam.ref_id) + ref_start;
+    i64 seg_len = ref_end - ref_start;
+    if (!has_shared_substring(r_tmp, read_len, ref_segm, seg_len, k)) {
+        push_unaligned();
+        return true;
+    }
+    tmp.done_align.push_back(0);
+    tmp.job_ids.push_back((i64)ch.jobs.size());
+    ch.jobs.push_back({r_tmp, read_len, ref_segm, seg_len});
+    tmp.job_ref_start.push_back(ref_start);
+    tmp.job_qlen.push_back(read_len);
+    tmp.align_res.emplace_back();
+    return false;
+}
+
+static void align_SE_part(EngineC& eng, ChunkC& ch, WorkItem& w,
+                          std::vector<NamT>& nams, const ReadC& read) {
+    TmpResC& tmp = w.tmp;
+    if (nams.empty()) {
+        tmp.type = 0;
+        return;
+    }
+    i64 tries = 0;
+    const NamT n_max = nams[0];
+    tmp.type = 4;
+    for (auto& nam : nams) {
+        double score_dropoff = (double)nam.n_hits / (double)n_max.n_hits;
+        if (tries >= eng.mp.max_tries || score_dropoff < eng.mp.dropoff_threshold)
+            break;
+        bool consistent_nam = reverse_nam_if_needed(nam, read, eng.refs, eng.sp.k);
+        tmp.consistent_nam.push_back(consistent_nam ? 1 : 0);
+        tmp.is_read1.push_back(1);
+        extend_seed_part(eng, ch, tmp, nam, read, consistent_nam);
+        tries++;
+    }
+}
+
+static void rescue_read_part(EngineC& eng, ChunkC& ch, WorkItem& w, int flag,
+                             const ReadC& read2, const ReadC& read1,
+                             std::vector<NamT>& nams1, double mu, double sigma) {
+    TmpResC& tmp = w.tmp;
+    tmp.type = flag;
+    const NamT n_max1 = nams1[0];
+    i64 tries = 0;
+    for (auto& nam : nams1) {
+        double score_dropoff1 = (double)nam.n_hits / (double)n_max1.n_hits;
+        if (tries >= eng.mp.max_tries ||
+            score_dropoff1 < eng.mp.dropoff_threshold)
+            break;
+        bool consistent_nam = reverse_nam_if_needed(nam, read1, eng.refs, eng.sp.k);
+        w.det1.nam_inconsistent += consistent_nam ? 0 : 1;
+        tmp.is_read1.push_back(flag == 1 ? 1 : 0);
+        tmp.consistent_nam.push_back(consistent_nam ? 1 : 0);
+        bool gapped = extend_seed_part(eng, ch, tmp, nam, read1, consistent_nam);
+        w.det1.gapped += gapped ? 1 : 0;
+        w.det1.tried_alignment += 1;
+
+        tmp.is_read1.push_back(flag != 1 ? 1 : 0);
+        rescue_mate_part(eng, ch, tmp, nam, read2, mu, sigma, eng.sp.k);
+        tries++;
+    }
+}
+
+static void align_PE_part(EngineC& eng, ChunkC& ch, WorkItem& w,
+                          std::vector<NamT>& nams1, std::vector<NamT>& nams2,
+                          const ReadC& read1, const ReadC& read2) {
+    TmpResC& tmp = w.tmp;
+    double mu = eng.isize.mu, sigma = eng.isize.sigma;
+    int k = eng.sp.k;
+
+    if (nams1.empty() && nams2.empty()) {
+        tmp.type = 0;
+        return;
+    }
+    if (!nams1.empty() && nams2.empty()) {
+        rescue_read_part(eng, ch, w, 1, read2, read1, nams1, mu, sigma);
+        return;
+    }
+    if (nams1.empty() && !nams2.empty()) {
+        // note: like the reference, the detail counters land on det1
+        // (details[0]) even though the mapped read is read2
+        rescue_read_part(eng, ch, w, 2, read1, read2, nams2, mu, sigma);
+        return;
+    }
+
+    if (top_dropoff(nams1) < eng.mp.dropoff_threshold &&
+        top_dropoff(nams2) < eng.mp.dropoff_threshold &&
+        is_proper_nam_pair(nams1[0], nams2[0], mu, sigma)) {
+        tmp.type = 3;
+        NamT& n_max1 = nams1[0];
+        NamT& n_max2 = nams2[0];
+        bool c1 = reverse_nam_if_needed(n_max1, read1, eng.refs, k);
+        w.det1.nam_inconsistent += c1 ? 0 : 1;
+        bool c2 = reverse_nam_if_needed(n_max2, read2, eng.refs, k);
+        w.det2.nam_inconsistent += c2 ? 0 : 1;
+
+        tmp.is_read1.push_back(1);
+        tmp.consistent_nam.push_back(c1 ? 1 : 0);
+        bool gapped1 = extend_seed_part(eng, ch, tmp, n_max1, read1, c1);
+        w.det1.tried_alignment += 1;
+        w.det1.gapped += gapped1 ? 1 : 0;
+
+        tmp.is_read1.push_back(0);
+        tmp.consistent_nam.push_back(c2 ? 1 : 0);
+        bool gapped2 = extend_seed_part(eng, ch, tmp, n_max2, read2, c2);
+        w.det2.tried_alignment += 1;
+        w.det2.gapped += gapped2 ? 1 : 0;
+
+        tmp.mapq1 = get_mapq(nams1, n_max1);
+        tmp.mapq2 = get_mapq(nams2, n_max2);
+
+        if (!gapped1 && !gapped2) {
+            const AlignmentC& a1 = tmp.align_res[tmp.align_res.size() - 2];
+            const AlignmentC& a2 = tmp.align_res[tmp.align_res.size() - 1];
+            bool is_proper = is_proper_pair_c(a1, a2, mu, sigma);
+            if (eng.isize.sample_size < 400 &&
+                a1.edit_distance + a2.edit_distance < 3 && is_proper)
+                eng.isize.update(std::abs((i64)a1.ref_start - a2.ref_start));
+        }
+        return;
+    }
+
+    tmp.type = 4;
+    std::deque<NamT> dummy_pool;
+    std::vector<NamPairC> joint;
+    get_best_scoring_nam_pairs(nams1, nams2, mu, sigma, joint, dummy_pool);
+    std::vector<char> is_aligned1, is_aligned2;
+    i64 max_id1 = 0, max_id2 = 0;
+    for (const auto& n : nams1) max_id1 = std::max(max_id1, (i64)n.nam_id);
+    for (const auto& n : nams2) max_id2 = std::max(max_id2, (i64)n.nam_id);
+    is_aligned1.assign(max_id1 + 1, 0);
+    is_aligned2.assign(max_id2 + 1, 0);
+
+    NamT& n1_max = nams1[0];
+    bool c1 = reverse_nam_if_needed(n1_max, read1, eng.refs, k);
+    w.det1.nam_inconsistent += c1 ? 0 : 1;
+    tmp.is_read1.push_back(1);
+    tmp.consistent_nam.push_back(c1 ? 1 : 0);
+    bool gapped1 = extend_seed_part(eng, ch, tmp, n1_max, read1, c1);
+    is_aligned1[n1_max.nam_id] = 1;
+    w.det1.tried_alignment += 1;
+    w.det1.gapped += gapped1 ? 1 : 0;
+
+    NamT& n2_max = nams2[0];
+    bool c2 = reverse_nam_if_needed(n2_max, read2, eng.refs, k);
+    w.det2.nam_inconsistent += c2 ? 0 : 1;
+    tmp.is_read1.push_back(0);
+    tmp.consistent_nam.push_back(c2 ? 1 : 0);
+    bool gapped2 = extend_seed_part(eng, ch, tmp, n2_max, read2, c2);
+    is_aligned2[n2_max.nam_id] = 1;
+    w.det2.tried_alignment += 1;
+    w.det2.gapped += gapped2 ? 1 : 0;
+
+    tmp.type4_loop_size = 0;
+    i64 n_high_scores = 0;
+    i64 max_score = joint.empty() ? 1 : joint[0].score;
+    for (auto& pair : joint) {
+        double score_dropoff = (double)pair.score / (double)max_score;
+        if (n_high_scores >= eng.mp.max_tries ||
+            score_dropoff < eng.mp.dropoff_threshold)
+            break;
+        NamT& n1 = *pair.nam1;  // shared objects: mutations persist
+        NamT& n2 = *pair.nam2;
+        // only (ref_start, nam_id) of these copies are read in phase B;
+        // both are immutable under reverse_nam_if_needed
+        tmp.type4_nams.push_back(n1);
+        tmp.type4_nams.push_back(n2);
+        tmp.type4_loop_size += 1;
+
+        if (n1.ref_start >= 0) {
+            if (!is_aligned1[n1.nam_id]) {
+                bool cn = reverse_nam_if_needed(n1, read1, eng.refs, k);
+                w.det1.nam_inconsistent += cn ? 0 : 1;
+                tmp.is_read1.push_back(1);
+                tmp.consistent_nam.push_back(cn ? 1 : 0);
+                bool g = extend_seed_part(eng, ch, tmp, n1, read1, cn);
+                is_aligned1[n1.nam_id] = 1;
+                w.det1.tried_alignment += 1;
+                w.det1.gapped += g ? 1 : 0;
+            }
+        } else {
+            bool cn = reverse_nam_if_needed(n2, read2, eng.refs, k);
+            w.det2.nam_inconsistent += cn ? 0 : 1;
+            tmp.is_read1.push_back(1);
+            tmp.consistent_nam.push_back(1);
+            rescue_mate_part(eng, ch, tmp, n2, read1, mu, sigma, k);
+            w.det1.tried_alignment += 1;
+        }
+
+        if (n2.ref_start >= 0) {
+            if (!is_aligned2[n2.nam_id]) {
+                bool cn = reverse_nam_if_needed(n2, read2, eng.refs, k);
+                w.det2.nam_inconsistent += cn ? 0 : 1;
+                tmp.is_read1.push_back(0);
+                tmp.consistent_nam.push_back(cn ? 1 : 0);
+                bool g = extend_seed_part(eng, ch, tmp, n2, read2, cn);
+                is_aligned2[n2.nam_id] = 1;
+                w.det2.tried_alignment += 1;
+                w.det2.gapped += g ? 1 : 0;
+            }
+        } else {
+            bool cn = reverse_nam_if_needed(n1, read1, eng.refs, k);
+            w.det1.nam_inconsistent += cn ? 0 : 1;
+            tmp.is_read1.push_back(0);
+            tmp.consistent_nam.push_back(1);
+            rescue_mate_part(eng, ch, tmp, n1, read2, mu, sigma, k);
+            w.det2.tried_alignment += 1;
+        }
+        n_high_scores++;
+    }
+}
+
+}  // namespace engine
+namespace engine {
+
+// ------------------------------------------------------------------
+// Phase B: result conversion + last-stage scoring/pairing + SAM
+// (pipeline/batched.py fill_results / align_SE_last / rescue_read_last /
+// align_PE_last).
+
+static constexpr i64 INT_MAX_C = 2147483647LL;
+
+// resolve all jobs that have no device result with the host aligner
+static void resolve_host_jobs(EngineC& eng, ChunkC& ch) {
+    for (size_t j = 0; j < ch.jobs.size(); ++j) {
+        if (ch.job_done[j]) continue;
+        const JobC& job = ch.jobs[j];
+        eng.aligner.align(job.q, job.qn, job.t, job.tn, ch.job_results[j]);
+        ch.job_done[j] = 1;
+    }
+}
+
+// AlignmentInfo -> Alignment (pipeline/batched.py fill_results)
+static void fill_results(ChunkC& ch, TmpResC& tmp) {
+    for (size_t j = 0; j < tmp.todo_nams.size(); ++j) {
+        if (tmp.done_align[j]) continue;
+        const AlignmentInfoC& info = ch.job_results[tmp.job_ids[j]];
+        const NamT& nam = tmp.todo_nams[j];
+        i64 ref_start = tmp.job_ref_start[j];
+        AlignmentC& a = tmp.align_res[j];
+        if (tmp.is_extend_seed[j]) {
+            i64 softclipped = info.query_start + (tmp.job_qlen[j] - info.query_end);
+            a.cigar = info.cigar;
+            a.edit_distance = info.edit_distance;
+            a.global_ed = info.edit_distance + (int)softclipped;
+            a.score = info.sw_score;
+            a.ref_start = (int)(ref_start + info.ref_start);
+            a.length = info.ref_span();
+            a.is_rc = nam.is_rc != 0;
+            a.is_unaligned = false;
+            a.ref_id = nam.ref_id;
+            a.gapped = true;
+        } else {
+            a.cigar = info.cigar;
+            a.edit_distance = info.edit_distance;
+            a.score = info.sw_score;
+            a.ref_start = (int)(ref_start + info.ref_start);
+            a.is_rc = nam.is_rc == 0;
+            a.ref_id = nam.ref_id;
+            a.is_unaligned = info.cigar.empty();
+            a.length = info.ref_span();
+        }
+    }
+}
+
+static void align_SE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
+    TmpResC& tmp = w.tmp;
+    const RecordView& rec = ch.records[w.rec1];
+    const ReadC& read = ch.read(w.rec1);
+    DetailsC details;  // phase-B-local; merged into w.det1 by caller
+    if (tmp.type == 0) {
+        sam.add_unmapped(rec);
+        w.det2 = details;
+        return;
+    }
+    std::vector<const AlignmentC*> alignments;
+    i64 tries = 0;
+    const NamT& n_max = tmp.todo_nams[0];
+    i64 max_tries = eng.mp.max_tries;
+    i64 max_secondary = eng.mp.max_secondary;
+
+    i64 best_edit_distance = INT_MAX_C;
+    i64 best_score = 0, second_best_score = 0;
+    i64 alignments_with_best_score = 0;
+    i64 best_index = 0;
+    static const AlignmentC UNALIGNED = [] {
+        AlignmentC a;
+        a.is_unaligned = true;
+        return a;
+    }();
+    const AlignmentC* best_alignment = &UNALIGNED;
+
+    for (size_t i = 0; i < tmp.todo_nams.size(); ++i) {
+        const NamT& nam = tmp.todo_nams[i];
+        double score_dropoff = (double)nam.n_hits / (double)n_max.n_hits;
+        if (tries >= max_tries || (tries > 1 && best_edit_distance == 0) ||
+            score_dropoff < eng.mp.dropoff_threshold)
+            break;
+        details.nam_inconsistent += tmp.consistent_nam[i] ? 0 : 1;
+        const AlignmentC& alignment = tmp.align_res[i];
+        details.tried_alignment += 1;
+        details.gapped += alignment.gapped ? 1 : 0;
+
+        if (max_secondary > 0) alignments.push_back(&alignment);
+        if (alignment.score >= best_score) {
+            second_best_score = best_score;
+            bool update_best = false;
+            if (alignment.score > best_score) {
+                alignments_with_best_score = 1;
+                update_best = true;
+            } else {
+                alignments_with_best_score += 1;
+                if (uniform_int(ch.rng, 1, alignments_with_best_score) == 1)
+                    update_best = true;
+            }
+            if (update_best) {
+                best_score = alignment.score;
+                best_alignment = &alignment;
+                best_index = tries;
+                if (max_secondary == 0) best_edit_distance = alignment.global_ed;
+            }
+        } else if (alignment.score > second_best_score) {
+            second_best_score = alignment.score;
+        }
+        tries++;
+    }
+    int mapq = 0;
+    if (best_score > 0)
+        mapq = (int)((60.0 * (double)(best_score - second_best_score) +
+                      (double)best_score - 1.0) /
+                     (double)best_score) &
+               0xFF;
+    sam.add(*best_alignment, rec, (const u8*)read.rc.data(), mapq, true, details);
+    w.det2 = details;  // stash phase-B details for the caller to merge
+
+    if (max_secondary == 0) return;
+    if (alignments.size() > 1)
+        std::swap(alignments[best_index], alignments.back());
+    if (!alignments.empty()) alignments.pop_back();
+    std::stable_sort(alignments.begin(), alignments.end(),
+                     [](const AlignmentC* a, const AlignmentC* b) {
+                         return a->score > b->score;
+                     });
+    i64 n = 0;
+    for (const AlignmentC* alignment : alignments) {
+        if (n >= max_secondary ||
+            alignment->score - best_score >
+                2 * eng.ap.mismatch + eng.ap.gap_open)
+            break;
+        sam.add(*alignment, rec, (const u8*)read.rc.data(), mapq, false, details);
+        n++;
+    }
+}
+
+// map/pe.py get_best_scoring_pairs / reference src/aln.cpp:536-558
+struct ScoredPairC {
+    double score;
+    const AlignmentC* a1;
+    const AlignmentC* a2;
+};
+
+static void get_best_scoring_pairs(const std::vector<const AlignmentC*>& as1,
+                                   const std::vector<const AlignmentC*>& as2,
+                                   double mu, double sigma,
+                                   std::vector<ScoredPairC>& pairs) {
+    pairs.clear();
+    for (const AlignmentC* a1 : as1)
+        for (const AlignmentC* a2 : as2) {
+            i64 dist = std::abs((i64)a1->ref_start - a2->ref_start);
+            double score = (double)(a1->score + a2->score);
+            if ((a1->is_rc != a2->is_rc) && ((double)dist < mu + 4.0 * sigma))
+                score += (double)std::log(
+                    normal_pdf_f32((float)dist, (float)mu, (float)sigma));
+            else
+                score -= 10.0;
+            pairs.push_back({score, a1, a2});
+        }
+}
+
+// reference src/aln.cpp:1149-1171 (in place, keeps first of each run)
+static void deduplicate_scored_pairs(std::vector<ScoredPairC>& pairs) {
+    if (pairs.empty()) return;
+    auto key = [](const ScoredPairC& p) {
+        return std::make_tuple(p.a1->ref_start, p.a2->ref_start, p.a1->ref_id,
+                               p.a2->ref_id);
+    };
+    auto prev = key(pairs[0]);
+    size_t j = 1;
+    for (size_t i = 1; i < pairs.size(); ++i) {
+        auto cur = key(pairs[i]);
+        if (cur != prev) {
+            prev = cur;
+            pairs[j++] = pairs[i];
+        }
+    }
+    pairs.resize(j);
+}
+
+// reference src/aln.cpp:1177-1193
+static void pick_random_top_pair(std::vector<ScoredPairC>& high_scores,
+                                 MinstdRand& g) {
+    size_t i = 1;
+    while (i < high_scores.size() && high_scores[i].score == high_scores[0].score)
+        i++;
+    if (i > 1) {
+        i64 random_index = uniform_int(g, 0, (i64)i - 1);
+        if (random_index != 0) std::swap(high_scores[0], high_scores[random_index]);
+    }
+}
+
+// reference src/aln.cpp:506-527
+static std::pair<int, int> joint_mapq_from_high_scores(
+    const std::vector<ScoredPairC>& pairs) {
+    if (pairs.size() <= 1) return {60, 60};
+    double score1 = pairs[0].score;
+    double score2 = pairs[1].score;
+    if (score1 == score2) return {0, 0};
+    int diff = (int)(score1 - score2);
+    int mapq;
+    if (score1 > 0 && score2 > 0)
+        mapq = std::min(60, diff);
+    else if (score1 > 0 && score2 <= 0)
+        mapq = 60;
+    else
+        mapq = 1;
+    return {mapq, mapq};
+}
+
+static void sort_alignment_ptrs(std::vector<const AlignmentC*>& v) {
+    std::stable_sort(v.begin(), v.end(),
+                     [](const AlignmentC* a, const AlignmentC* b) {
+                         return a->score > b->score;
+                     });
+}
+
+// pipeline/batched.py rescue_read_last (reference src/aln.cpp:1983-2080)
+static void rescue_read_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam,
+                             bool swap_r1r2) {
+    TmpResC& tmp = w.tmp;
+    double mu = eng.isize.mu, sigma = eng.isize.sigma;
+    // record/read roles: read1 = the read that had NAMs
+    i64 rec1i = swap_r1r2 ? w.rec2 : w.rec1;
+    i64 rec2i = swap_r1r2 ? w.rec1 : w.rec2;
+    const RecordView& record1 = ch.records[rec1i];
+    const RecordView& record2 = ch.records[rec2i];
+    const ReadC& read1 = ch.read(rec1i);
+    const ReadC& read2 = ch.read(rec2i);
+    std::vector<const AlignmentC*> alignments1, alignments2;
+    size_t res_num = tmp.todo_nams.size();
+    for (size_t i = 0; i + 1 < res_num; i += 2) {
+        alignments1.push_back(&tmp.align_res[i]);
+        alignments2.push_back(&tmp.align_res[i + 1]);
+        // always details[1] — the reference does not swap the details array
+        // in the rescue path (see map/pe.py rescue_read note)
+        w.det2.mate_rescue += tmp.align_res[i + 1].is_unaligned ? 0 : 1;
+    }
+    sort_alignment_ptrs(alignments1);
+    sort_alignment_ptrs(alignments2);
+
+    std::vector<ScoredPairC> high_scores;
+    get_best_scoring_pairs(alignments1, alignments2, mu, sigma, high_scores);
+    std::stable_sort(high_scores.begin(), high_scores.end(),
+                     [](const ScoredPairC& a, const ScoredPairC& b) {
+                         return a.score > b.score;
+                     });
+    deduplicate_scored_pairs(high_scores);
+    pick_random_top_pair(high_scores, ch.rng);
+    auto [mapq1, mapq2] = joint_mapq_from_high_scores(high_scores);
+    double secondary_dropoff = 2.0 * eng.ap.mismatch + eng.ap.gap_open;
+
+    if (eng.mp.max_secondary == 0) {
+        const ScoredPairC& best = high_scores[0];
+        if (swap_r1r2)
+            sam.add_pair(*best.a2, *best.a1, record2, record1,
+                         (const u8*)read2.rc.data(), (const u8*)read1.rc.data(),
+                         mapq2, mapq1, is_proper_pair_c(*best.a2, *best.a1, mu, sigma),
+                         true, w.det1, w.det2);
+        else
+            sam.add_pair(*best.a1, *best.a2, record1, record2,
+                         (const u8*)read1.rc.data(), (const u8*)read2.rc.data(),
+                         mapq1, mapq2, is_proper_pair_c(*best.a1, *best.a2, mu, sigma),
+                         true, w.det1, w.det2);
+        return;
+    }
+    i64 max_out = std::min((i64)high_scores.size(), eng.mp.max_secondary);
+    bool is_primary = true;
+    double s_max = high_scores[0].score;
+    for (i64 i = 0; i < max_out; ++i) {
+        if (i > 0) {
+            is_primary = false;
+            mapq1 = 0;
+            mapq2 = 0;
+        }
+        const ScoredPairC& pair = high_scores[i];
+        if (s_max - pair.score < secondary_dropoff) {
+            if (swap_r1r2)
+                sam.add_pair(*pair.a2, *pair.a1, record2, record1,
+                             (const u8*)read2.rc.data(),
+                             (const u8*)read1.rc.data(), mapq2, mapq1,
+                             is_proper_pair_c(*pair.a2, *pair.a1, mu, sigma),
+                             is_primary, w.det2, w.det1);
+            else
+                sam.add_pair(*pair.a1, *pair.a2, record1, record2,
+                             (const u8*)read1.rc.data(),
+                             (const u8*)read2.rc.data(), mapq1, mapq2,
+                             is_proper_pair_c(*pair.a1, *pair.a2, mu, sigma),
+                             is_primary, w.det1, w.det2);
+        } else {
+            break;
+        }
+    }
+}
+
+// pipeline/batched.py align_PE_last (reference src/aln.cpp:2083-2306)
+static void align_PE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
+    TmpResC& tmp = w.tmp;
+    double mu = eng.isize.mu, sigma = eng.isize.sigma;
+    double secondary_dropoff = 2.0 * eng.ap.mismatch + eng.ap.gap_open;
+    i64 max_secondary = eng.mp.max_secondary;
+    const RecordView& record1 = ch.records[w.rec1];
+    const RecordView& record2 = ch.records[w.rec2];
+    const ReadC& read1 = ch.read(w.rec1);
+    const ReadC& read2 = ch.read(w.rec2);
+
+    if (tmp.type == 0) {
+        sam.add_unmapped_pair(record1, record2);
+        return;
+    }
+    if (tmp.type == 1) {
+        rescue_read_last(eng, ch, w, sam, false);
+        return;
+    }
+    if (tmp.type == 2) {
+        rescue_read_last(eng, ch, w, sam, true);
+        return;
+    }
+    if (tmp.type == 3) {
+        const AlignmentC& a1 = tmp.align_res[0];
+        const AlignmentC& a2 = tmp.align_res[1];
+        bool is_proper = is_proper_pair_c(a1, a2, mu, sigma);
+        sam.add_pair(a1, a2, record1, record2, (const u8*)read1.rc.data(),
+                     (const u8*)read2.rc.data(), tmp.mapq1, tmp.mapq2, is_proper,
+                     true, w.det1, w.det2);
+        return;
+    }
+
+    // type 4
+    size_t pos = 0;
+    // nam_id -> alignment cache, replayed in phase-A order
+    std::vector<const AlignmentC*> is_aligned1, is_aligned2;
+    i64 max_id = 0;
+    for (const auto& n : tmp.type4_nams) max_id = std::max(max_id, (i64)n.nam_id);
+    for (const auto& n : tmp.todo_nams) max_id = std::max(max_id, (i64)n.nam_id);
+    is_aligned1.assign(max_id + 1, nullptr);
+    is_aligned2.assign(max_id + 1, nullptr);
+
+    const NamT& n1_max = tmp.todo_nams[pos];
+    const AlignmentC* a1_indv_max = &tmp.align_res[pos];
+    is_aligned1[n1_max.nam_id] = a1_indv_max;
+    pos++;
+    const NamT& n2_max = tmp.todo_nams[pos];
+    const AlignmentC* a2_indv_max = &tmp.align_res[pos];
+    is_aligned2[n2_max.nam_id] = a2_indv_max;
+    pos++;
+
+    std::vector<ScoredPairC> high_scores;
+    for (i64 i = 0; i < tmp.type4_loop_size; ++i) {
+        const NamT& n1 = tmp.type4_nams[2 * i];
+        const NamT& n2 = tmp.type4_nams[2 * i + 1];
+        const AlignmentC* a1;
+        const AlignmentC* a2;
+        if (n1.ref_start >= 0) {
+            if (is_aligned1[n1.nam_id]) {
+                a1 = is_aligned1[n1.nam_id];
+            } else {
+                a1 = &tmp.align_res[pos++];
+                is_aligned1[n1.nam_id] = a1;
+            }
+        } else {
+            a1 = &tmp.align_res[pos++];
+            w.det1.mate_rescue += a1->is_unaligned ? 0 : 1;
+        }
+        if (a1->score > a1_indv_max->score) a1_indv_max = a1;
+
+        if (n2.ref_start >= 0) {
+            if (is_aligned2[n2.nam_id]) {
+                a2 = is_aligned2[n2.nam_id];
+            } else {
+                a2 = &tmp.align_res[pos++];
+                is_aligned2[n2.nam_id] = a2;
+            }
+        } else {
+            a2 = &tmp.align_res[pos++];
+            w.det2.mate_rescue += a2->is_unaligned ? 0 : 1;
+        }
+        if (a2->score > a2_indv_max->score) a2_indv_max = a2;
+
+        bool r1_r2 = a2->is_rc && (a1->ref_start <= a2->ref_start) &&
+                     ((double)(a2->ref_start - a1->ref_start) < mu + 10.0 * sigma);
+        bool r2_r1 = a1->is_rc && (a2->ref_start <= a1->ref_start) &&
+                     ((double)(a1->ref_start - a2->ref_start) < mu + 10.0 * sigma);
+        double combined_score;
+        if (r1_r2 || r2_r1) {
+            i64 x = std::abs((i64)a1->ref_start - a2->ref_start);
+            double lp =
+                (double)std::log(normal_pdf_f32((float)x, (float)mu, (float)sigma));
+            combined_score = (double)a1->score + (double)a2->score +
+                             std::max((double)(-20.0f + 0.001f), lp);
+        } else {
+            combined_score = (double)a1->score + (double)a2->score - 20.0;
+        }
+        high_scores.push_back({combined_score, a1, a2});
+    }
+    double combined_score =
+        (double)a1_indv_max->score + (double)a2_indv_max->score - 20.0;
+    high_scores.push_back({combined_score, a1_indv_max, a2_indv_max});
+
+    std::stable_sort(high_scores.begin(), high_scores.end(),
+                     [](const ScoredPairC& a, const ScoredPairC& b) {
+                         return a.score > b.score;
+                     });
+    deduplicate_scored_pairs(high_scores);
+    pick_random_top_pair(high_scores, ch.rng);
+
+    auto [mapq1, mapq2] = joint_mapq_from_high_scores(high_scores);
+    const ScoredPairC& best = high_scores[0];
+    if (max_secondary == 0) {
+        bool is_proper = is_proper_pair_c(*best.a1, *best.a2, mu, sigma);
+        sam.add_pair(*best.a1, *best.a2, record1, record2,
+                     (const u8*)read1.rc.data(), (const u8*)read2.rc.data(),
+                     mapq1, mapq2, is_proper, true, w.det1, w.det2);
+    } else {
+        i64 max_out = std::min((i64)high_scores.size(), max_secondary);
+        double s_max = best.score;
+        bool is_primary = true;
+        for (i64 i = 0; i < max_out; ++i) {
+            const ScoredPairC& pair = high_scores[i];
+            if (i > 0) {
+                is_primary = false;
+                mapq1 = 255;
+                mapq2 = 255;
+            }
+            if (s_max - pair.score < secondary_dropoff) {
+                bool is_proper = is_proper_pair_c(*pair.a1, *pair.a2, mu, sigma);
+                sam.add_pair(*pair.a1, *pair.a2, record1, record2,
+                             (const u8*)read1.rc.data(),
+                             (const u8*)read2.rc.data(), mapq1, mapq2, is_proper,
+                             is_primary, w.det1, w.det2);
+            } else {
+                break;
+            }
+        }
+    }
+}
+
+}  // namespace engine
+namespace engine {
+
+// ------------------------------------------------------------------
+// PAF output (io/paf.py / reference src/paf.cpp) and the PE PAF
+// location pick (map/pe.py get_best_map_location).
+
+static void output_hits_paf_one(std::string& out, const NamT& n,
+                                const RecordView& rec, const RefsView& refs,
+                                i64 read_len) {
+    if (n.ref_start < 0) return;
+    out.append((const char*)rec.name, rec.name_len);
+    out.push_back('\t');
+    append_int(out, read_len);
+    out.push_back('\t');
+    append_int(out, n.query_start);
+    out.push_back('\t');
+    append_int(out, n.query_end);
+    out.push_back('\t');
+    out.push_back(n.is_rc ? '-' : '+');
+    out.push_back('\t');
+    out.append(refs.names[n.ref_id]);
+    out.push_back('\t');
+    append_int(out, refs.len(n.ref_id));
+    out.push_back('\t');
+    append_int(out, n.ref_start);
+    out.push_back('\t');
+    append_int(out, n.ref_end);
+    out.push_back('\t');
+    append_int(out, n.n_hits);
+    out.push_back('\t');
+    append_int(out, n.ref_end - n.ref_start);
+    out.append("\t255\n");
+}
+
+static void get_best_map_location(EngineC& eng, std::vector<NamT>& nams1,
+                                  std::vector<NamT>& nams2, NamT& best1,
+                                  NamT& best2) {
+    std::deque<NamT> dummy_pool;
+    std::vector<NamPairC> joint;
+    get_best_scoring_nam_pairs(nams1, nams2, eng.isize.mu, eng.isize.sigma,
+                               joint, dummy_pool);
+    best1 = NamT{};
+    best1.ref_start = -1;
+    best2 = NamT{};
+    best2.ref_start = -1;
+    if (joint.empty()) return;
+
+    const NamT* n1_joint_max = nullptr;
+    const NamT* n2_joint_max = nullptr;
+    double score_joint = 0.0, score_indiv = 0.0;
+    for (const auto& t : joint) {
+        if (t.nam1->ref_start >= 0 && t.nam2->ref_start >= 0) {
+            score_joint = (double)t.nam1->score + (double)t.nam2->score;
+            n1_joint_max = t.nam1;
+            n2_joint_max = t.nam2;
+            break;
+        }
+    }
+    if (!nams1.empty()) {
+        score_indiv += (double)nams1[0].score - (double)nams1[0].score / 2.0;
+        best1 = nams1[0];
+    }
+    if (!nams2.empty()) {
+        score_indiv += (double)nams2[0].score - (double)nams2[0].score / 2.0;
+        best2 = nams2[0];
+    }
+    if (score_joint > score_indiv) {
+        best1 = *n1_joint_max;
+        best2 = *n2_joint_max;
+    }
+    if (eng.isize.sample_size < 400 && score_joint > score_indiv)
+        eng.isize.update(
+            std::abs((i64)n1_joint_max->ref_start - n2_joint_max->ref_start));
+}
+
+}  // namespace engine
+
+// ------------------------------------------------------------------
+// ctypes API.
+
+extern "C" {
+
+void* engine_create(
+    // index view
+    const u64* hashes, const u32* positions, const u32* packed,
+    const u64* buckets, u64 n_index, int bits, u32 filter_cutoff,
+    // seeding params
+    int k, int s, int t, int wmin, int wmax, u64 qmask, int max_dist,
+    u32 rescue_cutoff, int rescue_level,
+    // references
+    const u8* ref_seqs, const i64* ref_offsets, const u8* ref_names,
+    const i64* ref_name_offsets, i64 n_refs,
+    // alignment params
+    int match, int mismatch, int gap_open, int gap_extend, int end_bonus,
+    // mapping params
+    double dropoff, i64 max_tries, i64 max_secondary, int is_sam_out,
+    // output options
+    int cigar_eqx, int output_unmapped, int show_details, const char* rg_tail) {
+    auto* eng = new engine::EngineC();
+    eng->ix = IndexView{hashes, positions, packed, buckets,
+                        n_index, bits,      filter_cutoff, k};
+    eng->sp = engine::SeedParams{k, s, t, wmin, wmax, max_dist, qmask};
+    eng->refs.seqs = ref_seqs;
+    eng->refs.off = ref_offsets;
+    eng->refs.n = n_refs;
+    eng->refs.names.reserve(n_refs);
+    for (i64 i = 0; i < n_refs; ++i)
+        eng->refs.names.emplace_back((const char*)ref_names + ref_name_offsets[i],
+                                     ref_name_offsets[i + 1] - ref_name_offsets[i]);
+    eng->ap = engine::AlnParams{match, mismatch, gap_open, gap_extend, end_bonus};
+    eng->aligner.p = eng->ap;
+    eng->mp.dropoff_threshold = dropoff;
+    eng->mp.max_tries = max_tries;
+    eng->mp.max_secondary = max_secondary;
+    eng->mp.rescue_level = rescue_level;
+    eng->mp.rescue_cutoff = rescue_cutoff;
+    eng->mp.is_sam_out = is_sam_out != 0;
+    eng->cigar_eqx = cigar_eqx != 0;
+    eng->output_unmapped = output_unmapped != 0;
+    eng->show_details = show_details != 0;
+    eng->rg_tail = rg_tail;
+    return eng;
+}
+
+void engine_free(void* e) { delete (engine::EngineC*)e; }
+
+// counters: [aligner_calls, tot_all_tried, inconsistent_nams, nam_rescue,
+// tot_rescued, fallbacks]
+void engine_counters(void* e, i64* out) {
+    auto* eng = (engine::EngineC*)e;
+    out[0] = eng->aligner.calls;
+    out[1] = eng->stats.tot_all_tried;
+    out[2] = eng->stats.inconsistent_nams;
+    out[3] = eng->stats.nam_rescue;
+    out[4] = eng->stats.tot_rescued;
+    out[5] = eng->fallbacks;
+}
+
+void engine_isize(void* e, double* out) {
+    auto* eng = (engine::EngineC*)e;
+    out[0] = eng->isize.mu;
+    out[1] = eng->isize.sigma;
+    out[2] = eng->isize.sample_size;
+}
+
+void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
+                     const u8* names, const i64* name_off, const u8* quals,
+                     const i64* qual_off, i64 n_pairs, i64 n_singles,
+                     u64 chunk_seed) {
+    auto* eng = (engine::EngineC*)e;
+    auto* ch = new engine::ChunkC();
+    ch->eng = eng;
+    ch->rng.reseed(chunk_seed);
+    ch->n_pairs = n_pairs;
+    ch->n_singles = n_singles;
+    i64 n_records = 2 * n_pairs + n_singles;
+    ch->seqs.assign((const char*)seqs, seq_off[n_records]);
+    ch->names.assign((const char*)names, name_off[n_records]);
+    ch->quals.assign((const char*)quals, qual_off[n_records]);
+    ch->records.resize(n_records);
+    ch->reads.resize(n_records);
+    ch->read_ready.assign(n_records, 0);
+    for (i64 i = 0; i < n_records; ++i) {
+        engine::RecordView& r = ch->records[i];
+        r.seq = (const u8*)ch->seqs.data() + seq_off[i];
+        r.seq_len = seq_off[i + 1] - seq_off[i];
+        r.name = (const u8*)ch->names.data() + name_off[i];
+        r.name_len = name_off[i + 1] - name_off[i];
+        r.qual = (const u8*)ch->quals.data() + qual_off[i];
+        r.qual_len = qual_off[i + 1] - qual_off[i];
+    }
+
+    engine::SeedScratch ss;
+    std::vector<Nam> nams1, nams2;
+    ch->work.reserve(n_pairs + n_singles);
+    for (i64 p = 0; p < n_pairs; ++p) {
+        i64 i1 = 2 * p, i2 = 2 * p + 1;
+        ch->work.emplace_back();
+        engine::WorkItem& w = ch->work.back();
+        w.rec1 = i1;
+        w.rec2 = i2;
+        engine::nams_for_read(*eng, ch->records[i1].seq, ch->records[i1].seq_len,
+                              ss, ch->rng, w.det1, nams1);
+        engine::nams_for_read(*eng, ch->records[i2].seq, ch->records[i2].seq_len,
+                              ss, ch->rng, w.det2, nams2);
+        if (!eng->mp.is_sam_out) {
+            w.kind = 0;
+            Nam b1, b2;
+            engine::get_best_map_location(*eng, nams1, nams2, b1, b2);
+            engine::output_hits_paf_one(ch->out, b1, ch->records[i1], eng->refs,
+                                        ch->records[i1].seq_len);
+            engine::output_hits_paf_one(ch->out, b2, ch->records[i2], eng->refs,
+                                        ch->records[i2].seq_len);
+        } else {
+            w.kind = 2;
+            engine::align_PE_part(*eng, *ch, w, nams1, nams2, ch->read(i1),
+                                  ch->read(i2));
+        }
+    }
+    for (i64 si = 0; si < n_singles; ++si) {
+        i64 i = 2 * n_pairs + si;
+        ch->work.emplace_back();
+        engine::WorkItem& w = ch->work.back();
+        w.rec1 = i;
+        engine::nams_for_read(*eng, ch->records[i].seq, ch->records[i].seq_len,
+                              ss, ch->rng, w.det1, nams1);
+        if (!eng->mp.is_sam_out) {
+            w.kind = 0;
+            if (!nams1.empty())
+                engine::output_hits_paf_one(ch->out, nams1[0], ch->records[i],
+                                            eng->refs, ch->records[i].seq_len);
+        } else {
+            w.kind = 1;
+            engine::align_SE_part(*eng, *ch, w, nams1, ch->read(i));
+        }
+    }
+    ch->job_results.resize(ch->jobs.size());
+    ch->job_done.assign(ch->jobs.size(), 0);
+    return ch;
+}
+
+i64 chunk_n_jobs(void* c) { return (i64)((engine::ChunkC*)c)->jobs.size(); }
+
+void chunk_job_lens(void* c, int32_t* qlens, int32_t* tlens) {
+    auto* ch = (engine::ChunkC*)c;
+    for (size_t j = 0; j < ch->jobs.size(); ++j) {
+        qlens[j] = (int32_t)ch->jobs[j].qn;
+        tlens[j] = (int32_t)ch->jobs[j].tn;
+    }
+}
+
+// Fill a packed device input buffer (ops/extend_device.py pack_input
+// layout): rows 0..Q-1 query codes, Q..Q+T-1 target codes, then qlen
+// lo/hi and tlen lo/hi rows. out is (Q+T+4, B) row-major; columns beyond
+// n_idx are zero-length.
+void chunk_fill_batch(void* c, const i64* idxs, i64 n_idx, i64 B, i64 Q, i64 T,
+                      u8* out) {
+    auto* ch = (engine::ChunkC*)c;
+    i64 rows = Q + T + 4;
+    memset(out, 0, (size_t)(rows * B));
+    // pad code is 4 ('N')
+    memset(out, 4, (size_t)((Q + T) * B));
+    for (i64 b = 0; b < n_idx; ++b) {
+        const engine::JobC& job = ch->jobs[idxs[b]];
+        for (i64 r = 0; r < job.qn; ++r) out[r * B + b] = (u8)nt4(job.q[r]);
+        for (i64 r = 0; r < job.tn; ++r)
+            out[(Q + r) * B + b] = (u8)nt4(job.t[r]);
+        out[(Q + T) * B + b] = (u8)(job.qn & 0xFF);
+        out[(Q + T + 1) * B + b] = (u8)((job.qn >> 8) & 0xFF);
+        out[(Q + T + 2) * B + b] = (u8)(job.tn & 0xFF);
+        out[(Q + T + 3) * B + b] = (u8)((job.tn >> 8) & 0xFF);
+    }
+}
+
+// Ingest a device output buffer (ops/extend_device.py packed output):
+// rows 0..Dpad-1 op stream, then 6 u16 rows (score, t_end, q_end,
+// t_begin, q_begin, edits). Decodes cigars, validates, and runs the
+// end-bonus post-processing; jobs that fail validation stay unresolved
+// and fall back to the host aligner in phase B.
+void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
+                              const i64* idxs, i64 n_idx) {
+    auto* eng = (engine::EngineC*)e;
+    auto* ch = (engine::ChunkC*)c;
+    i64 Dpad = ((D + 7) / 8) * 8;
+    // device op code -> cigar op
+    static const int OPMAP[5] = {-1, engine::OP_EQ, engine::OP_X, engine::OP_I,
+                                 engine::OP_D};
+    engine::CigarC cigar;
+    for (i64 b = 0; b < n_idx; ++b) {
+        i64 j = idxs[b];
+        const engine::JobC& job = ch->jobs[j];
+        auto u16row = [&](i64 i) -> i64 {
+            return (i64)dev[(Dpad + 2 * i) * B + b] |
+                   ((i64)dev[(Dpad + 2 * i + 1) * B + b] << 8);
+        };
+        i64 score = u16row(0), t_end = u16row(1), q_end = u16row(2);
+        i64 t_begin = u16row(3), q_begin = u16row(4), edits = u16row(5);
+        engine::AlignmentInfoC& res = ch->job_results[j];
+        if (score <= 0) {
+            // nothing aligned: same failure values as the host path
+            res = engine::AlignmentInfoC();
+            res.edit_distance = 100000;
+            res.ref_start = 0;
+            res.sw_score = -100000;
+            ch->job_done[j] = 1;
+            continue;
+        }
+        cigar.clear();
+        i64 span_q = 0, span_t = 0;
+        for (i64 r = 0; r < D; ++r) {
+            u8 v = dev[r * B + b];
+            if (!v || v > 4) continue;
+            int op = OPMAP[v];
+            cigar.push(op, 1);
+            if (op != engine::OP_D) span_q++;
+            if (op != engine::OP_I) span_t++;
+        }
+        if (cigar.empty() || span_q != q_end + 1 - q_begin ||
+            span_t != t_end + 1 - t_begin) {
+            eng->fallbacks++;  // gasal_fail analog -> host re-align
+            continue;
+        }
+        eng->aligner.align_from_ends(job.q, job.qn, job.t, job.tn, (int)score,
+                                     q_begin, q_end + 1, t_begin, t_end + 1,
+                                     cigar, (int)edits, res);
+        ch->job_done[j] = 1;
+    }
+}
+
+void engine_chunk_b(void* e, void* c) {
+    auto* eng = (engine::EngineC*)e;
+    auto* ch = (engine::ChunkC*)c;
+    engine::resolve_host_jobs(*eng, *ch);
+    engine::SamC sam;
+    sam.out = &ch->out;
+    sam.refs = &eng->refs;
+    sam.eqx = eng->cigar_eqx;
+    sam.output_unmapped = eng->output_unmapped;
+    sam.show_details = eng->show_details;
+    sam.tail = eng->rg_tail;
+    for (auto& w : ch->work) {
+        if (w.kind == 0) continue;
+        engine::fill_results(*ch, w.tmp);
+        if (w.kind == 1) {
+            engine::align_SE_last(*eng, *ch, w, sam);
+            // merge the phase-B replay details (stashed in det2) the way
+            // phase_b_chunk does, then record statistics
+            w.det1.nam_inconsistent += w.det2.nam_inconsistent;
+            w.det1.tried_alignment += w.det2.tried_alignment;
+            w.det1.gapped += w.det2.gapped;
+            eng->stats.add(w.det1);
+        } else {
+            engine::align_PE_last(*eng, *ch, w, sam);
+            eng->stats.add(w.det1);
+            eng->stats.add(w.det2);
+        }
+    }
+}
+
+i64 chunk_out_len(void* c) { return (i64)((engine::ChunkC*)c)->out.size(); }
+
+void chunk_out_copy(void* c, char* dst) {
+    auto* ch = (engine::ChunkC*)c;
+    memcpy(dst, ch->out.data(), ch->out.size());
+}
+
+void chunk_free(void* c) { delete (engine::ChunkC*)c; }
+
+}  // extern "C"

@@ -1,0 +1,280 @@
+"""ctypes wrapper around the native mapping engine (engine.cpp).
+
+`NativeEngine` owns an engine handle (index + references + parameters +
+persistent insert-size/statistics state); `chunk_a` runs phase A for one
+chunk of reads (seeding, NAM chaining, mapping decisions, Hamming fast
+path) and returns a `NativeChunk` carrying the pending gapped-extension
+jobs; the caller dispatches those to the TPU in fixed-shape buckets
+(`fill_batch` packs the device input buffer natively) and feeds the raw
+device outputs back via `set_device_results`; `chunk_b` finishes
+pairing/rescue/mapq and SAM or PAF formatting and returns the output
+text. Jobs without device results (no bucket, failed validation) are
+re-aligned natively with the built-in SSW — the reference's `gasal_fail`
+CPU fallback (/root/reference/src/pc.cpp:446-478).
+
+All calls release the GIL, so chunks can be processed on worker threads.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import load_seednam
+
+# (Q, T) device buckets — must stay in sync with ops/batch_extend.py
+ENGINE_BUCKETS: Tuple[Tuple[int, int], ...] = ((256, 512), (256, 1536), (512, 2048))
+
+_configured = False
+
+
+def _lib():
+    lib = load_seednam()  # engine.so also exports the seednam entry points
+    if lib is None:
+        return None
+    global _configured
+    if not _configured:
+        c = ctypes
+        lib.engine_create.restype = c.c_void_p
+        lib.engine_create.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,  # index arrays
+            c.c_uint64, c.c_int, c.c_uint32,                 # n, bits, cutoff
+            c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,     # k s t wmin wmax
+            c.c_uint64, c.c_int,                             # qmask max_dist
+            c.c_uint32, c.c_int,                             # rescue cutoff/level
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,  # refs
+            c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,     # A B O E L
+            c.c_double, c.c_int64, c.c_int64, c.c_int,       # dropoff tries sec sam
+            c.c_int, c.c_int, c.c_int, c.c_char_p,           # eqx unmapped det rg
+        ]
+        lib.engine_free.argtypes = [c.c_void_p]
+        lib.engine_counters.argtypes = [c.c_void_p, c.c_void_p]
+        lib.engine_isize.argtypes = [c.c_void_p, c.c_void_p]
+        lib.engine_chunk_a.restype = c.c_void_p
+        lib.engine_chunk_a.argtypes = [
+            c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_int64, c.c_int64, c.c_uint64,
+        ]
+        lib.chunk_n_jobs.restype = c.c_int64
+        lib.chunk_n_jobs.argtypes = [c.c_void_p]
+        lib.chunk_job_lens.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
+        lib.chunk_fill_batch.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+            c.c_void_p,
+        ]
+        lib.chunk_set_device_results.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+            c.c_void_p, c.c_int64,
+        ]
+        lib.engine_chunk_b.argtypes = [c.c_void_p, c.c_void_p]
+        lib.chunk_out_len.restype = c.c_int64
+        lib.chunk_out_len.argtypes = [c.c_void_p]
+        lib.chunk_out_copy.argtypes = [c.c_void_p, c.c_void_p]
+        lib.chunk_free.argtypes = [c.c_void_p]
+        _configured = True
+    return lib
+
+
+def engine_available() -> bool:
+    return _lib() is not None
+
+
+def _offsets(items: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+    off = np.zeros(len(items) + 1, dtype=np.int64)
+    for i, b in enumerate(items):
+        off[i + 1] = off[i] + len(b)
+    blob = b"".join(items)
+    arr = np.frombuffer(blob, dtype=np.uint8) if blob else np.zeros(1, np.uint8)
+    return arr, off
+
+
+class NativeChunk:
+    __slots__ = ("handle", "n_jobs", "qlens", "tlens", "lib", "closed")
+
+    def __init__(self, lib, handle: int):
+        self.lib = lib
+        self.handle = handle
+        self.closed = False
+        self.n_jobs = int(lib.chunk_n_jobs(handle))
+        self.qlens = np.zeros(max(self.n_jobs, 1), dtype=np.int32)
+        self.tlens = np.zeros(max(self.n_jobs, 1), dtype=np.int32)
+        if self.n_jobs:
+            lib.chunk_job_lens(handle, self.qlens.ctypes.data, self.tlens.ctypes.data)
+
+    def free(self) -> None:
+        if not self.closed:
+            self.lib.chunk_free(self.handle)
+            self.closed = True
+
+    def __del__(self):  # pragma: no cover - defensive
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
+class NativeEngine:
+    """One engine instance per worker (its insert-size estimator and
+    statistics are per-worker, like the reference's per-thread state)."""
+
+    def __init__(
+        self,
+        index,
+        index_parameters,
+        references,
+        aln_params,
+        map_param,
+        read_group_id: str = "",
+        buckets: Tuple[Tuple[int, int], ...] = ENGINE_BUCKETS,
+    ):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native engine unavailable")
+        self.lib = lib
+        self.buckets = buckets
+        # keep every borrowed array alive for the engine lifetime
+        self._keep = []
+        ref_blob, ref_off = _offsets(references.sequences)
+        name_blob, name_off = _offsets([n.encode() for n in references.names])
+        self._keep += [ref_blob, ref_off, name_blob, name_off, index]
+        sp = index_parameters.syncmer
+        rp = index_parameters.randstrobe
+        rg_tail = b"\n" if not read_group_id else f"\tRG:Z:{read_group_id}\n".encode()
+        self.handle = lib.engine_create(
+            index.hashes.ctypes.data, index.positions.ctypes.data,
+            index.packed.ctypes.data, index.randstrobe_start_indices.ctypes.data,
+            ctypes.c_uint64(index.hashes.shape[0]), index.bits,
+            ctypes.c_uint32(index.filter_cutoff),
+            sp.k, sp.s, sp.t_syncmer, rp.w_min, rp.w_max,
+            ctypes.c_uint64(rp.q), rp.max_dist,
+            ctypes.c_uint32(map_param.rescue_cutoff), map_param.rescue_level,
+            ref_blob.ctypes.data, ref_off.ctypes.data,
+            name_blob.ctypes.data, name_off.ctypes.data, len(references),
+            aln_params.match, aln_params.mismatch, aln_params.gap_open,
+            aln_params.gap_extend, aln_params.end_bonus,
+            map_param.dropoff_threshold, map_param.max_tries,
+            map_param.max_secondary, int(map_param.is_sam_out),
+            int(map_param.cigar_eqx), int(map_param.output_unmapped),
+            int(map_param.details), rg_tail,
+        )
+
+    def close(self) -> None:
+        if self.handle:
+            self.lib.engine_free(self.handle)
+            self.handle = None
+
+    def __del__(self):  # pragma: no cover - defensive
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # --- phase A -------------------------------------------------------
+
+    def chunk_a(self, records1, records2, records3, chunk_seed: int) -> NativeChunk:
+        """records1/records2: paired lists (or records1 = singles when
+        records2 is empty); records3: extra singles. Mirrors
+        pipeline/batched.py phase_a_chunk's processing order."""
+        is_pe = bool(records2)
+        seqs: List[bytes] = []
+        names: List[bytes] = []
+        quals: List[bytes] = []
+
+        def push(rec):
+            seqs.append(rec.seq)
+            n = rec.name
+            names.append(n if isinstance(n, bytes) else n.encode())
+            quals.append(rec.qual or b"")
+
+        n_pairs = 0
+        if is_pe:
+            n_pairs = len(records1)
+            for r1, r2 in zip(records1, records2):
+                push(r1)
+                push(r2)
+            singles = list(records3)
+        else:
+            singles = list(records1) + list(records3)
+        for rec in singles:
+            push(rec)
+
+        seq_blob, seq_off = _offsets(seqs)
+        name_blob, name_off = _offsets(names)
+        qual_blob, qual_off = _offsets(quals)
+        handle = self.lib.engine_chunk_a(
+            self.handle,
+            seq_blob.ctypes.data, seq_off.ctypes.data,
+            name_blob.ctypes.data, name_off.ctypes.data,
+            qual_blob.ctypes.data, qual_off.ctypes.data,
+            n_pairs, len(singles), ctypes.c_uint64(chunk_seed),
+        )
+        return NativeChunk(self.lib, handle)
+
+    # --- device round trip ----------------------------------------------
+
+    def plan_batches(self, chunk: NativeChunk, batch_size: int):
+        """Group jobs into (Q, T) buckets; yields (idxs, Q, T) batches.
+        Jobs that fit no bucket resolve natively in phase B."""
+        if chunk.n_jobs == 0:
+            return []
+        q = chunk.qlens[: chunk.n_jobs]
+        t = chunk.tlens[: chunk.n_jobs]
+        assigned = np.full(chunk.n_jobs, -1, dtype=np.int64)
+        for bi, (qcap, tcap) in enumerate(self.buckets):
+            mask = (assigned < 0) & (q <= qcap) & (t <= tcap) & (t <= 2000)
+            assigned[mask] = bi
+        plans = []
+        for bi, (qcap, tcap) in enumerate(self.buckets):
+            idxs = np.flatnonzero(assigned == bi).astype(np.int64)
+            for start in range(0, idxs.shape[0], batch_size):
+                plans.append((idxs[start : start + batch_size], qcap, tcap))
+        return plans
+
+    def fill_batch(self, chunk: NativeChunk, idxs: np.ndarray, B: int, Q: int, T: int) -> np.ndarray:
+        buf = np.empty((Q + T + 4, B), dtype=np.uint8)
+        self.lib.chunk_fill_batch(
+            chunk.handle, idxs.ctypes.data, idxs.shape[0], B, Q, T,
+            buf.ctypes.data,
+        )
+        return buf
+
+    def set_device_results(self, chunk: NativeChunk, out: np.ndarray, D: int, idxs: np.ndarray) -> None:
+        out = np.ascontiguousarray(out)
+        self.lib.chunk_set_device_results(
+            self.handle, chunk.handle, out.ctypes.data, out.shape[1], D,
+            idxs.ctypes.data, idxs.shape[0],
+        )
+
+    # --- phase B --------------------------------------------------------
+
+    def chunk_b(self, chunk: NativeChunk) -> str:
+        self.lib.engine_chunk_b(self.handle, chunk.handle)
+        n = int(self.lib.chunk_out_len(chunk.handle))
+        buf = ctypes.create_string_buffer(n)
+        if n:
+            self.lib.chunk_out_copy(chunk.handle, buf)
+        text = buf.raw[:n].decode()
+        chunk.free()
+        return text
+
+    # --- state ----------------------------------------------------------
+
+    def counters(self) -> dict:
+        out = np.zeros(6, dtype=np.int64)
+        self.lib.engine_counters(self.handle, out.ctypes.data)
+        return {
+            "aligner_calls": int(out[0]),
+            "tot_all_tried": int(out[1]),
+            "inconsistent_nams": int(out[2]),
+            "nam_rescue": int(out[3]),
+            "tot_rescued": int(out[4]),
+            "fallbacks": int(out[5]),
+        }
+
+    def isize(self) -> Tuple[float, float, float]:
+        out = np.zeros(3, dtype=np.float64)
+        self.lib.engine_isize(self.handle, out.ctypes.data)
+        return float(out[0]), float(out[1]), float(out[2])

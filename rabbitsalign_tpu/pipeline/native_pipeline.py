@@ -1,0 +1,96 @@
+"""Production chunk pipeline around the native engine.
+
+Drives the two-phase schedule of the reference's async workers
+(/root/reference/src/pc.cpp:1206-1510): phase A of chunk i+1 (C++) runs
+while the device extends chunk i's batches; phase B (C++) then finishes
+chunk i. Device dispatch is asynchronous (jax) so the TPU works while the
+host seeds.
+
+When no device is used (``--no-tpu`` or no TPU present) the engine's
+built-in SSW resolves all gapped jobs natively, which is the fastest host
+path as well.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..native.engine import NativeEngine, engine_available
+
+
+class NativePipeline:
+    def __init__(
+        self,
+        index,
+        index_parameters,
+        references,
+        aln_params,
+        map_param,
+        read_group_id: str = "",
+        use_device: bool = True,
+        batch_size: int = 512,
+    ):
+        self.engine = NativeEngine(
+            index, index_parameters, references, aln_params, map_param,
+            read_group_id,
+        )
+        self.batch_size = batch_size
+        self.use_device = use_device
+        self._sw = None
+        if use_device:
+            from ..ops.sw_jax import SwParams
+
+            self._sw = SwParams(
+                aln_params.match, aln_params.mismatch, aln_params.gap_open,
+                aln_params.gap_extend,
+            )
+
+    # --- two-phase API (callers drive the cross-chunk pipelining) -------
+
+    def start_chunk(self, records1, records2, records3, chunk_index: int):
+        """Phase A + async device dispatch; returns an opaque state."""
+        chunk = self.engine.chunk_a(records1, records2, records3, chunk_index)
+        pending = []
+        if self.use_device and chunk.n_jobs:
+            from ..ops.extend_device import extend_batch_packed
+
+            for idxs, Q, T in self.engine.plan_batches(chunk, self.batch_size):
+                buf = self.engine.fill_batch(chunk, idxs, self.batch_size, Q, T)
+                out_dev = extend_batch_packed(buf, Q, T, self._sw)  # async
+                pending.append((idxs, out_dev, Q + T - 1))
+        return chunk, pending
+
+    def finish_chunk(self, state) -> str:
+        """Collect device results + phase B; returns the output text."""
+        chunk, pending = state
+        for idxs, out_dev, D in pending:
+            self.engine.set_device_results(chunk, np.asarray(out_dev), D, idxs)
+        return self.engine.chunk_b(chunk)
+
+    def map_all(
+        self,
+        chunks: Iterable[Tuple[int, list, list, list]],
+        write: Callable[[str], None],
+    ) -> int:
+        """Software-pipelined mapping over (index, r1, r2, r3) chunks;
+        returns the number of reads mapped."""
+        n_reads = 0
+        previous = None
+        for chunk_index, r1, r2, r3 in chunks:
+            n_reads += len(r1) + len(r2) + len(r3)
+            state = self.start_chunk(r1, r2, r3, chunk_index)
+            if previous is not None:
+                write(self.finish_chunk(previous))
+            previous = state
+        if previous is not None:
+            write(self.finish_chunk(previous))
+        return n_reads
+
+    def counters(self) -> dict:
+        return self.engine.counters()
+
+
+def native_pipeline_available() -> bool:
+    return engine_available()

@@ -137,13 +137,40 @@ def _map_reads(
     input_buffer = InputBuffer(
         opt.reads_filename1, opt.reads_filename2, opt.chunk_size, opt.is_interleaved
     )
+    use_tpu = getattr(opt, "use_tpu", False)
+
+    # Production path: the native (C++) engine runs phases A and B with
+    # the TPU extension batches in between; the pure-Python path below is
+    # the validated fallback/golden implementation.
+    try:
+        from .native_pipeline import NativePipeline, native_pipeline_available
+    except Exception:  # pragma: no cover - defensive
+        native_pipeline_available = lambda: False  # noqa: E731
+    if native_pipeline_available():
+        pipeline = NativePipeline(
+            index, index_parameters, references, aln_params, map_param,
+            opt.read_group_id, use_device=use_tpu,
+            batch_size=getattr(opt, "tpu_batch", 512),
+        )
+        t0 = time.perf_counter()
+        n_reads = pipeline.map_all(input_buffer.chunks(), out.write)
+        elapsed = time.perf_counter() - t0
+        c = pipeline.counters()
+        logger.info(f"Mapped {n_reads} reads in {elapsed:.2f} s "
+                    f"({n_reads / max(elapsed, 1e-9):.0f} reads/s)")
+        logger.info(f"Total mapping sites tried: {c['tot_all_tried']}")
+        logger.info(f"Total calls to ssw: {c['aligner_calls']}")
+        logger.info(f"Inconsistent NAM ends: {c['inconsistent_nams']}")
+        logger.info(f"Tried NAM rescue: {c['nam_rescue']}")
+        logger.info(f"Mates rescued by alignment: {c['tot_rescued']}")
+        return
+
     aligner = Aligner(aln_params)
     statistics = AlignmentStatistics()
     isize_est = InsertSizeDistribution()
     random_engine = MinstdRand(0)
     cigar_ops = CIGAR_OPS_EQX if opt.cigar_eqx else CIGAR_OPS_M
 
-    use_tpu = getattr(opt, "use_tpu", False)
     if use_tpu:
         try:
             from ..ops.batch_extend import BatchAligner

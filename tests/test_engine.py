@@ -1,0 +1,322 @@
+"""Native engine vs Python pipeline: byte-identical output.
+
+The C++ engine (native/engine.cpp) reimplements phase A/B of the chunk
+pipeline; these tests drive both implementations over simulated reads
+(SNPs, indels, reverse complements, unmappable reads, rescue-needing
+mates) in every output mode and require byte-identical SAM/PAF text plus
+matching statistics and insert-size state.
+"""
+
+import random
+
+import pytest
+
+from rabbitsalign_tpu.align.aligner import Aligner, AlignmentParameters
+from rabbitsalign_tpu.index.params import IndexParameters
+from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+from rabbitsalign_tpu.io.fasta import References
+from rabbitsalign_tpu.io.sam import CIGAR_OPS_EQX, CIGAR_OPS_M, Sam, SamRecord
+from rabbitsalign_tpu.map.common import InsertSizeDistribution, MappingParameters
+from rabbitsalign_tpu.map.randomness import MinstdRand
+from rabbitsalign_tpu.map.stats import AlignmentStatistics
+from rabbitsalign_tpu.ops.batch_extend import HostBatchAligner
+from rabbitsalign_tpu.pipeline.batched import phase_a_chunk, phase_b_chunk
+
+try:
+    from rabbitsalign_tpu.native.engine import NativeEngine, engine_available
+
+    HAVE_ENGINE = engine_available()
+except Exception:  # pragma: no cover
+    HAVE_ENGINE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_ENGINE, reason="native engine unavailable")
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = random.Random(99)
+    genome = "".join(rng.choice("ACGT") for _ in range(300_000))
+    refs = References()
+    refs.add("chr1", genome[:200_000].encode())
+    refs.add("chr2", genome[200_000:].encode())
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    return genome, refs, params, index
+
+
+def simulate_se(genome, n, seed=7):
+    r = random.Random(seed)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    records = []
+    for i in range(n):
+        st = r.randrange(0, len(genome) - 160)
+        rd = genome[st : st + 150]
+        kind = i % 50
+        if kind < 2:
+            rd = "".join(r.choice("ACGT") for _ in range(150))
+        else:
+            ch = list(rd)
+            for _ in range(3):
+                p = r.randrange(150)
+                ch[p] = r.choice("ACGT")
+            rd = "".join(ch)
+            if kind % 5 == 1:
+                cut = r.randrange(40, 100)
+                g = r.randrange(1, 6)
+                rd = genome[st : st + cut] + genome[st + cut + g : st + 150 + g]
+            if kind % 4 == 2:
+                rd = "".join(comp[c] for c in reversed(rd))
+        records.append(SamRecord(f"r{i}", rd.encode(), b"I" * len(rd)))
+    return records
+
+
+def simulate_pe(genome, n, seed=13):
+    r = random.Random(seed)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rec1, rec2 = [], []
+    for i in range(n):
+        st = r.randrange(0, len(genome) - 800)
+        insert = max(170, min(700, int(r.gauss(300, 60))))
+        f1 = genome[st : st + 150]
+        f2 = "".join(comp[c] for c in reversed(genome[st + insert - 150 : st + insert]))
+
+        def mut(s):
+            ch = list(s)
+            for _ in range(r.randrange(0, 4)):
+                p = r.randrange(len(ch))
+                ch[p] = r.choice("ACGT")
+            return "".join(ch)
+
+        f1, f2 = mut(f1), mut(f2)
+        if i % 37 == 5:
+            f2 = "".join(r.choice("ACGT") for _ in range(150))
+        if i % 41 == 7:
+            f1 = "".join(r.choice("ACGT") for _ in range(150))
+        if i % 53 == 9:
+            f1 = f1[:60] + genome[st + 63 : st + 153]
+        rec1.append(SamRecord(f"p{i}/1", f1.encode(), b"I" * len(f1)))
+        rec2.append(SamRecord(f"p{i}/2", f2.encode(), b"I" * len(f2)))
+    return rec1, rec2
+
+
+def run_python(world, chunks, mp, ap):
+    _, refs, params, index = world
+    aligner = Aligner(ap)
+    batch = HostBatchAligner(ap)
+    stats = AlignmentStatistics()
+    isize = InsertSizeDistribution()
+    cigar_ops = CIGAR_OPS_EQX if mp.cigar_eqx else CIGAR_OPS_M
+    texts = []
+    for ci, (r1, r2, r3) in enumerate(chunks):
+        eng = MinstdRand(0)
+        eng.seed(ci)
+        paf = []
+        sam = Sam(refs, cigar_ops, "", mp.output_unmapped, mp.details)
+        work, _ = phase_a_chunk(
+            r1, r2, r3, paf, isize, aligner, batch, mp, params, refs, index, eng
+        )
+        infos = batch.flush()
+        phase_b_chunk(work, infos, sam, stats, isize, aligner, mp, params, refs, eng)
+        texts.append(sam.take() if mp.is_sam_out else "".join(paf))
+    return "".join(texts), stats, isize
+
+
+def run_native(world, chunks, mp, ap):
+    _, refs, params, index = world
+    eng = NativeEngine(index, params, refs, ap, mp, "")
+    texts = []
+    for ci, (r1, r2, r3) in enumerate(chunks):
+        texts.append(eng.chunk_b(eng.chunk_a(r1, r2, r3, ci)))
+    return "".join(texts), eng
+
+
+def _se_chunks(world, n=600, chunk=200):
+    se = simulate_se(world[0], n)
+    return [(se[i : i + chunk], [], []) for i in range(0, n, chunk)]
+
+
+def _pe_chunks(world, n=450, chunk=150):
+    r1, r2 = simulate_pe(world[0], n)
+    return [(r1[i : i + chunk], r2[i : i + chunk], []) for i in range(0, n, chunk)]
+
+
+def test_engine_se_default(world):
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * world[3].filter_cutoff, 1000)
+    chunks = _se_chunks(world)
+    py, stats, _ = run_python(world, chunks, mp, ap)
+    na, eng = run_native(world, chunks, mp, ap)
+    assert py == na
+    c = eng.counters()
+    assert c["tot_all_tried"] == stats.tot_all_tried
+    assert c["inconsistent_nams"] == stats.inconsistent_nams
+    assert c["nam_rescue"] == stats.nam_rescue
+    assert c["tot_rescued"] == stats.tot_rescued
+
+
+def test_engine_se_modes(world):
+    ap = AlignmentParameters()
+    mp = MappingParameters(
+        r=150, max_secondary=3, cigar_eqx=True, details=True, output_unmapped=False
+    )
+    mp.rescue_cutoff = min(2 * world[3].filter_cutoff, 1000)
+    chunks = _se_chunks(world)
+    py, _, _ = run_python(world, chunks, mp, ap)
+    na, _ = run_native(world, chunks, mp, ap)
+    assert py == na
+
+
+def test_engine_pe_default(world):
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * world[3].filter_cutoff, 1000)
+    chunks = _pe_chunks(world)
+    py, stats, isize = run_python(world, chunks, mp, ap)
+    na, eng = run_native(world, chunks, mp, ap)
+    assert py == na
+    mu, sigma, n = eng.isize()
+    assert mu == pytest.approx(isize.mu, abs=1e-9)
+    assert n == isize.sample_size
+    assert eng.counters()["tot_rescued"] == stats.tot_rescued
+
+
+def test_engine_pe_details_secondary(world):
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150, max_secondary=2, details=True)
+    mp.rescue_cutoff = min(2 * world[3].filter_cutoff, 1000)
+    chunks = _pe_chunks(world)
+    py, _, _ = run_python(world, chunks, mp, ap)
+    na, _ = run_native(world, chunks, mp, ap)
+    assert py == na
+
+
+def test_engine_paf(world):
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150, is_sam_out=False)
+    mp.rescue_cutoff = min(2 * world[3].filter_cutoff, 1000)
+    py, _, _ = run_python(world, _se_chunks(world), mp, ap)
+    na, _ = run_native(world, _se_chunks(world), mp, ap)
+    assert py == na
+    py, _, _ = run_python(world, _pe_chunks(world), mp, ap)
+    na, _ = run_native(world, _pe_chunks(world), mp, ap)
+    assert py == na
+
+
+def test_engine_synthetic_device_results(world):
+    """The C++ device-output ingestion (decode + validation + end-bonus
+    post-processing) must match host alignment when fed a faithful packed
+    buffer, and must fall back to the host aligner on corrupt cigars."""
+    import numpy as np
+
+    from rabbitsalign_tpu.align.cigar import (
+        CIGAR_DEL,
+        CIGAR_EQ,
+        CIGAR_INS,
+        CIGAR_X,
+    )
+
+    _, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+    chunks = _pe_chunks(world, n=150, chunk=150)
+
+    # golden: everything host-resolved
+    golden, _ = run_native(world, chunks, mp, ap)
+
+    # device-fed: build the packed output buffer from raw (pre-end-bonus)
+    # host SSW results, exactly what the kernel would return
+    from rabbitsalign_tpu.align.cigar import CIGAR_MATCH
+    from rabbitsalign_tpu.align.ssw import ssw_align
+
+    eng = NativeEngine(index, params, refs, ap, mp, "")
+    texts = []
+    for ci, (r1, r2, r3) in enumerate(chunks):
+        ch = eng.chunk_a(r1, r2, r3, ci)
+        for idxs, Q, T in eng.plan_batches(ch, 64):
+            B = 64
+            buf = eng.fill_batch(ch, idxs, B, Q, T)
+            D = Q + T - 1
+            Dpad = ((D + 7) // 8) * 8
+            out = np.zeros((Dpad + 24, B), dtype=np.uint8)
+            for col, j in enumerate(idxs):
+                qn = int(ch.qlens[j])
+                tn = int(ch.tlens[j])
+                qc = buf[:qn, col]
+                tc = buf[Q : Q + tn, col]
+                res = ssw_align(qc, tc, ap.match, ap.mismatch, ap.gap_open,
+                                ap.gap_extend)
+                if res.score1 == 0 or res.flag != 0:
+                    continue  # score row stays 0 -> failed-info path
+                # per-base op stream + edits over the aligned region
+                row = 0
+                edits = 0
+                qi, ti = res.read_begin, res.ref_begin
+                for op_len in res.cigar.ops:
+                    op = op_len & 0xF
+                    for _ in range(op_len >> 4):
+                        if op == CIGAR_MATCH:
+                            if qc[qi] == tc[ti]:
+                                out[row, col] = 1  # EQ
+                            else:
+                                out[row, col] = 2  # X
+                                edits += 1
+                            qi += 1
+                            ti += 1
+                        elif op == CIGAR_INS:
+                            out[row, col] = 3
+                            qi += 1
+                            edits += 1
+                        else:
+                            out[row, col] = 4  # DEL
+                            ti += 1
+                            edits += 1
+                        row += 1
+                vals = [
+                    res.score1, res.ref_end, res.read_end,
+                    res.ref_begin, res.read_begin, edits,
+                ]
+                for vi, v in enumerate(vals):
+                    out[Dpad + 2 * vi, col] = v & 0xFF
+                    out[Dpad + 2 * vi + 1, col] = (v >> 8) & 0xFF
+                if col % 7 == 3:
+                    # corrupt the stream: must trigger host fallback
+                    out[:D, col] = 0
+                    out[0, col] = 1
+            eng.set_device_results(ch, out, D, np.asarray(idxs))
+        texts.append(eng.chunk_b(ch))
+    assert "".join(texts) == golden
+    assert eng.counters()["fallbacks"] > 0
+
+
+def test_engine_device_parity(world):
+    """Device-dispatched extension must match the host-resolved engine
+    byte for byte (validation + end-bonus post-processing identical).
+    Needs a real TPU (pallas kernels do not run on the CPU backend); the
+    same parity holds there — see also the synthetic test above."""
+    import jax
+    import numpy as np
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("pallas extend path needs a TPU")
+
+    from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
+
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * world[3].filter_cutoff, 1000)
+    chunks = _pe_chunks(world, n=300, chunk=150)
+
+    def run(use_device):
+        pipe = NativePipeline(world[3], world[2], world[1], ap, mp,
+                              use_device=use_device)
+        texts = []
+        pipe.map_all(
+            ((ci, a, b, c) for ci, (a, b, c) in enumerate(chunks)),
+            texts.append,
+        )
+        return "".join(texts)
+
+    assert run(False) == run(True)

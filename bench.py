@@ -27,7 +27,7 @@ import numpy as np
 BASELINE_READS_PER_SEC = 100_000.0
 
 GENOME_MB = 1.0
-N_READS = 6000
+N_READS = 24000
 READ_LEN = 150
 
 
@@ -128,30 +128,48 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # secondary: device SW kernel cell rate
+    # secondary: device SW kernel cell rate, measured device-resident
+    # (the host<->device tunnel latency is reported separately by the
+    # end-to-end number above, where it overlaps with host seeding)
     if on_tpu:
         try:
-            from rabbitsalign_tpu.ops.extend_device import extend_batch_packed, pack_input
+            import functools
+
+            import jax.numpy as jnp
+
+            from rabbitsalign_tpu.ops.sw_pallas import _sw_forward_pallas_core
+            from rabbitsalign_tpu.ops.tb_pallas import _sw_traceback_pallas_core
             from rabbitsalign_tpu.ops.sw_jax import SwParams
+
+            sw = SwParams(2, 8, 12, 1)
+
+            @jax.jit
+            def fwd_tb(q, t, ql, tl):
+                score, t_end, q_end, dirs, qi, ti = _sw_forward_pallas_core(
+                    q, t, ql, tl, sw)
+                ops, meta = _sw_traceback_pallas_core(
+                    dirs, qi, ti, score, t_end, q_end)
+                # reduce outputs so nothing big returns to the host
+                return score.sum() + ops.astype(jnp.int32).sum() + meta.sum()
 
             B, Q, T = 512, 256, 512
             r2 = np.random.RandomState(0)
-            q_t = r2.randint(0, 4, (Q, B)).astype(np.uint8)
-            t_t = r2.randint(0, 4, (T, B)).astype(np.uint8)
-            qlen = np.full(B, 150, np.int32)
-            tlen = np.full(B, 250, np.int32)
-            buf = pack_input(q_t, t_t, qlen, tlen)
-            sw = SwParams(2, 8, 12, 1)
-            out = jax.block_until_ready(extend_batch_packed(buf, Q, T, sw))
-            t0 = time.perf_counter()
-            N = 10
-            for _ in range(N):
-                out = jax.block_until_ready(extend_batch_packed(buf, Q, T, sw))
-            dt = (time.perf_counter() - t0) / N
+            q_t = jax.device_put(r2.randint(0, 4, (Q, B)).astype(np.uint8))
+            t_t = jax.device_put(r2.randint(0, 4, (T, B)).astype(np.uint8))
+            qlen = jax.device_put(np.full(B, 150, np.int32))
+            tlen = jax.device_put(np.full(B, 250, np.int32))
+            with jax.enable_x64(False):
+                jax.block_until_ready(fwd_tb(q_t, t_t, qlen, tlen))
+                t0 = time.perf_counter()
+                N = 20
+                for _ in range(N):
+                    out = fwd_tb(q_t, t_t, qlen, tlen)
+                jax.block_until_ready(out)
+                dt = (time.perf_counter() - t0) / N
             padded = B * Q * T / dt
             print(f"bench: SW kernel {padded/1e9:.1f} Gcells/s padded "
-                  f"({B} pairs in {dt*1e3:.2f} ms, fwd+traceback on device)",
-                  file=sys.stderr)
+                  f"({B} pairs in {dt*1e3:.2f} ms, fwd+traceback, "
+                  f"device-resident)", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"bench: kernel microbench skipped: {e}", file=sys.stderr)
 

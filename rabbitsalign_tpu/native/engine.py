@@ -24,8 +24,14 @@ import numpy as np
 
 from . import load_seednam
 
-# (Q, T) device buckets — must stay in sync with ops/batch_extend.py
-ENGINE_BUCKETS: Tuple[Tuple[int, int], ...] = ((256, 512), (256, 1536), (512, 2048))
+# (Q, T, B) device buckets — must stay in sync with ops/batch_extend.py.
+# The 512-query bucket runs at B=256: its five (Q, B) int32 VMEM scratch
+# planes exceed the 16 MB scoped-vmem limit at B=512.
+ENGINE_BUCKETS: Tuple[Tuple[int, int, int], ...] = (
+    (256, 512, 512),
+    (256, 1536, 512),
+    (512, 2048, 256),
+)
 
 _configured = False
 
@@ -216,21 +222,22 @@ class NativeEngine:
     # --- device round trip ----------------------------------------------
 
     def plan_batches(self, chunk: NativeChunk, batch_size: int):
-        """Group jobs into (Q, T) buckets; yields (idxs, Q, T) batches.
+        """Group jobs into (Q, T) buckets; yields (idxs, Q, T, B) batches.
         Jobs that fit no bucket resolve natively in phase B."""
         if chunk.n_jobs == 0:
             return []
         q = chunk.qlens[: chunk.n_jobs]
         t = chunk.tlens[: chunk.n_jobs]
         assigned = np.full(chunk.n_jobs, -1, dtype=np.int64)
-        for bi, (qcap, tcap) in enumerate(self.buckets):
+        for bi, (qcap, tcap, _) in enumerate(self.buckets):
             mask = (assigned < 0) & (q <= qcap) & (t <= tcap) & (t <= 2000)
             assigned[mask] = bi
         plans = []
-        for bi, (qcap, tcap) in enumerate(self.buckets):
+        for bi, (qcap, tcap, bcap) in enumerate(self.buckets):
             idxs = np.flatnonzero(assigned == bi).astype(np.int64)
-            for start in range(0, idxs.shape[0], batch_size):
-                plans.append((idxs[start : start + batch_size], qcap, tcap))
+            bsz = min(batch_size, bcap)
+            for start in range(0, idxs.shape[0], bsz):
+                plans.append((idxs[start : start + bsz], qcap, tcap, bsz))
         return plans
 
     def fill_batch(self, chunk: NativeChunk, idxs: np.ndarray, B: int, Q: int, T: int) -> np.ndarray:

@@ -27,11 +27,17 @@ from ..utils.dna import encode
 from .extend_device import extend_batch_packed, pack_input, unpack_output
 from .sw_jax import SwParams
 
-# (Q, T) buckets; a job uses the smallest bucket that fits.
+# (Q, T, max batch) buckets; a job uses the smallest bucket that fits.
 # extend_seed windows are read+|diff|+100; rescue windows reach mu+5*sigma
 # + read/2 (~1100 for the initial prior); the reference caps targets at
-# 2000 (src/gasal2_ssw.h:24-25, src/aligner.cpp:118).
-DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = ((256, 512), (256, 1536), (512, 2048))
+# 2000 (src/gasal2_ssw.h:24-25, src/aligner.cpp:118). The 512-query
+# bucket is capped at B=256: five (Q, B) int32 VMEM scratch planes exceed
+# the 16 MB scoped-vmem limit at B=512.
+DEFAULT_BUCKETS: Tuple[Tuple[int, int, int], ...] = (
+    (256, 512, 512),
+    (256, 1536, 512),
+    (512, 2048, 256),
+)
 
 
 @dataclasses.dataclass
@@ -68,12 +74,12 @@ class BatchAligner:
     def __len__(self) -> int:
         return len(self.jobs)
 
-    def _bucket_for(self, job: _Job) -> Optional[Tuple[int, int]]:
+    def _bucket_for(self, job: _Job) -> Optional[Tuple[int, int, int]]:
         if len(job.ref) > 2000:
             return None  # refused, like Aligner::align
-        for qcap, tcap in self.buckets:
+        for qcap, tcap, bcap in self.buckets:
             if len(job.query) <= qcap and len(job.ref) <= tcap:
-                return (qcap, tcap)
+                return (qcap, tcap, bcap)
         return None
 
     def flush(self) -> List[AlignmentInfo]:
@@ -102,10 +108,10 @@ class BatchAligner:
         # dispatch all batches asynchronously, then fetch in order
         pending = []
         for bucket, idxs in grouped.items():
-            Q, T = bucket
-            for start in range(0, len(idxs), self.batch_size):
-                chunk = idxs[start : start + self.batch_size]
-                B = self.batch_size
+            Q, T, bcap = bucket
+            B = min(self.batch_size, bcap)
+            for start in range(0, len(idxs), B):
+                chunk = idxs[start : start + B]
                 buf = np.zeros((Q + T + 4, B), dtype=np.uint8)
                 qlen = np.zeros(B, dtype=np.int32)
                 tlen = np.zeros(B, dtype=np.int32)
@@ -129,7 +135,7 @@ class BatchAligner:
     def collect(self, token) -> List[AlignmentInfo]:
         """Fetch and post-process the results of a dispatch()."""
         jobs, results, pending = token
-        for (Q, T), chunk, out_dev in pending:
+        for (Q, T, _), chunk, out_dev in pending:
             D = Q + T - 1
             out = np.asarray(out_dev)
             ops, score, t_end, q_end, t_begin, q_begin, edits = unpack_output(out, D)

@@ -56,10 +56,17 @@ class NativePipeline:
         if self.use_device and chunk.n_jobs:
             from ..ops.extend_device import extend_batch_packed
 
-            for idxs, Q, T in self.engine.plan_batches(chunk, self.batch_size):
-                buf = self.engine.fill_batch(chunk, idxs, self.batch_size, Q, T)
+            for idxs, Q, T, B in self.engine.plan_batches(chunk, self.batch_size):
+                buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
                 out_dev = extend_batch_packed(buf, Q, T, self._sw)  # async
                 pending.append((idxs, out_dev, Q + T - 1))
+            for _, out_dev, _ in pending:
+                # start the device->host copy as soon as the batch lands so
+                # finish_chunk's np.asarray is a wait, not a transfer
+                try:
+                    out_dev.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    pass
         return chunk, pending
 
     def finish_chunk(self, state) -> str:
@@ -73,19 +80,27 @@ class NativePipeline:
         self,
         chunks: Iterable[Tuple[int, list, list, list]],
         write: Callable[[str], None],
+        depth: int = 3,
     ) -> int:
-        """Software-pipelined mapping over (index, r1, r2, r3) chunks;
-        returns the number of reads mapped."""
+        """Software-pipelined mapping over (index, r1, r2, r3) chunks with
+        up to `depth` chunks in flight (device transfers of older chunks
+        overlap host seeding of newer ones); returns reads mapped.
+
+        Note: phase B of chunk i runs after phase A of chunks i+1..i+depth,
+        so the insert-size estimator trails by `depth` chunks — the same
+        staleness the reference's overlapped workers have
+        (/root/reference/src/pc.cpp cross-chunk rotation)."""
+        from collections import deque
+
         n_reads = 0
-        previous = None
+        in_flight = deque()
         for chunk_index, r1, r2, r3 in chunks:
             n_reads += len(r1) + len(r2) + len(r3)
-            state = self.start_chunk(r1, r2, r3, chunk_index)
-            if previous is not None:
-                write(self.finish_chunk(previous))
-            previous = state
-        if previous is not None:
-            write(self.finish_chunk(previous))
+            in_flight.append(self.start_chunk(r1, r2, r3, chunk_index))
+            if len(in_flight) > depth:
+                write(self.finish_chunk(in_flight.popleft()))
+        while in_flight:
+            write(self.finish_chunk(in_flight.popleft()))
         return n_reads
 
     def counters(self) -> dict:

@@ -133,42 +133,30 @@ def main() -> None:
     # end-to-end number above, where it overlaps with host seeding)
     if on_tpu:
         try:
-            import functools
-
-            import jax.numpy as jnp
-
-            from rabbitsalign_tpu.ops.sw_pallas import _sw_forward_pallas_core
-            from rabbitsalign_tpu.ops.tb_pallas import _sw_traceback_pallas_core
+            from rabbitsalign_tpu.ops.extend_device import (
+                _extend_batch_packed,
+                pack_input,
+            )
             from rabbitsalign_tpu.ops.sw_jax import SwParams
 
             sw = SwParams(2, 8, 12, 1)
-
-            @jax.jit
-            def fwd_tb(q, t, ql, tl):
-                score, t_end, q_end, dirs, qi, ti = _sw_forward_pallas_core(
-                    q, t, ql, tl, sw)
-                ops, meta = _sw_traceback_pallas_core(
-                    dirs, qi, ti, score, t_end, q_end)
-                # reduce outputs so nothing big returns to the host
-                return score.sum() + ops.astype(jnp.int32).sum() + meta.sum()
-
             B, Q, T = 512, 256, 512
             r2 = np.random.RandomState(0)
-            q_t = jax.device_put(r2.randint(0, 4, (Q, B)).astype(np.uint8))
-            t_t = jax.device_put(r2.randint(0, 4, (T, B)).astype(np.uint8))
-            qlen = jax.device_put(np.full(B, 150, np.int32))
-            tlen = jax.device_put(np.full(B, 250, np.int32))
+            q_t = r2.randint(0, 4, (Q, B)).astype(np.uint8)
+            t_t = r2.randint(0, 4, (T, B)).astype(np.uint8)
+            buf = jax.device_put(pack_input(
+                q_t, t_t, np.full(B, 150, np.int32), np.full(B, 250, np.int32)))
             with jax.enable_x64(False):
-                jax.block_until_ready(fwd_tb(q_t, t_t, qlen, tlen))
+                jax.block_until_ready(_extend_batch_packed(buf, Q, T, sw))
                 t0 = time.perf_counter()
-                N = 20
+                N = 50
                 for _ in range(N):
-                    out = fwd_tb(q_t, t_t, qlen, tlen)
+                    out = _extend_batch_packed(buf, Q, T, sw)
                 jax.block_until_ready(out)
                 dt = (time.perf_counter() - t0) / N
             padded = B * Q * T / dt
-            print(f"bench: SW kernel {padded/1e9:.1f} Gcells/s padded "
-                  f"({B} pairs in {dt*1e3:.2f} ms, fwd+traceback, "
+            print(f"bench: SW extend program {padded/1e9:.1f} Gcells/s padded "
+                  f"({B} pairs in {dt*1e3:.2f} ms, fwd+traceback+pack, "
                   f"device-resident)", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"bench: kernel microbench skipped: {e}", file=sys.stderr)

@@ -36,7 +36,7 @@ def _extend_batch_device(q_t, t_t, qlen, tlen, params: SwParams):
     score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
         q_t, t_t, qlen, tlen, params
     )
-    ops, meta = _sw_traceback_pallas_core(dirs, q_i32, t_i32, score, t_end, q_end)
+    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
     return score, t_end, q_end, ops, meta
 
 
@@ -89,7 +89,7 @@ def _extend_batch_packed(buf, Q: int, T: int, params: SwParams):
     score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
         q_t, t_t, qlen, tlen, params
     )
-    ops, meta = _sw_traceback_pallas_core(dirs, q_i32, t_i32, score, t_end, q_end)
+    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
 
     def u16rows(v):
         v = v.astype(jnp.int32)

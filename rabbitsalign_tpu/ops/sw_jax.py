@@ -120,6 +120,9 @@ def sw_forward(
             h_src
             | (e_is_ext.astype(jnp.uint8) << 2)
             | (f_is_ext.astype(jnp.uint8) << 3)
+            # bit 4: code equality, for sequence-free traceback (same
+            # encoding as sw_pallas; host traceback masks it off)
+            | ((q_i32 == revt).astype(jnp.uint8) << 4)
         )
         dirs = jnp.where(valid, dirs, jnp.uint8(0))
 

@@ -124,6 +124,9 @@ def _kernel(
         h_src
         | (e_is_ext.astype(jnp.int32) << jnp.int32(2))
         | (f_is_ext.astype(jnp.int32) << jnp.int32(3))
+        # bit 4: plain code equality ('='/'X' for the cigar) so the
+        # traceback never needs the sequence planes
+        | ((qv == revt_new).astype(jnp.int32) << jnp.int32(4))
     )
     dirs = jnp.where(valid, dirs, zero)
     dirs_ref[0] = dirs.astype(jnp.uint8)
@@ -185,7 +188,10 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
             pl.BlockSpec((Q, B), lambda d: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((D, Q, B), jnp.uint8),
+            # padded to a multiple of 8 diagonals so the traceback kernel
+            # can consume (8, Q, B) blocks without a pad copy; rows
+            # D..Dpad-1 are never written nor stood on by walkers
+            jax.ShapeDtypeStruct((Dpad, Q, B), jnp.uint8),
             jax.ShapeDtypeStruct((Q, B), jnp.int32),
             jax.ShapeDtypeStruct((Q, B), jnp.int32),
         ],

@@ -6,8 +6,12 @@ descends from its alignment end toward its start. Each walker moves at
 most one step per diagonal (every move decreases t+q), so one reverse
 sweep retires all walkers.
 
-Per-lane cell reads (dirs[d, q_b, b], codes) are sublane selects: compare
-a sublane iota against the walker's q (broadcast on its lane) and reduce.
+Eight diagonals are processed per grid step (block (8, Q, B)): the
+per-step DMA and grid overhead dominates the tiny per-diagonal walker
+update, so blocking them 8x is ~the full win. The walker's cell read is
+a sublane select; the '='/'X' classification comes from the match bit the
+forward pass stored in the direction byte, so no sequence planes are
+needed here at all.
 
 Outputs stay tiny — this exists because the host<->device link has
 ~25 ms latency and low bandwidth, so shipping the 50 MB direction tensor
@@ -43,24 +47,22 @@ OP_D = 4
 
 
 def _kernel(
-    dirs_ref,  # in block (1, Q, B) uint8 — diagonal d = D-1-g
-    q_ref,  # (Q, B) int32 codes
-    t_ref,  # (T, B) int32 codes
+    dirs_ref,  # in block (8, Q, B) uint8 — diagonals [8*(G-1-g), +8)
     start_ref,  # (8, B) int32: rows [score, t_end, q_end, ...]
-    ops_ref,  # out block (8, B) uint8 (row d % 8)
+    ops_ref,  # out block (8, B) uint8
     meta_ref,  # out (8, B) int32
     cur_t,
     cur_q,
     layer,
     edits,
-    ops_acc,
     *,
     D: int,
+    Q: int,
+    G: int,
 ):
     g = pl.program_id(0)
-    d = jnp.int32(D - 1) - g
-    Q, B = q_ref.shape
-    T = t_ref.shape[0]
+    base = (jnp.int32(G - 1) - g) * jnp.int32(8)
+    B = cur_t.shape[1]
     zero = jnp.int32(0)
     one = jnp.int32(1)
 
@@ -76,112 +78,115 @@ def _kernel(
     t_b = cur_t[:]  # (1, B)
     q_b = cur_q[:]
     lay = layer[:]
-    on_diag = (lay != jnp.int32(_DONE)) & (t_b + q_b == d)
-
-    # sublane selects of the walker's cell
+    ed = edits[:]
     rowq = jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
-    selq = rowq == q_b  # (Q, B) — broadcasts (1, B)
-    dir_cell = jnp.sum(
-        jnp.where(selq, dirs_ref[0].astype(jnp.int32), zero), axis=0, keepdims=True
-    )  # (1, B)
-    q_code = jnp.sum(jnp.where(selq, q_ref[:], zero), axis=0, keepdims=True)
-    rowt = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
-    t_code = jnp.sum(
-        jnp.where(rowt == t_b, t_ref[:], zero), axis=0, keepdims=True
-    )
+    acc = jnp.zeros((8, B), jnp.int32)
+    fin_t_acc = meta_ref[pl.ds(0, 1), :]
+    fin_q_acc = meta_ref[pl.ds(1, 1), :]
+    fin_e_acc = meta_ref[pl.ds(2, 1), :]
 
-    h_src = dir_cell & jnp.int32(3)
-    e_ext = (dir_cell >> jnp.int32(2)) & one
-    f_ext = (dir_cell >> jnp.int32(3)) & one
+    for j in range(7, -1, -1):
+        d = base + jnp.int32(j)
+        on_diag = (lay != jnp.int32(_DONE)) & (t_b + q_b == d)
 
-    in_h = on_diag & (lay == jnp.int32(_H))
-    stop = in_h & (h_src == zero)
-    do_m = in_h & (h_src == one)
-    do_i = (in_h & (h_src == jnp.int32(2))) | (on_diag & (lay == jnp.int32(_E)))
-    do_d = (in_h & (h_src == jnp.int32(3))) | (on_diag & (lay == jnp.int32(_F)))
+        selq = rowq == q_b  # (Q, B) — broadcasts (1, B)
+        dir_cell = jnp.sum(
+            jnp.where(selq, dirs_ref[j].astype(jnp.int32), zero),
+            axis=0,
+            keepdims=True,
+        )  # (1, B)
 
-    is_match = q_code == t_code  # codes >= 4 never reach M cells with score > 0
-    op = jnp.where(
-        do_m,
-        jnp.where(is_match, jnp.int32(OP_EQ), jnp.int32(OP_X)),
-        jnp.where(do_i, jnp.int32(OP_I), jnp.where(do_d, jnp.int32(OP_D), zero)),
-    )
-    # masked full-block accumulation: dynamic sublane stores of u8 are not
-    # supported by Mosaic, so build the 8-row block in an i32 scratch and
-    # store it whole each step (it flushes when the block index changes)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
-    dmod = d % jnp.int32(8)
-    fresh_block = (dmod == jnp.int32(7)) | (g == 0)
-    acc = jnp.where(fresh_block, zero, ops_acc[:])
-    acc = jnp.where(row8 == dmod, op, acc)
-    ops_acc[:] = acc
+        h_src = dir_cell & jnp.int32(3)
+        e_ext = (dir_cell >> jnp.int32(2)) & one
+        f_ext = (dir_cell >> jnp.int32(3)) & one
+        is_match = ((dir_cell >> jnp.int32(4)) & one) == one
+
+        in_h = on_diag & (lay == jnp.int32(_H))
+        stop = in_h & (h_src == zero)
+        do_m = in_h & (h_src == one)
+        do_i = (in_h & (h_src == jnp.int32(2))) | (on_diag & (lay == jnp.int32(_E)))
+        do_d = (in_h & (h_src == jnp.int32(3))) | (on_diag & (lay == jnp.int32(_F)))
+
+        op = jnp.where(
+            do_m,
+            jnp.where(is_match, jnp.int32(OP_EQ), jnp.int32(OP_X)),
+            jnp.where(do_i, jnp.int32(OP_I), jnp.where(do_d, jnp.int32(OP_D), zero)),
+        )
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+        acc = jnp.where(row8 == jnp.int32(j), op, acc)
+
+        ed = ed + jnp.where(
+            do_m & ~is_match, one, jnp.where(do_i | do_d, one, zero)
+        )
+
+        new_t = t_b - (do_m | do_d).astype(jnp.int32)
+        new_q = q_b - (do_m | do_i).astype(jnp.int32)
+        new_layer = jnp.where(
+            do_m,
+            jnp.int32(_H),
+            jnp.where(
+                do_i,
+                jnp.where(e_ext == one, jnp.int32(_E), jnp.int32(_H)),
+                jnp.where(f_ext == one, jnp.int32(_F), jnp.int32(_H)),
+            ),
+        )
+        off = (~stop) & ((new_t < zero) | (new_q < zero))
+        finish = on_diag & (stop | off)
+        # begins: stop -> current cell + 1; off-edge -> moved cell + 1
+        fin_t = jnp.where(stop, t_b + one, new_t + one)
+        fin_q = jnp.where(stop, q_b + one, new_q + one)
+
+        t_b = jnp.where(on_diag & ~finish, new_t, t_b)
+        q_b = jnp.where(on_diag & ~finish, new_q, q_b)
+        lay = jnp.where(finish, jnp.int32(_DONE), jnp.where(on_diag, new_layer, lay))
+
+        fin_t_acc = jnp.where(finish, fin_t, fin_t_acc)
+        fin_q_acc = jnp.where(finish, fin_q, fin_q_acc)
+        fin_e_acc = jnp.where(finish, ed, fin_e_acc)
+
+    cur_t[:] = t_b
+    cur_q[:] = q_b
+    layer[:] = lay
+    edits[:] = ed
     ops_ref[:] = acc.astype(jnp.uint8)
-
-    edits_new = edits[:] + jnp.where(
-        do_m & ~is_match, one, jnp.where(do_i | do_d, one, zero)
-    )
-    edits[:] = edits_new
-
-    new_t = t_b - (do_m | do_d).astype(jnp.int32)
-    new_q = q_b - (do_m | do_i).astype(jnp.int32)
-    new_layer = jnp.where(
-        do_m,
-        jnp.int32(_H),
-        jnp.where(
-            do_i,
-            jnp.where(e_ext == one, jnp.int32(_E), jnp.int32(_H)),
-            jnp.where(f_ext == one, jnp.int32(_F), jnp.int32(_H)),
-        ),
-    )
-    off = (~stop) & ((new_t < zero) | (new_q < zero))
-    finish = on_diag & (stop | off)
-    # begins: stop -> current cell + 1; off-edge -> moved cell + 1
-    fin_t = jnp.where(stop, t_b + one, new_t + one)
-    fin_q = jnp.where(stop, q_b + one, new_q + one)
-
-    cur_t[:] = jnp.where(on_diag & ~finish, new_t, t_b)
-    cur_q[:] = jnp.where(on_diag & ~finish, new_q, q_b)
-    layer[:] = jnp.where(
-        finish, jnp.int32(_DONE), jnp.where(on_diag, new_layer, lay)
-    )
-
-    meta_ref[pl.ds(0, 1), :] = jnp.where(finish, fin_t, meta_ref[pl.ds(0, 1), :])
-    meta_ref[pl.ds(1, 1), :] = jnp.where(finish, fin_q, meta_ref[pl.ds(1, 1), :])
-    meta_ref[pl.ds(2, 1), :] = jnp.where(finish, edits_new, meta_ref[pl.ds(2, 1), :])
+    meta_ref[pl.ds(0, 1), :] = fin_t_acc
+    meta_ref[pl.ds(1, 1), :] = fin_q_acc
+    meta_ref[pl.ds(2, 1), :] = fin_e_acc
 
 
-def sw_traceback_pallas(dirs, q_t, t_t, score, t_end, q_end):
-    """dirs (D, Q, B) uint8 from sw_pallas; q_t (Q, B)/t_t (T, B) int32
-    code planes. Returns (ops (Dpad, B) uint8, meta (8, B) int32)."""
+def sw_traceback_pallas(dirs, score, t_end, q_end):
+    """dirs (D or Dpad, Q, B) uint8 from sw_pallas (match bit included).
+    Returns (ops (Dpad, B) uint8, meta (8, B) int32)."""
     with jax.enable_x64(False):
-        return _sw_traceback_pallas_jit(dirs, q_t, t_t, score, t_end, q_end)
+        return _sw_traceback_pallas_jit(dirs, score, t_end, q_end)
 
 
 _sw_traceback_pallas_jit = None  # set below
 
 
-def _sw_traceback_pallas_core(dirs, q_t, t_t, score, t_end, q_end):
-    D, Q, B = dirs.shape
-    T = t_t.shape[0]
-    Dpad = ((D + 7) // 8) * 8
+def _sw_traceback_pallas_core(dirs, score, t_end, q_end):
+    Draw, Q, B = dirs.shape
+    Dpad = ((Draw + 7) // 8) * 8
+    if Draw != Dpad:
+        # rows D..Dpad-1 are zero; walkers never stand on those diagonals
+        dirs = jnp.pad(dirs, ((0, Dpad - Draw), (0, 0), (0, 0)))
+    G = Dpad // 8
 
     start = jnp.zeros((8, B), jnp.int32)
     start = start.at[0].set(score.astype(jnp.int32))
     start = start.at[1].set(t_end.astype(jnp.int32))
     start = start.at[2].set(q_end.astype(jnp.int32))
 
-    kernel = functools.partial(_kernel, D=D)
+    kernel = functools.partial(_kernel, D=Draw, Q=Q, G=G)
     ops, meta = pl.pallas_call(
         kernel,
-        grid=(D,),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, Q, B), lambda g: (D - 1 - g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Q, B), lambda g: (G - 1 - g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, B), lambda g: ((D - 1 - g) // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), lambda g: (G - 1 - g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -193,9 +198,8 @@ def _sw_traceback_pallas_core(dirs, q_t, t_t, score, t_end, q_end):
             pltpu.VMEM((1, B), jnp.int32),  # cur_q
             pltpu.VMEM((1, B), jnp.int32),  # layer
             pltpu.VMEM((1, B), jnp.int32),  # edits
-            pltpu.VMEM((8, B), jnp.int32),  # ops_acc
         ],
-    )(dirs, q_t, t_t, start)
+    )(dirs, start)
     return ops, meta
 
 _sw_traceback_pallas_jit = jax.jit(_sw_traceback_pallas_core)

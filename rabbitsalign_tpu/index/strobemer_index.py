@@ -144,14 +144,76 @@ class StrobemerIndex:
     # --- construction ---------------------------------------------------
 
     def populate(self, f: float, n_threads: int = 1) -> None:
-        """Build the index (reference src/index.cpp:141-242).
-
-        Threading is unnecessary here: generation is numpy-vectorized per
-        contig and the sort is a single vectorized lexsort.
-        """
+        """Build the index (reference src/index.cpp:141-242): seeding and
+        the (hash, position) sort run in the native engine when available
+        (threaded per contig, like the reference's count/assign workers),
+        else through the numpy-vectorized path."""
         import time
 
         t0 = time.perf_counter()
+        if not self._populate_native(n_threads):
+            self._populate_numpy()
+        self.stats.tot_strobemer_count = int(self.hashes.shape[0])
+        self.stats.elapsed_generating_seeds = time.perf_counter() - t0
+
+        t2 = time.perf_counter()
+        self._build_buckets()
+        self._compute_filter_cutoff(f)
+        self.stats.elapsed_hash_index = time.perf_counter() - t2
+
+    def _populate_native(self, n_threads: int) -> bool:
+        try:
+            from ..native import load_seednam
+        except Exception:  # pragma: no cover - defensive
+            return False
+        lib = load_seednam()
+        if lib is None:
+            return False
+        import ctypes
+
+        if not getattr(lib, "_index_build_configured", False):
+            lib.index_build.restype = ctypes.c_void_p
+            lib.index_build.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.index_build_count.restype = ctypes.c_int64
+            lib.index_build_count.argtypes = [ctypes.c_void_p]
+            lib.index_build_copy.restype = None
+            lib.index_build_copy.argtypes = [ctypes.c_void_p] * 4
+            lib.index_build_free.restype = None
+            lib.index_build_free.argtypes = [ctypes.c_void_p]
+            lib._index_build_configured = True
+
+        seqs = self.references.sequences
+        offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        for i, s in enumerate(seqs):
+            offsets[i + 1] = offsets[i] + len(s)
+        blob = b"".join(seqs)
+        arr = np.frombuffer(blob, dtype=np.uint8) if blob else np.zeros(1, np.uint8)
+        sp = self.parameters.syncmer
+        rp = self.parameters.randstrobe
+        handle = lib.index_build(
+            arr.ctypes.data, offsets.ctypes.data, len(seqs),
+            sp.k, sp.s, sp.t_syncmer, rp.w_min, rp.w_max,
+            ctypes.c_uint64(rp.q), rp.max_dist, max(1, n_threads),
+        )
+        n = int(lib.index_build_count(handle))
+        self.hashes = np.empty(n, dtype=np.uint64)
+        self.positions = np.empty(n, dtype=np.uint32)
+        self.packed = np.empty(n, dtype=np.uint32)
+        lib.index_build_copy(
+            handle, self.hashes.ctypes.data, self.positions.ctypes.data,
+            self.packed.ctypes.data,
+        )
+        lib.index_build_free(handle)
+        return True
+
+    def _populate_numpy(self) -> None:
+        import time
+
         all_hashes = []
         all_positions = []
         all_packed = []
@@ -169,8 +231,6 @@ class StrobemerIndex:
             np.concatenate(all_positions) if all_positions else np.zeros(0, dtype=np.uint32)
         )
         packed = np.concatenate(all_packed) if all_packed else np.zeros(0, dtype=np.uint32)
-        self.stats.tot_strobemer_count = int(hashes.shape[0])
-        self.stats.elapsed_generating_seeds = time.perf_counter() - t0
 
         t1 = time.perf_counter()
         # sort by (hash, position) — RefRandstrobe::operator<
@@ -179,11 +239,6 @@ class StrobemerIndex:
         self.positions = positions[order]
         self.packed = packed[order]
         self.stats.elapsed_sorting_seeds = time.perf_counter() - t1
-
-        t2 = time.perf_counter()
-        self._build_buckets()
-        self._compute_filter_cutoff(f)
-        self.stats.elapsed_hash_index = time.perf_counter() - t2
 
     def _build_buckets(self) -> None:
         """Bucket table replicating the reference loop exactly

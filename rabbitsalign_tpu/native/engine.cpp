@@ -2472,3 +2472,113 @@ void chunk_out_copy(void* c, char* dst) {
 void chunk_free(void* c) { delete (engine::ChunkC*)c; }
 
 }  // extern "C"
+// ------------------------------------------------------------------
+// Native index build: reference-side seeding (canonical syncmers +
+// randstrobe linking, forward strand) for all contigs, threaded per
+// contig, then one stable sort by (hash, position). Semantics match
+// seed/randstrobes.py randstrobes_reference + index/strobemer_index.py
+// populate (reference src/index.cpp:141-242 count/assign/pdqsort).
+
+#include <atomic>
+#include <thread>
+
+namespace engine {
+
+struct RefRec {
+    u64 hash;
+    u32 pos;
+    u32 packed;
+};
+
+struct IndexBuild {
+    std::vector<RefRec> recs;
+};
+
+// link syncmers into reference randstrobes, keeping raw strobe2 positions
+static void link_strobes_ref(const std::vector<Syncmer>& sync, int wmin,
+                             int wmax, u64 qmask, int max_dist, u32 ref_bits,
+                             std::vector<RefRec>& out) {
+    const i64 n = (i64)sync.size();
+    for (i64 i = 0; i + wmin < n; ++i) {
+        const Syncmer& s1 = sync[i];
+        i64 wend = std::min(i + (i64)wmax, n - 1);
+        i64 max_position = s1.pos + max_dist;
+        u64 min_val = UMAX;
+        i64 best = i;
+        for (i64 j = i + wmin; j <= wend && sync[j].pos <= max_position; ++j) {
+            u64 res = (u64)popcount64((s1.hash ^ sync[j].hash) & qmask);
+            if (res < min_val) {
+                min_val = res;
+                best = j;
+            }
+        }
+        out.push_back({s1.hash + sync[best].hash, (u32)s1.pos,
+                       ref_bits | (u32)(sync[best].pos - s1.pos)});
+    }
+}
+
+}  // namespace engine
+
+extern "C" {
+
+void* index_build(const u8* seq_blob, const i64* offsets, i64 n_refs, int k,
+                  int s, int t, int wmin, int wmax, u64 qmask, int max_dist,
+                  int n_threads) {
+    auto* ib = new engine::IndexBuild();
+    std::vector<std::vector<engine::RefRec>> per_ref(n_refs);
+    std::atomic<i64> next{0};
+    auto worker = [&]() {
+        std::vector<Syncmer> sync;
+        while (true) {
+            i64 r = next.fetch_add(1);
+            if (r >= n_refs) break;
+            const u8* seq = seq_blob + offsets[r];
+            i64 len = offsets[r + 1] - offsets[r];
+            if (len < wmax) continue;
+            syncmers_of(seq, len, k, s, t, sync);
+            per_ref[r].reserve(sync.size());
+            engine::link_strobes_ref(sync, wmin, wmax, qmask, max_dist,
+                                     (u32)r << 8, per_ref[r]);
+        }
+    };
+    int nt = std::max(1, n_threads);
+    if (nt == 1 || n_refs == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    i64 total = 0;
+    for (auto& v : per_ref) total += (i64)v.size();
+    ib->recs.reserve(total);
+    for (auto& v : per_ref) {
+        ib->recs.insert(ib->recs.end(), v.begin(), v.end());
+        v.clear();
+        v.shrink_to_fit();
+    }
+    // (hash, position) stable order == np.lexsort((positions, hashes))
+    std::stable_sort(ib->recs.begin(), ib->recs.end(),
+                     [](const engine::RefRec& a, const engine::RefRec& b) {
+                         if (a.hash != b.hash) return a.hash < b.hash;
+                         return a.pos < b.pos;
+                     });
+    return ib;
+}
+
+i64 index_build_count(void* h) {
+    return (i64)((engine::IndexBuild*)h)->recs.size();
+}
+
+void index_build_copy(void* h, u64* hashes, u32* positions, u32* packed) {
+    auto* ib = (engine::IndexBuild*)h;
+    for (size_t i = 0; i < ib->recs.size(); ++i) {
+        hashes[i] = ib->recs[i].hash;
+        positions[i] = ib->recs[i].pos;
+        packed[i] = ib->recs[i].packed;
+    }
+}
+
+void index_build_free(void* h) { delete (engine::IndexBuild*)h; }
+
+}  // extern "C"

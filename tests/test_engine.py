@@ -319,3 +319,35 @@ def test_engine_device_parity(world):
         return "".join(texts)
 
     assert run(False) == run(True)
+
+
+def test_native_index_build_matches_numpy(world):
+    """Native index build (seeding + sort in C++) must produce arrays
+    identical to the numpy path, including bucket table and cutoff."""
+    import os
+
+    import numpy as np
+
+    import rabbitsalign_tpu.native as nat
+    from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+
+    genome, refs, params, _ = world
+    ix_native = StrobemerIndex(refs, params)
+    ix_native.populate(0.0002, 2)
+
+    os.environ["RABBITSALIGN_TPU_NO_NATIVE"] = "1"
+    nat._tried, nat._lib = False, None
+    try:
+        ix_np = StrobemerIndex(refs, params)
+        ix_np.populate(0.0002, 1)
+    finally:
+        del os.environ["RABBITSALIGN_TPU_NO_NATIVE"]
+        nat._tried, nat._lib = False, None
+
+    assert np.array_equal(ix_native.hashes, ix_np.hashes)
+    assert np.array_equal(ix_native.positions, ix_np.positions)
+    assert np.array_equal(ix_native.packed, ix_np.packed)
+    assert np.array_equal(
+        ix_native.randstrobe_start_indices, ix_np.randstrobe_start_indices
+    )
+    assert ix_native.filter_cutoff == ix_np.filter_cutoff

@@ -2582,3 +2582,316 @@ void index_build_copy(void* h, u64* hashes, u32* positions, u32* packed) {
 void index_build_free(void* h) { delete (engine::IndexBuild*)h; }
 
 }  // extern "C"
+// ------------------------------------------------------------------
+// Native chunked FASTQ/FASTA reader — the RabbitFX-equivalent input
+// layer (/root/reference/RabbitFX/io/FastxStream.h readNextChunk /
+// readNextPairChunk and src/pc.cpp InputBuffer::read_records): buffered
+// gz/plain decompression, record parsing with kseq-style
+// name-cut-at-whitespace, SE / PE / interleaved pairing, producing the
+// exact blob layout engine_chunk_a consumes (pairs interleaved first,
+// then singles).
+
+#include <zlib.h>
+
+namespace engine {
+
+struct ByteReader {
+    gzFile f = nullptr;
+    std::vector<char> buf;
+    size_t pos = 0, lim = 0;
+    bool eof = false;
+
+    bool open(const char* path) {
+        f = gzopen(path, "rb");
+        if (!f) return false;
+        gzbuffer(f, 1 << 20);
+        buf.resize(1 << 20);
+        return true;
+    }
+    void close() {
+        if (f) gzclose(f);
+        f = nullptr;
+    }
+    bool fill() {
+        if (eof) return false;
+        int n = gzread(f, buf.data(), (unsigned)buf.size());
+        if (n <= 0) {
+            eof = true;
+            return false;
+        }
+        pos = 0;
+        lim = (size_t)n;
+        return true;
+    }
+    int peek() {
+        if (pos >= lim && !fill()) return -1;
+        return (unsigned char)buf[pos];
+    }
+    // next line without trailing \n / \r\n; false at EOF with empty line
+    bool getline(std::string& out) {
+        out.clear();
+        while (true) {
+            if (pos >= lim && !fill()) return !out.empty();
+            char* start = buf.data() + pos;
+            char* nl = (char*)memchr(start, '\n', lim - pos);
+            if (nl) {
+                out.append(start, nl - start);
+                pos = (size_t)(nl - buf.data()) + 1;
+                if (!out.empty() && out.back() == '\r') out.pop_back();
+                return true;
+            }
+            out.append(start, lim - pos);
+            pos = lim;
+        }
+    }
+};
+
+struct FxRecord {
+    std::string name, seq, qual;
+};
+
+struct FxParser {
+    ByteReader rd;
+    bool is_fasta = false;
+    bool started = false;
+    std::string line;       // scratch
+    std::string next_name;  // FASTA lookahead header
+    bool have_header = false;
+    int error = 0;          // 1 = malformed, 2 = unknown format
+
+    bool start() {
+        int c = rd.peek();
+        if (c < 0) return false;
+        if (c == '>')
+            is_fasta = true;
+        else if (c == '@')
+            is_fasta = false;
+        else {
+            error = 2;
+            return false;
+        }
+        started = true;
+        if (is_fasta) {
+            rd.getline(line);  // consume header
+            next_name = line.substr(1);
+            have_header = true;
+        }
+        return true;
+    }
+
+    static void cut_name(std::string& name) {
+        size_t w = name.find_first_of(" \t");
+        if (w != std::string::npos) name.resize(w);
+    }
+
+    // returns false at EOF (or error; check .error)
+    bool next(FxRecord& rec) {
+        if (!started && !start()) return false;
+        if (error) return false;
+        if (is_fasta) {
+            if (!have_header) return false;
+            rec.name = next_name;
+            cut_name(rec.name);
+            rec.seq.clear();
+            rec.qual.clear();
+            while (rd.getline(line)) {
+                if (!line.empty() && line[0] == '>') {
+                    next_name = line.substr(1);
+                    return true;
+                }
+                rec.seq += line;
+            }
+            have_header = false;
+            return true;
+        }
+        // FASTQ
+        if (!rd.getline(line)) return false;  // @header
+        if (line.empty() || line[0] != '@') {
+            error = 1;
+            return false;
+        }
+        rec.name.assign(line, 1, line.size() - 1);
+        cut_name(rec.name);
+        if (!rd.getline(rec.seq)) return false;
+        if (!rd.getline(line)) return false;  // +
+        if (!rd.getline(rec.qual)) {
+            rec.qual.clear();
+            return true;
+        }
+        return true;
+    }
+};
+
+// reference src/pc.cpp:23-36 same_name
+static bool fx_same_name(const std::string& n1, const std::string& n2) {
+    if (n1.size() != n2.size()) return false;
+    if (n1 == n2) return true;
+    if (n1.size() < 2) return false;
+    if (n1.compare(0, n1.size() - 1, n2, 0, n2.size() - 1) != 0) return false;
+    return n1.back() == '1' && n2.back() == '2';
+}
+
+struct FxChunk {
+    std::string names, seqs, quals;
+    std::vector<i64> name_off{0}, seq_off{0}, qual_off{0};
+    i64 n_pairs = 0, n_singles = 0;
+
+    void push(const FxRecord& r) {
+        names += r.name;
+        seqs += r.seq;
+        quals += r.qual;
+        name_off.push_back((i64)names.size());
+        seq_off.push_back((i64)seqs.size());
+        qual_off.push_back((i64)quals.size());
+    }
+};
+
+struct FxReader {
+    FxParser p1, p2;
+    bool paired = false;
+    bool interleaved = false;
+    i64 chunk_reads = 10000;
+    int error = 0;
+    bool have_pending = false;
+    FxRecord pending;
+    bool done = false;
+};
+
+}  // namespace engine
+
+extern "C" {
+
+void* fastx_open(const char* path1, const char* path2, int interleaved,
+                 i64 chunk_reads) {
+    auto* r = new engine::FxReader();
+    r->interleaved = interleaved != 0;
+    r->chunk_reads = chunk_reads;
+    if (!r->p1.rd.open(path1)) {
+        delete r;
+        return nullptr;
+    }
+    if (path2 && path2[0]) {
+        if (!r->p2.rd.open(path2)) {
+            r->p1.rd.close();
+            delete r;
+            return nullptr;
+        }
+        r->paired = true;
+    }
+    return r;
+}
+
+int fastx_error(void* r_) { 
+    auto* r = (engine::FxReader*)r_;
+    return r->error ? r->error : (r->p1.error | r->p2.error);
+}
+
+// returns a chunk handle or NULL at EOF/error
+void* fastx_next(void* r_) {
+    auto* r = (engine::FxReader*)r_;
+    if (r->done || r->error) return nullptr;
+    auto* ch = new engine::FxChunk();
+    engine::FxRecord rec1, rec2;
+    if (r->paired) {
+        // pairs interleaved r1,r2
+        for (i64 i = 0; i < r->chunk_reads; ++i) {
+            if (!r->p1.next(rec1)) {
+                r->done = true;
+                break;
+            }
+            if (!r->p2.next(rec2)) {
+                r->error = 3;  // different lengths
+                break;
+            }
+            ch->push(rec1);
+            ch->push(rec2);
+            ch->n_pairs++;
+        }
+    } else if (r->interleaved) {
+        // reference src/pc.cpp:42-72 distribute_interleaved: pairs by
+        // consecutive same-name records, leftovers become singles.
+        // Pairs must precede singles in the blob, so collect separately.
+        engine::FxChunk pairs, singles;
+        while (pairs.n_pairs + singles.n_singles < r->chunk_reads) {
+            if (!r->have_pending) {
+                if (!r->p1.next(r->pending)) {
+                    r->done = true;
+                    break;
+                }
+                r->have_pending = true;
+            }
+            if (!r->p1.next(rec2)) {
+                singles.push(r->pending);
+                singles.n_singles++;
+                r->have_pending = false;
+                r->done = true;
+                break;
+            }
+            if (engine::fx_same_name(r->pending.name, rec2.name)) {
+                pairs.push(r->pending);
+                pairs.push(rec2);
+                pairs.n_pairs++;
+                r->have_pending = false;
+            } else {
+                singles.push(r->pending);
+                singles.n_singles++;
+                r->pending = rec2;
+            }
+        }
+        // concatenate pairs then singles
+        *ch = std::move(pairs);
+        for (i64 s = 0; s < singles.n_singles; ++s) {
+            engine::FxRecord tmp;
+            tmp.name.assign(singles.names, singles.name_off[s],
+                            singles.name_off[s + 1] - singles.name_off[s]);
+            tmp.seq.assign(singles.seqs, singles.seq_off[s],
+                           singles.seq_off[s + 1] - singles.seq_off[s]);
+            tmp.qual.assign(singles.quals, singles.qual_off[s],
+                            singles.qual_off[s + 1] - singles.qual_off[s]);
+            ch->push(tmp);
+            ch->n_singles++;
+        }
+    } else {
+        for (i64 i = 0; i < r->chunk_reads; ++i) {
+            if (!r->p1.next(rec1)) {
+                r->done = true;
+                break;
+            }
+            ch->push(rec1);
+            ch->n_singles++;
+        }
+    }
+    if (r->p1.error || r->p2.error) r->error = r->p1.error | r->p2.error;
+    if (ch->n_pairs == 0 && ch->n_singles == 0) {
+        delete ch;
+        return nullptr;
+    }
+    return ch;
+}
+
+void fastx_counts(void* c_, i64* n_pairs, i64* n_singles) {
+    auto* c = (engine::FxChunk*)c_;
+    *n_pairs = c->n_pairs;
+    *n_singles = c->n_singles;
+}
+
+void fastx_chunk_free(void* c) { delete (engine::FxChunk*)c; }
+
+void fastx_close(void* r_) {
+    auto* r = (engine::FxReader*)r_;
+    r->p1.rd.close();
+    r->p2.rd.close();
+    delete r;
+}
+
+// phase A directly from a native reader chunk (no Python blob hop)
+void* engine_chunk_a_fx(void* e, void* c_, u64 chunk_seed) {
+    auto* c = (engine::FxChunk*)c_;
+    return engine_chunk_a(
+        e, (const u8*)c->seqs.data(), c->seq_off.data(),
+        (const u8*)c->names.data(), c->name_off.data(),
+        (const u8*)c->quals.data(), c->qual_off.data(), c->n_pairs,
+        c->n_singles, chunk_seed);
+}
+
+}  // extern "C"

@@ -33,15 +33,13 @@ ENGINE_BUCKETS: Tuple[Tuple[int, int, int], ...] = (
     (512, 2048, 256),
 )
 
-_configured = False
-
-
 def _lib():
     lib = load_seednam()  # engine.so also exports the seednam entry points
     if lib is None:
         return None
-    global _configured
-    if not _configured:
+    # the flag lives on the lib object: load_seednam may hand out a fresh
+    # CDLL after a test reset, which then needs its own registration
+    if not getattr(lib, "_engine_configured", False):
         c = ctypes
         lib.engine_create.restype = c.c_void_p
         lib.engine_create.argtypes = [
@@ -80,7 +78,19 @@ def _lib():
         lib.chunk_out_len.argtypes = [c.c_void_p]
         lib.chunk_out_copy.argtypes = [c.c_void_p, c.c_void_p]
         lib.chunk_free.argtypes = [c.c_void_p]
-        _configured = True
+        # native chunked FASTQ/FASTA reader
+        lib.fastx_open.restype = c.c_void_p
+        lib.fastx_open.argtypes = [c.c_char_p, c.c_char_p, c.c_int, c.c_int64]
+        lib.fastx_next.restype = c.c_void_p
+        lib.fastx_next.argtypes = [c.c_void_p]
+        lib.fastx_error.restype = c.c_int
+        lib.fastx_error.argtypes = [c.c_void_p]
+        lib.fastx_counts.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
+        lib.fastx_chunk_free.argtypes = [c.c_void_p]
+        lib.fastx_close.argtypes = [c.c_void_p]
+        lib.engine_chunk_a_fx.restype = c.c_void_p
+        lib.engine_chunk_a_fx.argtypes = [c.c_void_p, c.c_void_p, c.c_uint64]
+        lib._engine_configured = True
     return lib
 
 
@@ -179,6 +189,14 @@ class NativeEngine:
             pass
 
     # --- phase A -------------------------------------------------------
+
+    def chunk_a_fx(self, fx_chunk: int, chunk_seed: int) -> NativeChunk:
+        """Phase A directly from a native reader chunk handle (zero-copy:
+        the record blobs never surface to Python)."""
+        handle = self.lib.engine_chunk_a_fx(
+            self.handle, fx_chunk, ctypes.c_uint64(chunk_seed)
+        )
+        return NativeChunk(self.lib, handle)
 
     def chunk_a(self, records1, records2, records3, chunk_seed: int) -> NativeChunk:
         """records1/records2: paired lists (or records1 = singles when
@@ -285,3 +303,60 @@ class NativeEngine:
         out = np.zeros(3, dtype=np.float64)
         self.lib.engine_isize(self.handle, out.ctypes.data)
         return float(out[0]), float(out[1]), float(out[2])
+
+
+class NativeReader:
+    """Chunked FASTQ/FASTA reader over the native parser — the RabbitFX
+    input layer equivalent. Iterates raw chunk handles consumed by
+    NativeEngine.chunk_a_fx; each handle must be freed (free_chunk) after
+    phase A has copied the records."""
+
+    def __init__(self, path1: str, path2: str = "", interleaved: bool = False,
+                 chunk_size: int = 10000):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native reader unavailable")
+        self.lib = lib
+        self.handle = lib.fastx_open(
+            path1.encode(), (path2 or "").encode(), int(interleaved), chunk_size
+        )
+        if not self.handle:
+            raise OSError(f"cannot open {path1!r}" + (f" / {path2!r}" if path2 else ""))
+
+    def __iter__(self):
+        idx = 0
+        while True:
+            ch = self.lib.fastx_next(self.handle)
+            err = self.lib.fastx_error(self.handle)
+            if err:
+                if ch:
+                    self.lib.fastx_chunk_free(ch)
+                raise ValueError(
+                    {1: "malformed FASTQ record header",
+                     2: "not a FASTA or FASTQ file",
+                     3: "paired input files have different lengths"}.get(
+                        err, f"input error {err}")
+                )
+            if not ch:
+                return
+            import ctypes as c
+
+            n_pairs = c.c_int64()
+            n_singles = c.c_int64()
+            self.lib.fastx_counts(ch, c.byref(n_pairs), c.byref(n_singles))
+            yield idx, ch, int(n_pairs.value), int(n_singles.value)
+            idx += 1
+
+    def free_chunk(self, ch) -> None:
+        self.lib.fastx_chunk_free(ch)
+
+    def close(self) -> None:
+        if self.handle:
+            self.lib.fastx_close(self.handle)
+            self.handle = None
+
+    def __del__(self):  # pragma: no cover - defensive
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -109,3 +109,46 @@ class NativePipeline:
 
 def native_pipeline_available() -> bool:
     return engine_available()
+
+
+def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
+                       depth: int = 3) -> int:
+    """Fully-native input path: the C++ reader parses chunks, phase A
+    consumes them zero-copy, the device extends, phase B writes output.
+    Returns the number of reads mapped."""
+    from collections import deque
+
+    from ..native.engine import NativeReader
+
+    reader = NativeReader(path1, path2, interleaved, chunk_size)
+    n_reads = 0
+    in_flight = deque()
+    try:
+        for chunk_index, fx, n_pairs, n_singles in reader:
+            n_reads += 2 * n_pairs + n_singles
+            chunk = self.engine.chunk_a_fx(fx, chunk_index)
+            reader.free_chunk(fx)
+            pending = []
+            if self.use_device and chunk.n_jobs:
+                from ..ops.extend_device import extend_batch_packed
+
+                for idxs, Q, T, B in self.engine.plan_batches(chunk, self.batch_size):
+                    buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
+                    out_dev = extend_batch_packed(buf, Q, T, self._sw)
+                    pending.append((idxs, out_dev, Q + T - 1))
+                for _, out_dev, _ in pending:
+                    try:
+                        out_dev.copy_to_host_async()
+                    except Exception:  # pragma: no cover
+                        pass
+            in_flight.append((chunk, pending))
+            if len(in_flight) > depth:
+                write(self.finish_chunk(in_flight.popleft()))
+        while in_flight:
+            write(self.finish_chunk(in_flight.popleft()))
+    finally:
+        reader.close()
+    return n_reads
+
+
+NativePipeline.map_file = _pipeline_map_file

@@ -153,7 +153,14 @@ def _map_reads(
             batch_size=getattr(opt, "tpu_batch", 512),
         )
         t0 = time.perf_counter()
-        n_reads = pipeline.map_all(input_buffer.chunks(), out.write)
+        try:
+            # fully-native input path (C++ chunked FASTQ reader)
+            n_reads = pipeline.map_file(
+                opt.reads_filename1, opt.reads_filename2, opt.is_interleaved,
+                opt.chunk_size, out.write,
+            )
+        except RuntimeError:  # pragma: no cover - reader unavailable
+            n_reads = pipeline.map_all(input_buffer.chunks(), out.write)
         elapsed = time.perf_counter() - t0
         c = pipeline.counters()
         logger.info(f"Mapped {n_reads} reads in {elapsed:.2f} s "

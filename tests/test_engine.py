@@ -351,3 +351,67 @@ def test_native_index_build_matches_numpy(world):
         ix_native.randstrobe_start_indices, ix_np.randstrobe_start_indices
     )
     assert ix_native.filter_cutoff == ix_np.filter_cutoff
+
+
+def test_native_reader_matches_python_input(world, tmp_path):
+    """The native chunked FASTQ reader + chunk_a_fx must produce the same
+    SAM text as Python-parsed records through chunk_a, for SE, PE and
+    interleaved (pair + orphan) inputs, plain and gzipped."""
+    import gzip
+
+    from rabbitsalign_tpu.io.fastq import InputBuffer
+    from rabbitsalign_tpu.native.engine import NativeReader
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    se = simulate_se(genome, 260)
+    r1, r2 = simulate_pe(genome, 200)
+
+    def fq(recs):
+        return b"".join(
+            f"@{r.name} extra comment\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n"
+            for r in recs
+        )
+
+    p_se = tmp_path / "se.fq"
+    p_se.write_bytes(fq(se))
+    p_r1 = tmp_path / "r1.fq.gz"
+    p_r1.write_bytes(gzip.compress(fq(r1)))
+    p_r2 = tmp_path / "r2.fq.gz"
+    p_r2.write_bytes(gzip.compress(fq(r2)))
+    # interleaved with an orphan in the middle
+    inter = []
+    for i, (a, b) in enumerate(zip(r1, r2)):
+        inter.append(a)
+        if i == 57:
+            continue  # drop the mate -> orphan
+        inter.append(b)
+    p_il = tmp_path / "il.fq"
+    p_il.write_bytes(fq(inter))
+
+    def via_python(path1, path2="", interleaved=False):
+        eng = NativeEngine(index, params, refs, ap, mp, "")
+        texts = []
+        for ci, a, b, c in InputBuffer(str(path1), str(path2) if path2 else "",
+                                       100, interleaved).chunks():
+            texts.append(eng.chunk_b(eng.chunk_a(a, b, c, ci)))
+        return "".join(texts)
+
+    def via_native(path1, path2="", interleaved=False):
+        eng = NativeEngine(index, params, refs, ap, mp, "")
+        reader = NativeReader(str(path1), str(path2) if path2 else "",
+                              interleaved, 100)
+        texts = []
+        for ci, fx, _, _ in reader:
+            ch = eng.chunk_a_fx(fx, ci)
+            reader.free_chunk(fx)
+            texts.append(eng.chunk_b(ch))
+        reader.close()
+        return "".join(texts)
+
+    assert via_python(p_se) == via_native(p_se)
+    assert via_python(p_r1, p_r2) == via_native(p_r1, p_r2)
+    assert via_python(p_il, interleaved=True) == via_native(p_il, interleaved=True)

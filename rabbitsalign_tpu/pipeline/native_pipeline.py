@@ -152,3 +152,122 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
 
 
 NativePipeline.map_file = _pipeline_map_file
+
+
+class ThreadedNativePipeline:
+    """N-worker chunk mapping — the reference's consumer-thread data
+    parallelism (/root/reference/src/main.cpp:453-592 worker spawn,
+    src/pc.cpp InputBuffer/OutputBuffer): a reader/producer feeds a
+    bounded queue, each worker owns a NativeEngine (per-worker insert-size
+    estimator and statistics, like the reference's per-thread state) and
+    processes whole chunks; output is reordered by chunk index before
+    writing. Engine calls release the GIL, so workers scale on multicore
+    hosts; device dispatch happens on the worker threads (jax dispatch is
+    thread-safe).
+
+    Like the reference, PE output depends on which worker handled which
+    chunk (insert-size history); SE output is identical for any worker
+    count.
+    """
+
+    def __init__(
+        self,
+        index,
+        index_parameters,
+        references,
+        aln_params,
+        map_param,
+        read_group_id: str = "",
+        use_device: bool = True,
+        batch_size: int = 512,
+        n_workers: int = 3,
+        queue_depth: int = 8,
+    ):
+        self._mk = lambda: NativePipeline(
+            index, index_parameters, references, aln_params, map_param,
+            read_group_id, use_device=use_device, batch_size=batch_size,
+        )
+        self.n_workers = max(1, n_workers)
+        self.queue_depth = queue_depth
+        self._counters = []
+
+    def map_file(self, path1, path2, interleaved, chunk_size, write) -> int:
+        import queue
+        import threading
+
+        from ..native.engine import NativeReader
+
+        in_q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth)
+        out_lock = threading.Condition()
+        out_buf = {}
+        next_out = [0]
+        n_reads = [0]
+        errors = []
+
+        def worker():
+            pipe = self._mk()
+            try:
+                while True:
+                    item = in_q.get()
+                    if item is None:
+                        break
+                    ci, fx, np_, ns = item
+                    try:
+                        chunk = pipe.engine.chunk_a_fx(fx, ci)
+                    finally:
+                        reader.free_chunk(fx)
+                    pending = []
+                    if pipe.use_device and chunk.n_jobs:
+                        from ..ops.extend_device import extend_batch_packed
+
+                        for idxs, Q, T, B in pipe.engine.plan_batches(
+                                chunk, pipe.batch_size):
+                            buf = pipe.engine.fill_batch(chunk, idxs, B, Q, T)
+                            out_dev = extend_batch_packed(buf, Q, T, pipe._sw)
+                            pending.append((idxs, out_dev, Q + T - 1))
+                    text = pipe.finish_chunk((chunk, pending))
+                    with out_lock:
+                        out_buf[ci] = text
+                        while next_out[0] in out_buf:
+                            write(out_buf.pop(next_out[0]))
+                            next_out[0] += 1
+                        out_lock.notify_all()
+            except Exception as e:  # pragma: no cover - propagate to caller
+                errors.append(e)
+                with out_lock:
+                    out_lock.notify_all()
+            finally:
+                self._counters.append(pipe.counters())
+
+        reader = NativeReader(path1, path2, interleaved, chunk_size)
+        threads = [
+            __import__("threading").Thread(target=worker, daemon=True)
+            for _ in range(self.n_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for ci, fx, np_, ns in reader:
+                n_reads[0] += 2 * np_ + ns
+                in_q.put((ci, fx, np_, ns))
+                if errors:
+                    break
+        finally:
+            for _ in threads:
+                in_q.put(None)
+            for t in threads:
+                t.join()
+            reader.close()
+        if errors:
+            raise errors[0]
+        # flush any leftover ordered output (all chunks are in out_buf now)
+        for ci in sorted(out_buf):
+            write(out_buf.pop(ci))
+        return n_reads[0]
+
+    def counters(self) -> dict:
+        total: dict = {}
+        for c in self._counters:
+            for k, v in c.items():
+                total[k] = total.get(k, 0) + v
+        return total

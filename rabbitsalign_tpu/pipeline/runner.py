@@ -147,21 +147,37 @@ def _map_reads(
     except Exception:  # pragma: no cover - defensive
         native_pipeline_available = lambda: False  # noqa: E731
     if native_pipeline_available():
-        pipeline = NativePipeline(
-            index, index_parameters, references, aln_params, map_param,
-            opt.read_group_id, use_device=use_tpu,
-            batch_size=getattr(opt, "tpu_batch", 512),
-        )
-        t0 = time.perf_counter()
-        try:
-            # fully-native input path (C++ chunked FASTQ reader)
+        if opt.n_threads > 1:
+            from .native_pipeline import ThreadedNativePipeline
+
+            pipeline = ThreadedNativePipeline(
+                index, index_parameters, references, aln_params, map_param,
+                opt.read_group_id, use_device=use_tpu,
+                batch_size=getattr(opt, "tpu_batch", 512),
+                n_workers=opt.n_threads,
+            )
+            t0 = time.perf_counter()
             n_reads = pipeline.map_file(
                 opt.reads_filename1, opt.reads_filename2, opt.is_interleaved,
                 opt.chunk_size, out.write,
             )
-        except RuntimeError:  # pragma: no cover - reader unavailable
-            n_reads = pipeline.map_all(input_buffer.chunks(), out.write)
-        elapsed = time.perf_counter() - t0
+            elapsed = time.perf_counter() - t0
+        else:
+            pipeline = NativePipeline(
+                index, index_parameters, references, aln_params, map_param,
+                opt.read_group_id, use_device=use_tpu,
+                batch_size=getattr(opt, "tpu_batch", 512),
+            )
+            t0 = time.perf_counter()
+            try:
+                # fully-native input path (C++ chunked FASTQ reader)
+                n_reads = pipeline.map_file(
+                    opt.reads_filename1, opt.reads_filename2, opt.is_interleaved,
+                    opt.chunk_size, out.write,
+                )
+            except RuntimeError:  # pragma: no cover - reader unavailable
+                n_reads = pipeline.map_all(input_buffer.chunks(), out.write)
+            elapsed = time.perf_counter() - t0
         c = pipeline.counters()
         logger.info(f"Mapped {n_reads} reads in {elapsed:.2f} s "
                     f"({n_reads / max(elapsed, 1e-9):.0f} reads/s)")

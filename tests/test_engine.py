@@ -415,3 +415,77 @@ def test_native_reader_matches_python_input(world, tmp_path):
     assert via_python(p_se) == via_native(p_se)
     assert via_python(p_r1, p_r2) == via_native(p_r1, p_r2)
     assert via_python(p_il, interleaved=True) == via_native(p_il, interleaved=True)
+
+
+def test_threaded_pipeline_se_identical(world, tmp_path):
+    """SE mapping has no cross-chunk state, so the N-worker pipeline must
+    produce byte-identical (ordered) output for any worker count."""
+    from rabbitsalign_tpu.pipeline.native_pipeline import (
+        NativePipeline,
+        ThreadedNativePipeline,
+    )
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    se = simulate_se(genome, 500)
+    p_se = tmp_path / "se.fq"
+    p_se.write_bytes(b"".join(
+        f"@{r.name}\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n" for r in se
+    ))
+
+    def run_seq():
+        out = []
+        pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
+        n = pipe.map_file(str(p_se), "", False, 64, out.append)
+        return n, "".join(out)
+
+    def run_threaded(workers):
+        out = []
+        pipe = ThreadedNativePipeline(index, params, refs, ap, mp,
+                                      use_device=False, n_workers=workers)
+        n = pipe.map_file(str(p_se), "", False, 64, out.append)
+        return n, "".join(out)
+
+    n0, t0 = run_seq()
+    assert n0 == 500
+    for workers in (1, 3):
+        n, t = run_threaded(workers)
+        assert n == 500
+        assert t == t0
+
+
+def test_threaded_pipeline_pe_runs(world, tmp_path):
+    """PE threaded output depends on worker scheduling (per-worker
+    insert-size state, like the reference); check record count/flags."""
+    from rabbitsalign_tpu.pipeline.native_pipeline import ThreadedNativePipeline
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    r1, r2 = simulate_pe(genome, 300)
+
+    def fq(recs):
+        return b"".join(
+            f"@{r.name}\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n" for r in recs
+        )
+
+    p1 = tmp_path / "t1.fq"
+    p1.write_bytes(fq(r1))
+    p2 = tmp_path / "t2.fq"
+    p2.write_bytes(fq(r2))
+
+    out = []
+    pipe = ThreadedNativePipeline(index, params, refs, ap, mp,
+                                  use_device=False, n_workers=2)
+    n = pipe.map_file(str(p1), str(p2), False, 50, out.append)
+    assert n == 600
+    lines = [l for l in "".join(out).splitlines() if l]
+    assert len(lines) == 600
+    # ordered by chunk: read names must appear in input order
+    names = [l.split("\t")[0] for l in lines if not (int(l.split("\t")[1]) & 0x100)]
+    assert names == [f"p{i}" for i in range(300) for _ in (0, 1)]

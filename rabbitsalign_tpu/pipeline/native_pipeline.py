@@ -39,13 +39,34 @@ class NativePipeline:
         self.batch_size = batch_size
         self.use_device = use_device
         self._sw = None
+        self._devices = None
+        self._next_dev = 0
         if use_device:
+            import jax
+
             from ..ops.sw_jax import SwParams
 
             self._sw = SwParams(
                 aln_params.match, aln_params.mismatch, aln_params.gap_open,
                 aln_params.gap_extend,
             )
+            # round-robin independent extend batches across all local
+            # chips: data parallelism over the batch dimension needs no
+            # collectives (each batch is self-contained), so this is the
+            # natural multi-chip mapping of the reference's GPU streams
+            self._devices = jax.local_devices()
+
+    def _dispatch(self, buf, Q, T):
+        """Launch one extend batch on the next device (round-robin)."""
+        import jax
+
+        from ..ops.extend_device import extend_batch_packed
+
+        if len(self._devices) > 1:
+            dev = self._devices[self._next_dev % len(self._devices)]
+            self._next_dev += 1
+            buf = jax.device_put(buf, dev)
+        return extend_batch_packed(buf, Q, T, self._sw)
 
     # --- two-phase API (callers drive the cross-chunk pipelining) -------
 
@@ -54,11 +75,9 @@ class NativePipeline:
         chunk = self.engine.chunk_a(records1, records2, records3, chunk_index)
         pending = []
         if self.use_device and chunk.n_jobs:
-            from ..ops.extend_device import extend_batch_packed
-
             for idxs, Q, T, B in self.engine.plan_batches(chunk, self.batch_size):
                 buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
-                out_dev = extend_batch_packed(buf, Q, T, self._sw)  # async
+                out_dev = self._dispatch(buf, Q, T)  # async
                 pending.append((idxs, out_dev, Q + T - 1))
             for _, out_dev, _ in pending:
                 # start the device->host copy as soon as the batch lands so
@@ -130,11 +149,9 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
             reader.free_chunk(fx)
             pending = []
             if self.use_device and chunk.n_jobs:
-                from ..ops.extend_device import extend_batch_packed
-
                 for idxs, Q, T, B in self.engine.plan_batches(chunk, self.batch_size):
                     buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
-                    out_dev = extend_batch_packed(buf, Q, T, self._sw)
+                    out_dev = self._dispatch(buf, Q, T)
                     pending.append((idxs, out_dev, Q + T - 1))
                 for _, out_dev, _ in pending:
                     try:
@@ -218,12 +235,10 @@ class ThreadedNativePipeline:
                         reader.free_chunk(fx)
                     pending = []
                     if pipe.use_device and chunk.n_jobs:
-                        from ..ops.extend_device import extend_batch_packed
-
                         for idxs, Q, T, B in pipe.engine.plan_batches(
                                 chunk, pipe.batch_size):
                             buf = pipe.engine.fill_batch(chunk, idxs, B, Q, T)
-                            out_dev = extend_batch_packed(buf, Q, T, pipe._sw)
+                            out_dev = pipe._dispatch(buf, Q, T)
                             pending.append((idxs, out_dev, Q + T - 1))
                     text = pipe.finish_chunk((chunk, pending))
                     with out_lock:

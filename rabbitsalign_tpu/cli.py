@@ -135,6 +135,13 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
                    help="TPU extension batch size [512]")
     p.add_argument("--no-tpu", action="store_true",
                    help="Disable the TPU extend path (host alignment only)")
+    # multi-host pod scale-out (jax.distributed; requires -o on a shared fs)
+    p.add_argument("--num-nodes", type=int, default=1, metavar="INT",
+                   help="Number of hosts in the pod [1]")
+    p.add_argument("--node-id", type=int, default=0, metavar="INT",
+                   help="This host's index in the pod [0]")
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (node 0)")
     p.add_argument("ref_filename", metavar="reference",
                    help="Reference in FASTA format")
     p.add_argument("reads1", nargs="?", default="", help="Reads 1 (FASTA/FASTQ, may be .gz)")
@@ -204,6 +211,11 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
 
     opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 512
     opt.use_tpu = not args.no_tpu
+    opt.num_nodes = args.num_nodes
+    opt.node_id = args.node_id
+    opt.coordinator = args.coordinator
+    if opt.num_nodes > 1 and not opt.output_file_name:
+        p.error("multi-host runs need -o PATH on a shared filesystem")
 
     if opt.use_index and opt.only_gen_index:
         p.error("Options -i and --use-index cannot be used at the same time")

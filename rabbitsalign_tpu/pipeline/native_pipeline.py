@@ -286,3 +286,46 @@ class ThreadedNativePipeline:
             for k, v in c.items():
                 total[k] = total.get(k, 0) + v
         return total
+
+
+def _pipeline_map_file_sharded(self, path1, path2, interleaved, chunk_size,
+                               shard_writer, process_index: int,
+                               process_count: int, depth: int = 3) -> int:
+    """Multi-host shard of map_file: every host parses the stream (cheap
+    next to mapping) but seeds/aligns only chunks with
+    index % process_count == process_index, writing (chunk_index, text)
+    pairs to its ShardWriter for the global-order merge."""
+    from collections import deque
+
+    from ..native.engine import NativeReader
+
+    reader = NativeReader(path1, path2, interleaved, chunk_size)
+    n_reads = 0
+    in_flight = deque()
+    try:
+        for chunk_index, fx, n_pairs, n_singles in reader:
+            if chunk_index % process_count != process_index:
+                reader.free_chunk(fx)
+                continue
+            n_reads += 2 * n_pairs + n_singles
+            chunk = self.engine.chunk_a_fx(fx, chunk_index)
+            reader.free_chunk(fx)
+            pending = []
+            if self.use_device and chunk.n_jobs:
+                for idxs, Q, T, B in self.engine.plan_batches(chunk, self.batch_size):
+                    buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
+                    out_dev = self._dispatch(buf, Q, T)
+                    pending.append((idxs, out_dev, Q + T - 1))
+            in_flight.append((chunk_index, (chunk, pending)))
+            if len(in_flight) > depth:
+                ci, state = in_flight.popleft()
+                shard_writer.write_chunk(ci, self.finish_chunk(state))
+        while in_flight:
+            ci, state = in_flight.popleft()
+            shard_writer.write_chunk(ci, self.finish_chunk(state))
+    finally:
+        reader.close()
+    return n_reads
+
+
+NativePipeline.map_file_sharded = _pipeline_map_file_sharded

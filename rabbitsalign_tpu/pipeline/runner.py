@@ -128,15 +128,6 @@ def _map_reads(
     map_param: MappingParameters,
     aln_params: AlignmentParameters,
 ) -> None:
-    if map_param.is_sam_out:
-        cmd_line = " ".join(sys.argv)
-        out.write(
-            sam_header(references, opt.read_group_id, opt.read_group_fields, cmd_line)
-        )
-
-    input_buffer = InputBuffer(
-        opt.reads_filename1, opt.reads_filename2, opt.chunk_size, opt.is_interleaved
-    )
     use_tpu = getattr(opt, "use_tpu", False)
 
     # Production path: the native (C++) engine runs phases A and B with
@@ -146,6 +137,65 @@ def _map_reads(
         from .native_pipeline import NativePipeline, native_pipeline_available
     except Exception:  # pragma: no cover - defensive
         native_pipeline_available = lambda: False  # noqa: E731
+
+    multihost = (
+        native_pipeline_available() and getattr(opt, "num_nodes", 1) > 1
+    )
+    if map_param.is_sam_out and not multihost:
+        cmd_line = " ".join(sys.argv)
+        out.write(
+            sam_header(references, opt.read_group_id, opt.read_group_fields, cmd_line)
+        )
+
+    input_buffer = InputBuffer(
+        opt.reads_filename1, opt.reads_filename2, opt.chunk_size, opt.is_interleaved
+    )
+
+    if multihost:
+        # multi-host pod run: chunk-sharded mapping, per-host output
+        # shards merged into chunk order by node 0 (SURVEY.md §2.7 — new
+        # scale-out design; the reference is single-node)
+        from ..parallel.multihost import (
+            ShardWriter,
+            init_distributed,
+            merge_output,
+            psum_statistics,
+        )
+
+        pid, pcount = init_distributed(
+            getattr(opt, "coordinator", None), opt.num_nodes,
+            getattr(opt, "node_id", 0),
+        )
+        pipeline = NativePipeline(
+            index, index_parameters, references, aln_params, map_param,
+            opt.read_group_id, use_device=use_tpu,
+            batch_size=getattr(opt, "tpu_batch", 512),
+        )
+        writer = ShardWriter(opt.output_file_name, pid, pcount)
+        t0 = time.perf_counter()
+        n_reads = pipeline.map_file_sharded(
+            opt.reads_filename1, opt.reads_filename2, opt.is_interleaved,
+            opt.chunk_size, writer, pid, pcount,
+        )
+        writer.close()
+        stats_sum = psum_statistics({"n_reads": n_reads, **pipeline.counters()})
+        if pcount > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("rabbitsalign-merge")
+            if pid == 0:
+                header = ""
+                if map_param.is_sam_out:
+                    header = sam_header(
+                        references, opt.read_group_id, opt.read_group_fields,
+                        " ".join(sys.argv),
+                    )
+                merge_output(opt.output_file_name, pcount, header)
+        elapsed = time.perf_counter() - t0
+        logger.info(f"Host {pid}/{pcount}: mapped {n_reads} reads in "
+                    f"{elapsed:.2f} s; pod total {stats_sum['n_reads']:.0f}")
+        return
+
     if native_pipeline_available():
         if opt.n_threads > 1:
             from .native_pipeline import ThreadedNativePipeline

@@ -489,3 +489,37 @@ def test_threaded_pipeline_pe_runs(world, tmp_path):
     # ordered by chunk: read names must appear in input order
     names = [l.split("\t")[0] for l in lines if not (int(l.split("\t")[1]) & 0x100)]
     assert names == [f"p{i}" for i in range(300) for _ in (0, 1)]
+
+
+def test_multihost_shard_merge(world, tmp_path):
+    """Simulate a 2-host run in one process: each 'host' maps its chunk
+    shard through map_file_sharded; the merged output must equal the
+    single-host run byte for byte (SE: no cross-chunk state)."""
+    from rabbitsalign_tpu.parallel.multihost import ShardWriter, merge_output
+    from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    se = simulate_se(genome, 400)
+    p_se = tmp_path / "mh.fq"
+    p_se.write_bytes(b"".join(
+        f"@{r.name}\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n" for r in se
+    ))
+
+    golden = []
+    pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
+    pipe.map_file(str(p_se), "", False, 64, golden.append)
+
+    base = str(tmp_path / "mh.sam")
+    total = 0
+    for pid in (0, 1):
+        pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
+        w = ShardWriter(base, pid, 2)
+        total += pipe.map_file_sharded(str(p_se), "", False, 64, w, pid, 2)
+        w.close()
+    assert total == 400
+    merge_output(base, 2, header="")
+    assert open(base).read() == "".join(golden)

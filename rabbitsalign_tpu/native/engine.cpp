@@ -22,6 +22,7 @@
 #include <cassert>
 #include <cmath>
 #include <cstdio>
+#include <chrono>
 #include <cstring>
 #include <deque>
 #include <string>
@@ -1274,6 +1275,9 @@ struct EngineC {
     bool show_details = false;
     std::string rg_tail = "\n";
     i64 fallbacks = 0;  // device results rejected by validation
+    // phase wall-clock aggregates (reference AlignmentStatistics timers,
+    // src/aln.hpp:13-56, dumped at exit src/main.cpp:602-615)
+    double t_seed_nam = 0, t_phase_a = 0, t_host_align = 0, t_phase_b = 0;
 };
 
 struct JobC {
@@ -1338,6 +1342,7 @@ struct SeedScratch {
 static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
                           SeedScratch& ss, MinstdRand& rng, DetailsC& details,
                           std::vector<NamT>& nams) {
+    auto t0 = std::chrono::steady_clock::now();
     const SeedParams& sp = eng.sp;
     ss.qrs.clear();
     if (len >= sp.wmax) {
@@ -1365,6 +1370,9 @@ static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
     std::stable_sort(nams.begin(), nams.end(),
                      [](const NamT& a, const NamT& b) { return a.score > b.score; });
     shuffle_top_nams(nams, rng);
+    eng.t_seed_nam +=
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
 }
 
 // ------------------------------------------------------------------
@@ -2261,6 +2269,14 @@ void engine_counters(void* e, i64* out) {
     out[5] = eng->fallbacks;
 }
 
+void engine_timers(void* e, double* out) {
+    auto* eng = (engine::EngineC*)e;
+    out[0] = eng->t_phase_a;
+    out[1] = eng->t_seed_nam;
+    out[2] = eng->t_host_align;
+    out[3] = eng->t_phase_b;
+}
+
 void engine_isize(void* e, double* out) {
     auto* eng = (engine::EngineC*)e;
     out[0] = eng->isize.mu;
@@ -2273,6 +2289,7 @@ void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
                      const i64* qual_off, i64 n_pairs, i64 n_singles,
                      u64 chunk_seed) {
     auto* eng = (engine::EngineC*)e;
+    auto t_start = std::chrono::steady_clock::now();
     auto* ch = new engine::ChunkC();
     ch->eng = eng;
     ch->rng.reseed(chunk_seed);
@@ -2341,6 +2358,9 @@ void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
     }
     ch->job_results.resize(ch->jobs.size());
     ch->job_done.assign(ch->jobs.size(), 0);
+    eng->t_phase_a += std::chrono::duration<double>(
+                          std::chrono::steady_clock::now() - t_start)
+                          .count();
     return ch;
 }
 
@@ -2435,7 +2455,10 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
 void engine_chunk_b(void* e, void* c) {
     auto* eng = (engine::EngineC*)e;
     auto* ch = (engine::ChunkC*)c;
+    auto t_start = std::chrono::steady_clock::now();
     engine::resolve_host_jobs(*eng, *ch);
+    auto t_mid = std::chrono::steady_clock::now();
+    eng->t_host_align += std::chrono::duration<double>(t_mid - t_start).count();
     engine::SamC sam;
     sam.out = &ch->out;
     sam.refs = &eng->refs;
@@ -2460,6 +2483,9 @@ void engine_chunk_b(void* e, void* c) {
             eng->stats.add(w.det2);
         }
     }
+    eng->t_phase_b += std::chrono::duration<double>(
+                          std::chrono::steady_clock::now() - t_mid)
+                          .count();
 }
 
 i64 chunk_out_len(void* c) { return (i64)((engine::ChunkC*)c)->out.size(); }

@@ -55,6 +55,7 @@ def _lib():
         ]
         lib.engine_free.argtypes = [c.c_void_p]
         lib.engine_counters.argtypes = [c.c_void_p, c.c_void_p]
+        lib.engine_timers.argtypes = [c.c_void_p, c.c_void_p]
         lib.engine_isize.argtypes = [c.c_void_p, c.c_void_p]
         lib.engine_chunk_a.restype = c.c_void_p
         lib.engine_chunk_a.argtypes = [
@@ -297,6 +298,18 @@ class NativeEngine:
             "nam_rescue": int(out[3]),
             "tot_rescued": int(out[4]),
             "fallbacks": int(out[5]),
+        }
+
+    def timers(self) -> dict:
+        """Phase wall-clock aggregates (the reference's per-thread timing
+        statistics, src/aln.hpp:13-56)."""
+        out = np.zeros(4, dtype=np.float64)
+        self.lib.engine_timers(self.handle, out.ctypes.data)
+        return {
+            "phase_a_s": float(out[0]),
+            "seed_nam_s": float(out[1]),
+            "host_align_s": float(out[2]),
+            "phase_b_s": float(out[3]),
         }
 
     def isize(self) -> Tuple[float, float, float]:

@@ -44,16 +44,19 @@ inline u64 xxh64(u64 x) {
     return r;
 }
 
-// nucleotide -> 2-bit code, 4 for ambiguous
-inline int nt4(u8 c) {
-    switch (c) {
-        case 'A': case 'a': return 0;
-        case 'C': case 'c': return 1;
-        case 'G': case 'g': return 2;
-        case 'T': case 't': case 'U': case 'u': return 3;
-        default: return 4;
+// nucleotide -> 2-bit code, 4 for ambiguous (table lookup)
+struct Nt4Table {
+    u8 t[256];
+    Nt4Table() {
+        for (int i = 0; i < 256; ++i) t[i] = 4;
+        t['A'] = t['a'] = 0;
+        t['C'] = t['c'] = 1;
+        t['G'] = t['g'] = 2;
+        t['T'] = t['t'] = t['U'] = t['u'] = 3;
     }
-}
+};
+static const Nt4Table NT4;
+inline int nt4(u8 c) { return NT4.t[c]; }
 
 struct Syncmer {
     u64 hash;
@@ -206,6 +209,15 @@ static i64 ix_find(const IndexView& ix, u64 key) {
     u64 lo = ix.buckets[top];
     u64 hi = ix.buckets[top + 1];
     if (lo >= hi) return -1;
+    if (hi - lo < 64) {
+        // short buckets: linear scan beats binary search (reference
+        // src/index.hpp:66-79 uses the same small-count shortcut)
+        for (u64 p = lo; p < hi; ++p) {
+            if (ix.hashes[p] == key) return (i64)p;
+            if (ix.hashes[p] > key) return -1;
+        }
+        return -1;
+    }
     const u64* first = std::lower_bound(ix.hashes + lo, ix.hashes + hi, key);
     u64 pos = (u64)(first - ix.hashes);
     if (pos < hi && pos < ix.n && ix.hashes[pos] == key) return (i64)pos;

@@ -207,6 +207,7 @@ class ThreadedNativePipeline:
         self.n_workers = max(1, n_workers)
         self.queue_depth = queue_depth
         self._counters = []
+        self._timers = []
 
     def map_file(self, path1, path2, interleaved, chunk_size, write) -> int:
         import queue
@@ -253,6 +254,7 @@ class ThreadedNativePipeline:
                     out_lock.notify_all()
             finally:
                 self._counters.append(pipe.counters())
+                self._timers.append(pipe.engine.timers())
 
         reader = NativeReader(path1, path2, interleaved, chunk_size)
         threads = [
@@ -285,6 +287,13 @@ class ThreadedNativePipeline:
         for c in self._counters:
             for k, v in c.items():
                 total[k] = total.get(k, 0) + v
+        return total
+
+    def timers(self) -> dict:
+        total: dict = {}
+        for t in self._timers:
+            for k, v in t.items():
+                total[k] = total.get(k, 0.0) + v
         return total
 
 

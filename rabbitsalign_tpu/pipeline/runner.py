@@ -236,6 +236,15 @@ def _map_reads(
         logger.info(f"Inconsistent NAM ends: {c['inconsistent_nams']}")
         logger.info(f"Tried NAM rescue: {c['nam_rescue']}")
         logger.info(f"Mates rescued by alignment: {c['tot_rescued']}")
+        tm = (pipeline.engine.timers() if hasattr(pipeline, "engine")
+              else pipeline.timers())
+        if tm:
+            logger.info(
+                "Phase times: seeding+NAMs %.2f s, phase A total %.2f s, "
+                "host alignment %.2f s, pairing+output %.2f s"
+                % (tm["seed_nam_s"], tm["phase_a_s"], tm["host_align_s"],
+                   tm["phase_b_s"])
+            )
         return
 
     aligner = Aligner(aln_params)

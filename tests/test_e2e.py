@@ -162,3 +162,73 @@ def test_eqx_and_rg(dataset):
     body = [l for l in content.splitlines() if not l.startswith("@")]
     assert "150=" in body[0]
     assert "RG:Z:rg1" in body[0]
+
+
+def validate_sam(text: str, ref_lengths: dict):
+    """Light SAM-spec validation (the role of Picard ValidateSamFile in
+    the reference's CI, .github/workflows/ci.yml:104-108): flag
+    consistency, 1-based positions in range, CIGAR query-length == SEQ
+    length, TLEN antisymmetry within pairs."""
+    pairs = {}
+    n = 0
+    for line in text.splitlines():
+        if not line or line.startswith("@"):
+            continue
+        f = line.split("\t")
+        assert len(f) >= 11, line
+        flag, rname, pos, cigar, seq = int(f[1]), f[2], int(f[3]), f[5], f[9]
+        n += 1
+        if flag & 0x4:
+            assert pos == 0 or (flag & 0x1)  # unmapped-with-mate keeps mate pos
+            continue
+        assert rname in ref_lengths, line
+        assert 1 <= pos <= ref_lengths[rname], line
+        # CIGAR query span must equal SEQ length (primary records)
+        if not (flag & 0x100):
+            span = 0
+            num = ""
+            for ch in cigar:
+                if ch.isdigit():
+                    num += ch
+                else:
+                    if ch in "MIS=X":
+                        span += int(num)
+                    num = ""
+            assert span == len(seq), line
+        if flag & 0x1 and not (flag & 0x100):
+            tlen = int(f[8])
+            pairs.setdefault(f[0], []).append((flag, tlen))
+    for name, recs in pairs.items():
+        if len(recs) == 2:
+            assert recs[0][1] == -recs[1][1], (name, recs)
+    return n
+
+
+def test_sam_validity(dataset):
+    import subprocess
+    import sys as _sys
+
+    tmp, genome, ref = dataset
+    reads = tmp / "val.fq"
+    import random as _r
+
+    rr = _r.Random(11)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    with open(reads, "w") as f:
+        for i in range(200):
+            st = rr.randrange(0, len(genome) - 160)
+            rd = genome[st : st + 150]
+            if i % 3 == 1:
+                rd = "".join(comp[c] for c in reversed(rd))
+            if i % 5 == 2:
+                rd = genome[st : st + 70] + genome[st + 74 : st + 154]
+            if i % 17 == 3:
+                rd = "".join(rr.choice("ACGT") for _ in range(150))
+            f.write(f"@v{i}\n{rd}\n+\n{'I' * len(rd)}\n")
+    out = tmp / "val.sam"
+    from rabbitsalign_tpu.cli import main
+
+    assert main(["--no-tpu", "-o", str(out), ref, str(reads)]) == 0
+    text = open(out).read()
+    n = validate_sam(text, {"chr1": len(genome)})
+    assert n == 200

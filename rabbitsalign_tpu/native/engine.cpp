@@ -1337,6 +1337,8 @@ struct ChunkC {
 struct SeedScratch {
     std::vector<Syncmer> sync, sync_rc;
     std::vector<QueryRandstrobe> qrs;
+    NamScratch nsc;
+    ReadResult rr;
 };
 
 static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
@@ -1359,14 +1361,18 @@ static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
                          sp.k, true, ss.qrs);
         }
     }
-    ReadResult rr;
-    find_nams_one(eng.ix, ss.qrs, rr);
+    ReadResult& rr = ss.rr;
+    rr.nams.clear();
+    rr.nonrep_frac = 1.0f;
+    rr.used_rescue = 0;
+    find_nams_one(eng.ix, ss.qrs, rr, ss.nsc);
     if (eng.mp.rescue_level > 1 && (rr.nams.empty() || rr.nonrep_frac < 0.7f)) {
-        find_nams_rescue_one(eng.ix, ss.qrs, eng.mp.rescue_cutoff, rr);
+        find_nams_rescue_one(eng.ix, ss.qrs, eng.mp.rescue_cutoff, rr, ss.nsc);
         details.nam_rescue = true;
     }
     details.nams = (i64)rr.nams.size();
-    nams = std::move(rr.nams);
+    nams.clear();
+    std::swap(nams, rr.nams);  // keep both buffers alive for reuse
     std::stable_sort(nams.begin(), nams.end(),
                      [](const NamT& a, const NamT& b) { return a.score > b.score; });
     shuffle_top_nams(nams, rng);

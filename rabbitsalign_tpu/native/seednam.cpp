@@ -74,8 +74,8 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
     const int sshift = (s - 1) * 2;
     const int w = k - s + 1;
 
-    // ring buffer of the last w s-mer hashes
-    std::vector<u64> qs(w);
+    // ring buffer of the last w s-mer hashes (k-s+1 <= 64 always: k <= 32)
+    u64 qs[64];
     int qs_size = 0;
     int qs_head = 0;  // index of oldest
     u64 qs_min_val = UMAX;
@@ -230,15 +230,24 @@ static u64 ix_count(const IndexView& ix, u64 pos) {
     return (u64)(last - (ix.hashes + pos));
 }
 
-// insertion-ordered per-ref hit lists (matches the Python dict layer)
+// insertion-ordered per-ref hit lists (matches the Python dict layer).
+// Reusable: clear() keeps slot capacity so the per-read hot loop does no
+// heap allocation in the steady state.
 struct HitsPerRef {
-    std::vector<std::pair<int, std::vector<Hit>>> refs;
+    std::vector<std::pair<int, std::vector<Hit>>> pool;
+    size_t n_used = 0;
 
+    void clear() {
+        for (size_t i = 0; i < n_used; ++i) pool[i].second.clear();
+        n_used = 0;
+    }
     std::vector<Hit>& get(int ref_id) {
-        for (auto& p : refs)
-            if (p.first == ref_id) return p.second;
-        refs.emplace_back(ref_id, std::vector<Hit>());
-        return refs.back().second;
+        for (size_t i = 0; i < n_used; ++i)
+            if (pool[i].first == ref_id) return pool[i].second;
+        if (n_used == pool.size()) pool.emplace_back(ref_id, std::vector<Hit>());
+        pool[n_used].first = ref_id;
+        pool[n_used].second.clear();
+        return pool[n_used++].second;
     }
     void touch(int ref_id) { (void)get(ref_id); }
 };
@@ -302,13 +311,16 @@ static void flush_open(std::vector<Nam>& open_nams, int query_start,
 
 static void merge_hits(HitsPerRef& hpr, int k, bool sort, bool is_rc,
                        std::vector<Nam>& nams) {
-    for (auto& [ref_id, hits] : hpr.refs) {
+    for (size_t ri = 0; ri < hpr.n_used; ++ri) {
+        int ref_id = hpr.pool[ri].first;
+        auto& hits = hpr.pool[ri].second;
         if (sort)
             std::stable_sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
                 return a.query_start != b.query_start ? a.query_start < b.query_start
                                                       : a.ref_start < b.ref_start;
             });
-        std::vector<Nam> open_nams;
+        thread_local std::vector<Nam> open_nams;
+        open_nams.clear();
         int prev_q_start = 0;
         for (const Hit& h : hits) {
             bool is_added = false;
@@ -360,13 +372,16 @@ static void merge_hits(HitsPerRef& hpr, int k, bool sort, bool is_rc,
 // merge_hits_into_nams_fast semantics)
 static void merge_hits_fast(HitsPerRef& hpr, int k, bool sort, bool is_rc,
                             std::vector<Nam>& nams) {
-    for (auto& [ref_id, hits] : hpr.refs) {
+    for (size_t ri = 0; ri < hpr.n_used; ++ri) {
+        int ref_id = hpr.pool[ri].first;
+        auto& hits = hpr.pool[ri].second;
         if (sort)
             std::stable_sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
                 return a.query_start != b.query_start ? a.query_start < b.query_start
                                                       : a.ref_start < b.ref_start;
             });
-        std::vector<Nam> open_nams;
+        thread_local std::vector<Nam> open_nams;
+        open_nams.clear();
         int prev_q_start = 0;
         size_t i = 0;
         while (i < hits.size()) {
@@ -468,10 +483,17 @@ struct ChunkResult {
     std::vector<float> flat_score;
 };
 
+struct NamScratch {
+    HitsPerRef hpr[2];
+    std::vector<RescueHit> hits_fw, hits_rc, rhs[2];
+};
+
 static void find_nams_one(const IndexView& ix,
                           const std::vector<QueryRandstrobe>& qrs,
-                          ReadResult& rr) {
-    HitsPerRef hpr[2];
+                          ReadResult& rr, NamScratch& scratch) {
+    HitsPerRef* hpr = scratch.hpr;
+    hpr[0].clear();
+    hpr[1].clear();
     int total_hits = 0, good_hits = 0;
     for (const auto& q : qrs) {
         i64 pos = ix_find(ix, q.hash);
@@ -490,10 +512,16 @@ static void find_nams_one(const IndexView& ix,
 
 static void find_nams_rescue_one(const IndexView& ix,
                                  const std::vector<QueryRandstrobe>& qrs,
-                                 u32 rescue_cutoff, ReadResult& rr) {
+                                 u32 rescue_cutoff, ReadResult& rr,
+                                 NamScratch& scratch) {
     rr.nams.clear();
-    HitsPerRef hpr[2];
-    std::vector<RescueHit> hits_fw, hits_rc;
+    HitsPerRef* hpr = scratch.hpr;
+    hpr[0].clear();
+    hpr[1].clear();
+    std::vector<RescueHit>& hits_fw = scratch.hits_fw;
+    std::vector<RescueHit>& hits_rc = scratch.hits_rc;
+    hits_fw.clear();
+    hits_rc.clear();
     for (const auto& q : qrs) {
         i64 pos = ix_find(ix, q.hash);
         if (pos >= 0) {
@@ -509,7 +537,9 @@ static void find_nams_rescue_one(const IndexView& ix,
     };
     std::stable_sort(hits_fw.begin(), hits_fw.end(), cmp1);
     std::stable_sort(hits_rc.begin(), hits_rc.end(), cmp1);
-    std::vector<RescueHit> rhs[2];
+    std::vector<RescueHit>* rhs = scratch.rhs;
+    rhs[0].clear();
+    rhs[1].clear();
     int is_rc_i = 0;
     for (auto* rescue_hits : {&hits_fw, &hits_rc}) {
         int cnt = 0;
@@ -551,6 +581,7 @@ void* seednam_chunk(
 
     std::vector<Syncmer> sync, sync_rc;
     std::vector<QueryRandstrobe> qrs;
+    NamScratch nsc;
     for (i64 r = 0; r < n_reads; ++r) {
         const u8* seq = seqs + offsets[r];
         i64 len = offsets[r + 1] - offsets[r];
@@ -569,9 +600,9 @@ void* seednam_chunk(
                 link_strobes(sync_rc, wmin, wmax, qmask, max_dist, k, true, qrs);
             }
         }
-        find_nams_one(ix, qrs, rr);
+        find_nams_one(ix, qrs, rr, nsc);
         if (rescue_level > 1 && (rr.nams.empty() || rr.nonrep_frac < 0.7f)) {
-            find_nams_rescue_one(ix, qrs, rescue_cutoff, rr);
+            find_nams_rescue_one(ix, qrs, rescue_cutoff, rr, nsc);
         }
     }
 

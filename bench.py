@@ -102,7 +102,7 @@ def main() -> None:
     )
 
     assert native_pipeline_available(), "native engine must build for bench"
-    chunk_size = 2000
+    chunk_size = 4000
 
     # drive the production input path: FASTQ file -> native chunked
     # reader -> engine (zero-copy), like a real CLI run

@@ -27,7 +27,7 @@ import numpy as np
 BASELINE_READS_PER_SEC = 100_000.0
 
 GENOME_MB = 1.0
-N_READS = 24000
+N_READS = 48000
 READ_LEN = 150
 
 

@@ -24,13 +24,16 @@ import numpy as np
 
 from . import load_seednam
 
-# (Q, T, B) device buckets — must stay in sync with ops/batch_extend.py.
-# The 512-query bucket runs at B=256: its five (Q, B) int32 VMEM scratch
-# planes exceed the 16 MB scoped-vmem limit at B=512.
-ENGINE_BUCKETS: Tuple[Tuple[int, int, int], ...] = (
-    (256, 512, 512),
-    (256, 1536, 512),
-    (512, 2048, 256),
+# (Q, T, kernel B, dispatch groups) device buckets — must stay in sync
+# with ops/batch_extend.py. The 512-query bucket runs at B=256: its five
+# (Q, B) int32 VMEM scratch planes exceed the 16 MB scoped-vmem limit at
+# B=512. `groups` kernel invocations are fused into one jit dispatch
+# (one transfer each way) for the high-volume bucket — the host<->device
+# link is latency-bound.
+ENGINE_BUCKETS: Tuple[Tuple[int, int, int, int], ...] = (
+    (256, 512, 512, 4),
+    (256, 1536, 512, 1),
+    (512, 2048, 256, 1),
 )
 
 def _lib():
@@ -241,22 +244,28 @@ class NativeEngine:
     # --- device round trip ----------------------------------------------
 
     def plan_batches(self, chunk: NativeChunk, batch_size: int):
-        """Group jobs into (Q, T) buckets; yields (idxs, Q, T, B) batches.
-        Jobs that fit no bucket resolve natively in phase B."""
+        """Group jobs into (Q, T) buckets; yields (idxs, Q, T, B, sub)
+        dispatches where B = sub * groups columns are filled and the
+        kernel runs per `sub`-column group inside one dispatch. Jobs that
+        fit no bucket resolve natively in phase B."""
         if chunk.n_jobs == 0:
             return []
         q = chunk.qlens[: chunk.n_jobs]
         t = chunk.tlens[: chunk.n_jobs]
         assigned = np.full(chunk.n_jobs, -1, dtype=np.int64)
-        for bi, (qcap, tcap, _) in enumerate(self.buckets):
+        for bi, (qcap, tcap, _, _) in enumerate(self.buckets):
             mask = (assigned < 0) & (q <= qcap) & (t <= tcap) & (t <= 2000)
             assigned[mask] = bi
         plans = []
-        for bi, (qcap, tcap, bcap) in enumerate(self.buckets):
+        for bi, (qcap, tcap, bcap, groups) in enumerate(self.buckets):
             idxs = np.flatnonzero(assigned == bi).astype(np.int64)
-            bsz = min(batch_size, bcap)
+            sub = min(batch_size, bcap)
+            bsz = sub * groups
             for start in range(0, idxs.shape[0], bsz):
-                plans.append((idxs[start : start + bsz], qcap, tcap, bsz))
+                part = idxs[start : start + bsz]
+                # shrink to the fewest sub-groups that cover the jobs
+                n_groups = max(1, -(-part.shape[0] // sub))
+                plans.append((part, qcap, tcap, sub * n_groups, sub))
         return plans
 
     def fill_batch(self, chunk: NativeChunk, idxs: np.ndarray, B: int, Q: int, T: int) -> np.ndarray:

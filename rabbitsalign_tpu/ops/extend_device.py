@@ -137,3 +137,44 @@ def ops_to_cigars(
             cigar.push(_MAP[int(vals[rs])], int(re - rs))
         out.append((cigar, int(vals.shape[0])))
     return out
+
+
+def extend_batch_packed_grouped(buf, Q: int, T: int, params: SwParams, sub: int):
+    """Like extend_batch_packed but for a buffer whose B columns are a
+    multiple of `sub`: runs the kernel per `sub`-column group inside ONE
+    jit dispatch (one transfer each way). Cuts host<->device round trips
+    when the link is latency-bound; per-kernel VMEM stays at the
+    `sub`-sized footprint."""
+    with jax.enable_x64(False):
+        return _extend_batch_packed_grouped(buf, Q, T, params, sub)
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "T", "params", "sub"))
+def _extend_batch_packed_grouped(buf, Q: int, T: int, params: SwParams, sub: int):
+    B = buf.shape[1]
+    if B == sub:
+        return _extend_batch_packed_body(buf, Q, T, params)
+    outs = [
+        _extend_batch_packed_body(buf[:, i : i + sub], Q, T, params)
+        for i in range(0, B, sub)
+    ]
+    return jnp.concatenate(outs, axis=1)
+
+
+def _extend_batch_packed_body(buf, Q: int, T: int, params: SwParams):
+    qlen = buf[Q + T].astype(jnp.int32) | (buf[Q + T + 1].astype(jnp.int32) << 8)
+    tlen = buf[Q + T + 2].astype(jnp.int32) | (buf[Q + T + 3].astype(jnp.int32) << 8)
+    score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
+        buf[:Q], buf[Q : Q + T], qlen, tlen, params
+    )
+    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
+
+    def u16rows(v):
+        v = v.astype(jnp.int32)
+        return jnp.stack([(v & 0xFF).astype(jnp.uint8), ((v >> 8) & 0xFF).astype(jnp.uint8)])
+
+    tail = jnp.concatenate(
+        [u16rows(score), u16rows(t_end), u16rows(q_end),
+         u16rows(meta[0]), u16rows(meta[1]), u16rows(meta[2])]
+    )
+    return jnp.concatenate([ops, tail], axis=0)

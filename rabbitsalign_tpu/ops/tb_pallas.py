@@ -75,6 +75,25 @@ def _kernel(
         edits[:] = jnp.zeros((1, B), jnp.int32)
         meta_ref[:] = jnp.zeros((8, B), jnp.int32)
 
+    # skip blocks no walker can act in: walkers act when their t+q equals
+    # the current diagonal, and t+q only decreases, so a block whose top
+    # diagonal is above every live walker's t+q is pure padding (most of
+    # the sweep for short alignments in a tall bucket)
+    live_diag = jnp.where(layer[:] != jnp.int32(_DONE), cur_t[:] + cur_q[:],
+                          jnp.int32(-1))
+    ops_ref[:] = jnp.zeros((8, B), jnp.uint8)
+
+    @pl.when(jnp.max(live_diag) >= base)
+    def _active_block():
+        _run_block(dirs_ref, ops_ref, meta_ref, cur_t, cur_q, layer, edits,
+                   base, Q)
+
+
+def _run_block(dirs_ref, ops_ref, meta_ref, cur_t, cur_q, layer, edits, base,
+               Q):
+    B = cur_t.shape[1]
+    zero = jnp.int32(0)
+    one = jnp.int32(1)
     t_b = cur_t[:]  # (1, B)
     q_b = cur_q[:]
     lay = layer[:]

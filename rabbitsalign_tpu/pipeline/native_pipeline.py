@@ -56,17 +56,18 @@ class NativePipeline:
             # natural multi-chip mapping of the reference's GPU streams
             self._devices = jax.local_devices()
 
-    def _dispatch(self, buf, Q, T):
-        """Launch one extend batch on the next device (round-robin)."""
+    def _dispatch(self, buf, Q, T, sub):
+        """Launch one extend dispatch on the next device (round-robin);
+        the kernel runs per `sub`-column group inside the dispatch."""
         import jax
 
-        from ..ops.extend_device import extend_batch_packed
+        from ..ops.extend_device import extend_batch_packed_grouped
 
         if len(self._devices) > 1:
             dev = self._devices[self._next_dev % len(self._devices)]
             self._next_dev += 1
             buf = jax.device_put(buf, dev)
-        return extend_batch_packed(buf, Q, T, self._sw)
+        return extend_batch_packed_grouped(buf, Q, T, self._sw, sub)
 
     # --- two-phase API (callers drive the cross-chunk pipelining) -------
 
@@ -75,9 +76,9 @@ class NativePipeline:
         chunk = self.engine.chunk_a(records1, records2, records3, chunk_index)
         pending = []
         if self.use_device and chunk.n_jobs:
-            for idxs, Q, T, B in self.engine.plan_batches(chunk, self.batch_size):
+            for idxs, Q, T, B, sub in self.engine.plan_batches(chunk, self.batch_size):
                 buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
-                out_dev = self._dispatch(buf, Q, T)  # async
+                out_dev = self._dispatch(buf, Q, T, sub)  # async
                 pending.append((idxs, out_dev, Q + T - 1))
             for _, out_dev, _ in pending:
                 # start the device->host copy as soon as the batch lands so
@@ -149,9 +150,9 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
             reader.free_chunk(fx)
             pending = []
             if self.use_device and chunk.n_jobs:
-                for idxs, Q, T, B in self.engine.plan_batches(chunk, self.batch_size):
+                for idxs, Q, T, B, sub in self.engine.plan_batches(chunk, self.batch_size):
                     buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
-                    out_dev = self._dispatch(buf, Q, T)
+                    out_dev = self._dispatch(buf, Q, T, sub)
                     pending.append((idxs, out_dev, Q + T - 1))
                 for _, out_dev, _ in pending:
                     try:
@@ -236,10 +237,10 @@ class ThreadedNativePipeline:
                         reader.free_chunk(fx)
                     pending = []
                     if pipe.use_device and chunk.n_jobs:
-                        for idxs, Q, T, B in pipe.engine.plan_batches(
+                        for idxs, Q, T, B, sub in pipe.engine.plan_batches(
                                 chunk, pipe.batch_size):
                             buf = pipe.engine.fill_batch(chunk, idxs, B, Q, T)
-                            out_dev = pipe._dispatch(buf, Q, T)
+                            out_dev = pipe._dispatch(buf, Q, T, sub)
                             pending.append((idxs, out_dev, Q + T - 1))
                     text = pipe.finish_chunk((chunk, pending))
                     with out_lock:
@@ -321,9 +322,9 @@ def _pipeline_map_file_sharded(self, path1, path2, interleaved, chunk_size,
             reader.free_chunk(fx)
             pending = []
             if self.use_device and chunk.n_jobs:
-                for idxs, Q, T, B in self.engine.plan_batches(chunk, self.batch_size):
+                for idxs, Q, T, B, sub in self.engine.plan_batches(chunk, self.batch_size):
                     buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
-                    out_dev = self._dispatch(buf, Q, T)
+                    out_dev = self._dispatch(buf, Q, T, sub)
                     pending.append((idxs, out_dev, Q + T - 1))
             in_flight.append((chunk_index, (chunk, pending)))
             if len(in_flight) > depth:

@@ -235,7 +235,7 @@ def test_engine_synthetic_device_results(world):
     texts = []
     for ci, (r1, r2, r3) in enumerate(chunks):
         ch = eng.chunk_a(r1, r2, r3, ci)
-        for idxs, Q, T, B in eng.plan_batches(ch, 64):
+        for idxs, Q, T, B, sub in eng.plan_batches(ch, 64):
             buf = eng.fill_batch(ch, idxs, B, Q, T)
             D = Q + T - 1
             Dpad = ((D + 7) // 8) * 8

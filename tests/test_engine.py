@@ -523,3 +523,72 @@ def test_multihost_shard_merge(world, tmp_path):
     assert total == 400
     merge_output(base, 2, header="")
     assert open(base).read() == "".join(golden)
+
+
+def test_engine_edge_cases(world, tmp_path):
+    """Short reads (< w_max), N runs, FASTA reads (no qual), and empty
+    input must behave identically in both implementations."""
+    from rabbitsalign_tpu.io.fastq import InputBuffer
+    from rabbitsalign_tpu.native.engine import NativeReader
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    recs = []
+    r = random.Random(3)
+    st = 1000
+    full = genome[st : st + 150]
+    recs.append(SamRecord("tiny", b"ACGT", b"IIII"))  # < w_max
+    recs.append(SamRecord("short", genome[st : st + 30].encode(), b"I" * 30))
+    nny = list(full)
+    for p in range(40, 60):
+        nny[p] = "N"
+    recs.append(SamRecord("nrun", "".join(nny).encode(), b"I" * 150))
+    recs.append(SamRecord("allN", b"N" * 150, b"I" * 150))
+    recs.append(SamRecord("good", full.encode(), b"I" * 150))
+
+    eng = NativeEngine(index, params, refs, ap, mp, "")
+    na = eng.chunk_b(eng.chunk_a(recs, [], [], 0))
+
+    from rabbitsalign_tpu.ops.batch_extend import HostBatchAligner
+
+    aligner = Aligner(ap)
+    batch = HostBatchAligner(ap)
+    stats = AlignmentStatistics()
+    isize = InsertSizeDistribution()
+    rng_e = MinstdRand(0)
+    rng_e.seed(0)
+    sam = Sam(refs, CIGAR_OPS_M, "", True, False)
+    work, _ = phase_a_chunk(recs, [], [], [], isize, aligner, batch, mp,
+                            params, refs, index, rng_e)
+    phase_b_chunk(work, batch.flush(), sam, stats, isize, aligner, mp, params,
+                  refs, rng_e)
+    assert sam.take() == na
+
+    # FASTA used as reads: qual must print '*'
+    fa = tmp_path / "reads.fa"
+    fa.write_bytes(b">fx1 comment\n" + full.encode() + b"\n>fx2\nACGT\n")
+    eng2 = NativeEngine(index, params, refs, ap, mp, "")
+    reader = NativeReader(str(fa), "", False, 10)
+    texts = []
+    for ci, fx, _, _ in reader:
+        ch = eng2.chunk_a_fx(fx, ci)
+        reader.free_chunk(fx)
+        texts.append(eng2.chunk_b(ch))
+    reader.close()
+    native_fa = "".join(texts)
+    eng3 = NativeEngine(index, params, refs, ap, mp, "")
+    py_texts = []
+    for ci, a, b, c in InputBuffer(str(fa), "", 10, False).chunks():
+        py_texts.append(eng3.chunk_b(eng3.chunk_a(a, b, c, ci)))
+    assert native_fa == "".join(py_texts)
+    assert "\t*\n" in native_fa or native_fa.rstrip().endswith("*")
+
+    # empty input file
+    empty = tmp_path / "empty.fq"
+    empty.write_bytes(b"")
+    reader = NativeReader(str(empty), "", False, 10)
+    assert list(reader) == []
+    reader.close()

@@ -116,7 +116,11 @@ def hamming_try(query: bytes, ref: bytes, match: int, mismatch: int, end_bonus: 
         _ham_vals = np.zeros(4, dtype=np.int32)
         _ham_cigar = np.zeros(4096, dtype=np.uint32)
         _ham_len = np.zeros(1, dtype=np.int64)
+    if not getattr(lib, "_hamming_configured", False):
+        # per-CDLL: a test reset may hand out a fresh lib object whose
+        # signatures (pointer widths!) must be registered again
         _register_hamming(lib)
+        lib._hamming_configured = True
     ok = lib.hamming_try(
         query, ref, len(query), match, mismatch, end_bonus,
         _ham_vals.ctypes.data, _ham_cigar.ctypes.data, 4096, _ham_len.ctypes.data,

@@ -132,10 +132,12 @@ def native_pipeline_available() -> bool:
 
 
 def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
-                       depth: int = 3) -> int:
+                       depth: int = 3, progress=None) -> int:
     """Fully-native input path: the C++ reader parses chunks, phase A
     consumes them zero-copy, the device extends, phase B writes output.
-    Returns the number of reads mapped."""
+    Returns the number of reads mapped. `progress(n_reads)` is called
+    after every chunk when given (the reference's reads/s reporter,
+    /root/reference/src/main.cpp:146-181)."""
     from collections import deque
 
     from ..native.engine import NativeReader
@@ -146,6 +148,8 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
     try:
         for chunk_index, fx, n_pairs, n_singles in reader:
             n_reads += 2 * n_pairs + n_singles
+            if progress is not None:
+                progress(n_reads)
             chunk = self.engine.chunk_a_fx(fx, chunk_index)
             reader.free_chunk(fx)
             pending = []

@@ -119,6 +119,24 @@ def run_aligner(opt: CommandLineOptions) -> int:
     return 0
 
 
+def _make_progress(opt, t_start):
+    """Periodic reads/s line on stderr (reference src/main.cpp:146-181);
+    active when --no-progress is not given and stderr is a terminal."""
+    if not opt.show_progress or not sys.stderr.isatty():
+        return None
+    state = {"last": 0.0}
+
+    def progress(n_reads: int) -> None:
+        now = time.perf_counter()
+        if now - state["last"] >= 1.0:
+            state["last"] = now
+            rate = n_reads / max(now - t_start, 1e-9)
+            print(f" Processed {n_reads} reads in {now - t_start:.1f} s "
+                  f"({rate:.0f} reads/s)", end="\r", file=sys.stderr)
+
+    return progress
+
+
 def _map_reads(
     opt: CommandLineOptions,
     out: TextIO,
@@ -219,11 +237,12 @@ def _map_reads(
                 batch_size=getattr(opt, "tpu_batch", 512),
             )
             t0 = time.perf_counter()
+            progress = _make_progress(opt, t0)
             try:
                 # fully-native input path (C++ chunked FASTQ reader)
                 n_reads = pipeline.map_file(
                     opt.reads_filename1, opt.reads_filename2, opt.is_interleaved,
-                    opt.chunk_size, out.write,
+                    opt.chunk_size, out.write, progress=progress,
                 )
             except RuntimeError:  # pragma: no cover - reader unavailable
                 n_reads = pipeline.map_all(input_buffer.chunks(), out.write)

@@ -23,9 +23,7 @@ from ..io.fasta import References
 from ..io.fastq import InputBuffer, estimate_read_length
 from ..io.sam import CIGAR_OPS_EQX, CIGAR_OPS_M, Sam, sam_header
 from ..map.common import InsertSizeDistribution, MappingParameters
-from ..map.pe import align_PE_read
 from ..map.randomness import MinstdRand
-from ..map.se import align_SE_read
 from ..map.stats import AlignmentStatistics
 from ..utils.logger import logger
 

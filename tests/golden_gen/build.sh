@@ -45,3 +45,30 @@ echo built nam_golden
 gcc -O2 -c /root/reference/ext/ssw/ssw.c -o ssw.o
 g++ -O2 -std=c++17 ssw_golden.cpp ssw.o -o ssw_golden
 echo built ssw_golden
+
+# End-to-end golden mapper: the reference's monolithic CPU mapping path.
+# gasal2_ssw.h is neutralized by pre-defining its header guard and
+# forward-declaring the one type used as an opaque pointer.
+cat > gasal_stub.h <<'HDR'
+#pragma once
+#define __GASAL_HEADER_H__
+struct gasal_gpu_storage_t;
+HDR
+g++ -O2 -std=c++17 -include gasal_stub.h \
+    -I/root/reference/src -I/root/reference/ext -Izstr \
+    map_golden.cpp \
+    /root/reference/src/randstrobes.cpp \
+    /root/reference/src/indexparameters.cpp \
+    /root/reference/src/index.cpp \
+    /root/reference/src/refs.cpp \
+    /root/reference/src/io.cpp \
+    /root/reference/src/nam.cpp \
+    /root/reference/src/aln.cpp \
+    /root/reference/src/aligner.cpp \
+    /root/reference/src/sam.cpp \
+    /root/reference/src/paf.cpp \
+    /root/reference/src/cigar.cpp \
+    /root/reference/ext/ssw/ssw_cpp.cpp \
+    ssw.o \
+    -o map_golden -lpthread
+echo built map_golden

@@ -1,0 +1,114 @@
+// Golden end-to-end mapper: drives the REFERENCE's monolithic CPU mapping
+// path (align_SE_read / align_PE_read from /root/reference/src/aln.cpp,
+// which never touches the GPU) over a FASTA + FASTQ input and prints the
+// SAM or PAF records the reference produces. Used by tests/test_concordance.py
+// to diff full outputs against this framework's monolithic Python port.
+//
+// Chunking/RNG discipline matches the framework's runner: the minstd
+// engine is re-seeded with the chunk index every <chunk_size> records
+// (the reference's async workers do the same, src/pc.cpp:583,706).
+//
+// usage: map_golden <ref.fa> <reads1.fq> <reads2.fq|-> <chunk_size> <sam|paf|eqx|details|secondary>
+
+#include <cstdio>
+#include <fstream>
+#include <iostream>
+#include <random>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "aln.hpp"
+#include "index.hpp"
+#include "indexparameters.hpp"
+#include "refs.hpp"
+#include "sam.hpp"
+
+static bool read_fastq(std::istream& in, klibpp::KSeq& rec) {
+    std::string header, seq, plus, qual;
+    if (!std::getline(in, header)) return false;
+    if (!std::getline(in, seq)) return false;
+    if (!std::getline(in, plus)) return false;
+    std::getline(in, qual);
+    auto strip = [](std::string& s) {
+        while (!s.empty() && (s.back() == '\n' || s.back() == '\r')) s.pop_back();
+    };
+    strip(header);
+    strip(seq);
+    strip(qual);
+    size_t sp = header.find_first_of(" \t");
+    rec.name = header.substr(1, sp == std::string::npos ? std::string::npos : sp - 1);
+    rec.comment = sp == std::string::npos ? "" : header.substr(sp + 1);
+    rec.seq = seq;
+    rec.qual = qual;
+    return true;
+}
+
+int main(int argc, char** argv) {
+    if (argc < 6) {
+        fprintf(stderr, "usage: %s ref.fa r1.fq r2.fq|- chunk_size mode\n", argv[0]);
+        return 2;
+    }
+    std::string ref_path = argv[1], r1_path = argv[2], r2_path = argv[3];
+    int chunk_size = atoi(argv[4]);
+    std::string mode = argv[5];
+    bool paired = r2_path != "-";
+
+    References references = References::from_fasta(ref_path);
+    IndexParameters ip = IndexParameters::from_read_length(150);
+    StrobemerIndex index(references, ip);
+    index.populate(0.0002f, 1);
+
+    MappingParameters mp;
+    mp.r = 150;
+    mp.rescue_cutoff = mp.rescue_level < 100
+                           ? mp.rescue_level * index.filter_cutoff
+                           : 1000;
+    if (mode == "paf") mp.is_sam_out = false;
+    if (mode == "eqx") mp.cigar_ops = CigarOps::EQX;
+    if (mode == "details") mp.details = true;
+    if (mode == "secondary") mp.max_secondary = 3;
+
+    AlignmentParameters ap{2, 8, 12, 1, 10};
+    Aligner aligner(ap);
+    InsertSizeDistribution isize;
+    AlignmentStatistics stats;
+    std::minstd_rand engine;
+
+    std::string sam_out;
+    Sam sam(sam_out, references, mp.cigar_ops, "", mp.output_unmapped,
+            mp.details);
+    std::string outstring;  // PAF
+
+    std::ifstream f1(r1_path);
+    std::ifstream f2;
+    if (paired) f2.open(r2_path);
+
+    klibpp::KSeq rec1, rec2;
+    long n_in_chunk = 0;
+    long chunk_index = 0;
+    engine.seed(0);
+    while (read_fastq(f1, rec1)) {
+        if (n_in_chunk == 0) engine.seed((unsigned)chunk_index);
+        if (paired) {
+            if (!read_fastq(f2, rec2)) {
+                fprintf(stderr, "r2 shorter than r1\n");
+                return 1;
+            }
+            align_PE_read(rec1, rec2, sam, outstring, stats, isize, aligner,
+                          mp, ip, references, index, engine);
+            n_in_chunk += 2;
+        } else {
+            align_SE_read(rec1, sam, outstring, stats, aligner, mp, ip,
+                          references, index, engine);
+            n_in_chunk += 1;
+        }
+        if (n_in_chunk >= chunk_size) {
+            n_in_chunk = 0;
+            chunk_index++;
+        }
+    }
+    fwrite(sam_out.data(), 1, sam_out.size(), stdout);
+    fwrite(outstring.data(), 1, outstring.size(), stdout);
+    return 0;
+}

@@ -1,0 +1,212 @@
+"""End-to-end concordance against the REFERENCE implementation.
+
+`tests/golden_gen/map_golden` compiles the reference's monolithic CPU
+mapping path (/root/reference/src/aln.cpp align_SE_read/align_PE_read —
+no GPU involved) into a standalone mapper. These tests run it and our
+monolithic Python port over the same inputs with the same chunk-seeded
+RNG and require byte-identical SAM/PAF records — the samdiff-style
+regression of the reference's own CI (SURVEY.md §4), strengthened to
+exact equality.
+"""
+
+import os
+import random
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from rabbitsalign_tpu.align.aligner import Aligner, AlignmentParameters
+from rabbitsalign_tpu.index.params import IndexParameters
+from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+from rabbitsalign_tpu.io.fasta import References
+from rabbitsalign_tpu.io.sam import CIGAR_OPS_EQX, CIGAR_OPS_M, Sam, SamRecord
+from rabbitsalign_tpu.map.common import InsertSizeDistribution, MappingParameters
+from rabbitsalign_tpu.map.pe import align_PE_read
+from rabbitsalign_tpu.map.randomness import MinstdRand
+from rabbitsalign_tpu.map.se import align_SE_read
+from rabbitsalign_tpu.map.stats import AlignmentStatistics
+
+GOLDEN = Path(__file__).parent / "golden_gen" / "map_golden"
+
+pytestmark = pytest.mark.skipif(
+    not GOLDEN.exists(), reason="map_golden not built (tests/golden_gen/build.sh)"
+)
+
+CHUNK = 100
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("conc")
+    rng = random.Random(424242)
+    genome = "".join(rng.choice("ACGT") for _ in range(250_000))
+    ref = tmp / "ref.fa"
+    with open(ref, "w") as f:
+        f.write(">chrA golden\n")
+        for i in range(0, 150_000, 80):
+            f.write(genome[i : i + 80] + "\n")
+        f.write(">chrB second\n")
+        for i in range(150_000, len(genome), 80):
+            f.write(genome[i : i + 80] + "\n")
+    refs = References.from_fasta(str(ref))
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    return tmp, genome, str(ref), refs, params, index
+
+
+def simulate_se(genome, n, seed=5):
+    r = random.Random(seed)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    recs = []
+    for i in range(n):
+        st = r.randrange(0, len(genome) - 160)
+        rd = genome[st : st + 150]
+        kind = i % 23
+        if kind == 0:
+            rd = "".join(r.choice("ACGT") for _ in range(150))
+        else:
+            ch = list(rd)
+            for _ in range(r.randrange(0, 5)):
+                ch[r.randrange(150)] = r.choice("ACGT")
+            rd = "".join(ch)
+            if kind % 5 == 1:
+                cut = r.randrange(40, 110)
+                g = r.randrange(1, 7)
+                rd = genome[st : st + cut] + genome[st + cut + g : st + 150 + g]
+            if kind % 4 == 2:
+                rd = "".join(comp[c] for c in reversed(rd))
+            if kind == 7:
+                rd = rd[:70] + "N" * 4 + rd[74:]
+        recs.append((f"s{i}", rd))
+    return recs
+
+
+def simulate_pe(genome, n, seed=9):
+    r = random.Random(seed)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    pairs = []
+    for i in range(n):
+        st = r.randrange(0, len(genome) - 900)
+        ins = max(180, min(700, int(r.gauss(310, 60))))
+        a = list(genome[st : st + 150])
+        b = list(genome[st + ins - 150 : st + ins])
+        for _ in range(r.randrange(0, 4)):
+            a[r.randrange(150)] = r.choice("ACGT")
+            b[r.randrange(150)] = r.choice("ACGT")
+        a = "".join(a)
+        b = "".join(comp[c] for c in reversed("".join(b)))
+        if i % 19 == 3:
+            b = "".join(r.choice("ACGT") for _ in range(150))
+        if i % 23 == 5:
+            a = "".join(r.choice("ACGT") for _ in range(150))
+        if i % 29 == 7:
+            a = genome[st : st + 60] + genome[st + 64 : st + 154]
+        pairs.append((f"p{i}", a, b))
+    return pairs
+
+
+def write_fq(path, recs):
+    with open(path, "w") as f:
+        for name, seq in recs:
+            f.write(f"@{name} c\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def run_golden(ref, r1, r2, mode):
+    out = subprocess.run(
+        [str(GOLDEN), str(ref), str(r1), str(r2) if r2 else "-", str(CHUNK), mode],
+        capture_output=True, check=True,
+    )
+    return out.stdout.decode()
+
+
+def run_python_se(world, recs, mode):
+    _, _, _, refs, params, index = world
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = 2 * index.filter_cutoff
+    if mode == "paf":
+        mp.is_sam_out = False
+    if mode == "details":
+        mp.details = True
+    if mode == "secondary":
+        mp.max_secondary = 3
+    cigar_ops = CIGAR_OPS_EQX if mode == "eqx" else CIGAR_OPS_M
+    aligner = Aligner(AlignmentParameters())
+    stats = AlignmentStatistics()
+    sam = Sam(refs, cigar_ops, "", mp.output_unmapped, mp.details)
+    paf = []
+    engine = MinstdRand(0)
+    n = 0
+    chunk = 0
+    for name, seq in recs:
+        if n == 0:
+            engine.seed(chunk)
+        rec = SamRecord(name, seq.encode(), b"I" * len(seq))
+        align_SE_read(rec, sam, paf, stats, aligner, mp, params, refs, index,
+                      engine)
+        n += 1
+        if n >= CHUNK:
+            n = 0
+            chunk += 1
+    return sam.take() + "".join(paf)
+
+
+def run_python_pe(world, pairs, mode):
+    _, _, _, refs, params, index = world
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = 2 * index.filter_cutoff
+    if mode == "paf":
+        mp.is_sam_out = False
+    cigar_ops = CIGAR_OPS_EQX if mode == "eqx" else CIGAR_OPS_M
+    aligner = Aligner(AlignmentParameters())
+    stats = AlignmentStatistics()
+    isize = InsertSizeDistribution()
+    sam = Sam(refs, cigar_ops, "", mp.output_unmapped, mp.details)
+    paf = []
+    engine = MinstdRand(0)
+    n = 0
+    chunk = 0
+    for name, a, b in pairs:
+        if n == 0:
+            engine.seed(chunk)
+        r1 = SamRecord(name + "/1", a.encode(), b"I" * len(a))
+        r2 = SamRecord(name + "/2", b.encode(), b"I" * len(b))
+        align_PE_read(r1, r2, sam, paf, stats, isize, aligner, mp, params,
+                      refs, index, engine)
+        n += 2
+        if n >= CHUNK:
+            n = 0
+            chunk += 1
+    return sam.take() + "".join(paf)
+
+
+def diff_head(a, b):
+    for i, (x, y) in enumerate(zip(a.splitlines(), b.splitlines())):
+        if x != y:
+            return f"line {i}:\n ref: {x}\n our: {y}"
+    return f"lengths differ: {len(a.splitlines())} vs {len(b.splitlines())}"
+
+
+@pytest.mark.parametrize("mode", ["sam", "eqx", "paf", "details", "secondary"])
+def test_se_concordance(world, mode):
+    tmp, genome, ref, *_ = world
+    recs = simulate_se(genome, 600)
+    fq = tmp / f"se_{mode}.fq"
+    write_fq(fq, recs)
+    golden = run_golden(ref, fq, None, mode)
+    ours = run_python_se(world, recs, mode)
+    assert golden == ours, diff_head(golden, ours)
+
+
+@pytest.mark.parametrize("mode", ["sam", "paf"])
+def test_pe_concordance(world, mode):
+    tmp, genome, ref, *_ = world
+    pairs = simulate_pe(genome, 400)
+    fq1 = tmp / f"pe_{mode}.1.fq"
+    fq2 = tmp / f"pe_{mode}.2.fq"
+    write_fq(fq1, [(n + "/1", a) for n, a, _ in pairs])
+    write_fq(fq2, [(n + "/2", b) for n, _, b in pairs])
+    golden = run_golden(ref, fq1, fq2, mode)
+    ours = run_python_pe(world, pairs, mode)
+    assert golden == ours, diff_head(golden, ours)

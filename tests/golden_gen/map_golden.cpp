@@ -19,6 +19,7 @@
 #include <vector>
 
 #include "aln.hpp"
+#include "revcomp.hpp"
 #include "index.hpp"
 #include "indexparameters.hpp"
 #include "refs.hpp"
@@ -88,6 +89,80 @@ int main(int argc, char** argv) {
     long n_in_chunk = 0;
     long chunk_index = 0;
     engine.seed(0);
+
+    if (mode == "split" && !paired) {
+        // the reference's SPLIT production path (align_SE_read_part ->
+        // gapped fill -> align_SE_read_last), with the GPU replaced by the
+        // CPU aligner exactly as the gasal_fail fallback does
+        // (src/pc.cpp:1020-1029); phase ordering matches the async workers:
+        // all parts of a chunk first, then the fill, then all lasts.
+        std::vector<klibpp::KSeq> records;
+        std::vector<AlignTmpRes> tmps;
+        auto flush_chunk = [&]() {
+            if (records.empty()) return;
+            for (size_t i = 0; i < records.size(); ++i) {
+                Read rd(records[i].seq);
+                AlignTmpRes& tmp = tmps[i];
+                for (size_t j = 0; j < tmp.todo_nams.size(); ++j) {
+                    if (tmp.done_align[j]) continue;
+                    // gather exactly like part2_extend_seed_get_str
+                    Nam nam = tmp.todo_nams[j];
+                    const std::string query = nam.is_rc ? rd.rc : rd.seq;
+                    const std::string& refseq =
+                        references.sequences[nam.ref_id];
+                    const auto projected_ref_start =
+                        std::max(0, nam.ref_start - nam.query_start);
+                    const int diff =
+                        std::abs(nam.ref_span() - nam.query_span());
+                    const int ext_left = std::min(50, projected_ref_start);
+                    const int rstart = projected_ref_start - ext_left;
+                    const int ext_right = std::min(
+                        std::size_t(50), refseq.size() - nam.ref_end);
+                    const auto segm_size =
+                        rd.size() + diff + ext_left + ext_right;
+                    const auto ref_segm = refseq.substr(rstart, segm_size);
+                    auto info = aligner.align(query, ref_segm);
+                    // store exactly like part2_extend_seed_store_res
+                    int softclipped =
+                        info.query_start + (query.size() - info.query_end);
+                    Alignment& alignment = tmp.align_res[j];
+                    alignment.cigar = std::move(info.cigar);
+                    alignment.edit_distance = info.edit_distance;
+                    alignment.global_ed = info.edit_distance + softclipped;
+                    alignment.score = info.sw_score;
+                    alignment.ref_start = rstart + info.ref_start;
+                    alignment.length = info.ref_span();
+                    alignment.is_rc = nam.is_rc;
+                    alignment.is_unaligned = false;
+                    alignment.ref_id = nam.ref_id;
+                    alignment.gapped = true;
+                }
+            }
+            for (size_t i = 0; i < records.size(); ++i) {
+                align_SE_read_last(tmps[i], records[i], sam, outstring, stats,
+                                   aligner, mp, ip, references, index, engine);
+            }
+            records.clear();
+            tmps.clear();
+        };
+        while (read_fastq(f1, rec1)) {
+            if (n_in_chunk == 0) engine.seed((unsigned)chunk_index);
+            records.push_back(rec1);
+            tmps.emplace_back();
+            align_SE_read_part(tmps.back(), records.back(), stats, aligner,
+                               mp, ip, references, index, engine);
+            n_in_chunk++;
+            if (n_in_chunk >= chunk_size) {
+                flush_chunk();
+                n_in_chunk = 0;
+                chunk_index++;
+            }
+        }
+        flush_chunk();
+        fwrite(sam_out.data(), 1, sam_out.size(), stdout);
+        return 0;
+    }
+
     while (read_fastq(f1, rec1)) {
         if (n_in_chunk == 0) engine.seed((unsigned)chunk_index);
         if (paired) {

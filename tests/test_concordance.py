@@ -210,3 +210,31 @@ def test_pe_concordance(world, mode):
     golden = run_golden(ref, fq1, fq2, mode)
     ours = run_python_pe(world, pairs, mode)
     assert golden == ours, diff_head(golden, ours)
+
+
+def test_se_split_concordance_engine(world):
+    """The production ENGINE path (phase A -> gapped fill -> phase B) vs
+    the reference's own split-phase path (align_SE_read_part -> CPU fill
+    exactly like the gasal_fail fallback -> align_SE_read_last), driven
+    with the same chunk seeding: byte-identical SAM."""
+    from rabbitsalign_tpu.native.engine import NativeEngine, engine_available
+
+    if not engine_available():
+        pytest.skip("native engine unavailable")
+
+    tmp, genome, ref, refs, params, index = world
+    recs = simulate_se(genome, 600, seed=17)
+    fq = tmp / "split.fq"
+    write_fq(fq, recs)
+    golden = run_golden(ref, fq, None, "split")
+
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = 2 * index.filter_cutoff
+    eng = NativeEngine(index, params, refs, AlignmentParameters(), mp, "")
+    texts = []
+    for ci in range(0, len(recs), CHUNK):
+        chunk = [SamRecord(n, s.encode(), b"I" * len(s))
+                 for n, s in recs[ci : ci + CHUNK]]
+        texts.append(eng.chunk_b(eng.chunk_a(chunk, [], [], ci // CHUNK)))
+    ours = "".join(texts)
+    assert golden == ours, diff_head(golden, ours)

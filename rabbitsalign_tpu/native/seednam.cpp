@@ -74,7 +74,9 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
     const int sshift = (s - 1) * 2;
     const int w = k - s + 1;
 
-    // ring buffer of the last w s-mer hashes (k-s+1 <= 64 always: k <= 32)
+    // ring buffer of the last w s-mer hashes (k-s+1 <= 64 always: k <= 32);
+    // wraps via compare-subtract — the modulo divisions were the hottest
+    // per-base ops in this automaton
     u64 qs[64];
     int qs_size = 0;
     int qs_head = 0;  // index of oldest
@@ -82,6 +84,7 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
     i64 qs_min_pos = -1;
     i64 l = 0;
     u64 xk0 = 0, xk1 = 0, xs0 = 0, xs1 = 0;
+    auto wrap = [w](int idx) { return idx >= w ? idx - w : idx; };
 
     for (i64 i = 0; i < n; ++i) {
         int c = nt4(seq[i]);
@@ -95,12 +98,12 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
             u64 hash_s = xxh64(ys);
             // push
             if (qs_size < w) {
-                qs[(qs_head + qs_size) % w] = hash_s;
+                qs[wrap(qs_head + qs_size)] = hash_s;
                 qs_size++;
                 if (qs_size < w) continue;
                 // first full window: leftmost minimum
                 for (int j = 0; j < w; ++j) {
-                    u64 v = qs[(qs_head + j) % w];
+                    u64 v = qs[wrap(qs_head + j)];
                     if (v < qs_min_val) {
                         qs_min_val = v;
                         qs_min_pos = i - k + j + 1;
@@ -109,13 +112,13 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
             } else {
                 // pop front, push back
                 qs[qs_head] = hash_s;
-                qs_head = (qs_head + 1) % w;
+                qs_head = wrap(qs_head + 1);
                 if (qs_min_pos == i - k) {
                     // tracked min slid out: rightmost minimum wins
                     qs_min_val = UMAX;
                     qs_min_pos = i - s + 1;
                     for (int j = w - 1; j >= 0; --j) {
-                        u64 v = qs[(qs_head + j) % w];
+                        u64 v = qs[wrap(qs_head + j)];
                         if (v < qs_min_val) {
                             qs_min_val = v;
                             qs_min_pos = i - k + j + 1;

@@ -1,0 +1,252 @@
+"""On-device batched seeding: canonical closed syncmers + randstrobe
+linking + index lookup as jax ops over padded read batches.
+
+This is the TPU-first seeding design from SURVEY.md §7.2: the reference's
+per-base SyncmerIterator automaton (/root/reference/src/randstrobes.cpp:
+57-118) becomes a `lax.scan` over base positions with every read in the
+batch advancing in lock-step on the lanes; randstrobe linking
+(src/randstrobes.cpp:148-202) becomes masked window ops; index lookup
+(src/index.hpp:57-81) becomes a batched searchsorted + bucket-bound
+check against the device-resident hash array.
+
+Bit-exact against the host implementations (seed/syncmers.py,
+seed/randstrobes.py, index/strobemer_index.py) — see
+tests/test_seed_device.py. The production pipeline currently seeds on
+the host (the C++ engine): on this development setup the host<->device
+link latency dominates any seeding offload, but on production hardware
+(PCIe/ICI-attached chips) this module moves the second-hottest CPU loop
+onto the TPU.
+
+All hashes are uint64: the package enables jax x64 at import.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+U64 = jnp.uint64
+UMAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def xxh64_u64(x):
+    """xxh64 of one uint64 (seed/hash.py, reference src/hash.hpp:110-123)."""
+    P1 = jnp.uint64(0x9E3779B185EBCA87)
+    P2 = jnp.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = jnp.uint64(0x165667B19E3779F9)
+    P4 = jnp.uint64(0x85EBCA77C2B2AE63)
+    P5 = jnp.uint64(0x27D4EB2F165667C5)
+    x = x.astype(jnp.uint64)
+    r = P5 + jnp.uint64(8)
+    x = x * P2
+    x = (x << jnp.uint64(31)) | (x >> jnp.uint64(33))
+    r = r ^ (x * P1)
+    r = (r << jnp.uint64(27)) | (r >> jnp.uint64(37))
+    r = r * P1 + P4
+    r = r ^ (r >> jnp.uint64(33))
+    r = r * P2
+    r = r ^ (r >> jnp.uint64(29))
+    r = r * P3
+    r = r ^ (r >> jnp.uint64(32))
+    return r
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s", "t", "max_syncmers"))
+def syncmers_device(codes, lengths, k: int, s: int, t: int, max_syncmers: int):
+    """Batched canonical closed syncmers.
+
+    codes: (B, L) uint8 in {0..3, 4=N}; lengths: (B,) int32.
+    Returns (positions (B, M) int32 [-1 padded], hashes (B, M) uint64,
+    counts (B,) int32) with M = max_syncmers; syncmers beyond M are
+    dropped (M = L is always enough).
+    """
+    B, L = codes.shape
+    w = k - s + 1
+    kmask = jnp.uint64((1 << (2 * k)) - 1)
+    smask = jnp.uint64((1 << (2 * s)) - 1)
+    kshift = jnp.uint64((k - 1) * 2)
+    sshift = jnp.uint64((s - 1) * 2)
+
+    def step(state, i):
+        xk0, xk1, xs0, xs1, l, ring, minval, minpos = state
+        c = codes[:, i].astype(jnp.uint64)
+        is_base = codes[:, i] < 4
+        cc = jnp.where(is_base, c, jnp.uint64(0))
+        xk0n = ((xk0 << jnp.uint64(2)) | cc) & kmask
+        xk1n = (xk1 >> jnp.uint64(2)) | ((jnp.uint64(3) - cc) << kshift)
+        xs0n = ((xs0 << jnp.uint64(2)) | cc) & smask
+        xs1n = (xs1 >> jnp.uint64(2)) | ((jnp.uint64(3) - cc) << sshift)
+        ln = jnp.where(is_base, l + 1, 0)
+        # reset rolling state on N (the automaton zeroes everything)
+        xk0n = jnp.where(is_base, xk0n, jnp.uint64(0))
+        xk1n = jnp.where(is_base, xk1n, jnp.uint64(0))
+        xs0n = jnp.where(is_base, xs0n, jnp.uint64(0))
+        xs1n = jnp.where(is_base, xs1n, jnp.uint64(0))
+
+        have_smer = is_base & (ln >= s)
+        ys = jnp.minimum(xs0n, xs1n)
+        hash_s = xxh64_u64(ys)
+
+        # shift register of the last w s-mer hashes; slot j holds the s-mer
+        # whose k-window start is i - k + j + 1
+        ring_n = jnp.where(
+            have_smer[:, None],
+            jnp.concatenate([ring[:, 1:], hash_s[:, None]], axis=1),
+            ring,
+        )
+        n_smers = ln - (s - 1)  # how many s-mers since reset (when >=1)
+        first_full = have_smer & (n_smers == w)
+        steady = have_smer & (n_smers > w)
+
+        # leftmost minimum (fresh window): argmin takes the first
+        left_arg = jnp.argmin(ring_n, axis=1).astype(jnp.int32)
+        left_val = jnp.take_along_axis(ring_n, left_arg[:, None].astype(jnp.int64), axis=1)[:, 0]
+        # rightmost minimum (rescan after the tracked min slid out)
+        right_arg = (w - 1 - jnp.argmin(ring_n[:, ::-1], axis=1)).astype(jnp.int32)
+        right_val = jnp.take_along_axis(ring_n, right_arg[:, None].astype(jnp.int64), axis=1)[:, 0]
+
+        slid_out = steady & (minpos == i - k)
+        take_new = steady & ~slid_out & (hash_s < minval)
+
+        pos_of = lambda arg: (i - k + 1 + arg).astype(jnp.int32)
+        minval_n = jnp.where(
+            first_full, left_val,
+            jnp.where(slid_out, right_val, jnp.where(take_new, hash_s, minval)),
+        )
+        minpos_n = jnp.where(
+            first_full, pos_of(left_arg),
+            jnp.where(slid_out, pos_of(right_arg),
+                      jnp.where(take_new, jnp.int32(i - s + 1), minpos)),
+        )
+        # reset tracking on N
+        minval_n = jnp.where(is_base, minval_n, UMAX)
+        minpos_n = jnp.where(is_base, minpos_n, jnp.int32(-1))
+
+        emit = (first_full | steady) & (minpos_n == i - k + t) & (i < lengths)
+        yk = jnp.minimum(xk0n, xk1n)
+        out_hash = xxh64_u64(yk)
+        out_pos = jnp.full((B,), i - k + 1, jnp.int32)
+        return (
+            (xk0n, xk1n, xs0n, xs1n, ln, ring_n, minval_n, minpos_n),
+            (emit, out_pos, out_hash),
+        )
+
+    zero64 = jnp.zeros((B,), jnp.uint64)
+    state0 = (
+        zero64, zero64, zero64, zero64,
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B, w), UMAX, jnp.uint64),
+        jnp.full((B,), UMAX, jnp.uint64),
+        jnp.full((B,), -1, jnp.int32),
+    )
+    _, (emits, poss, hashes) = jax.lax.scan(step, state0, jnp.arange(L))
+    emits = emits.T  # (B, L)
+    poss = poss.T
+    hashes = hashes.T
+
+    # compact per lane into (B, M)
+    rank = jnp.cumsum(emits.astype(jnp.int32), axis=1) - 1
+    counts = jnp.sum(emits, axis=1).astype(jnp.int32)
+    M = max_syncmers
+    target = jnp.where(emits, jnp.minimum(rank, M - 1), M)  # M = dropped
+    out_pos = jnp.full((B, M + 1), -1, jnp.int32)
+    out_hash = jnp.zeros((B, M + 1), jnp.uint64)
+    bidx = jnp.arange(B)[:, None].astype(jnp.int64)
+    out_pos = out_pos.at[bidx, target.astype(jnp.int64)].set(poss)
+    out_hash = out_hash.at[bidx, target.astype(jnp.int64)].set(hashes)
+    counts = jnp.minimum(counts, M)
+    return out_pos[:, :M], out_hash[:, :M], counts
+
+
+@functools.partial(jax.jit, static_argnames=("w_min", "w_max", "max_dist", "k"))
+def link_randstrobes_device(positions, hashes, counts, w_min: int, w_max: int,
+                            q: int, max_dist: int, k: int):
+    """Batched randstrobe linking (seed/randstrobes.py link_randstrobes):
+    for strobe1 = syncmer i, partner = syncmer j in [i+w_min,
+    min(i+w_max, n-1)] with pos <= pos_i + max_dist minimizing
+    popcount((h_i ^ h_j) & q); leftmost tie wins; empty window pairs the
+    strobe with itself. Returns (hash (B, M) uint64, p1 (B, M) int32,
+    p2 (B, M) int32, n_out (B,) int32) where entry m pairs syncmer m
+    (valid for m < n_out = max(0, count - w_min))."""
+    B, M = hashes.shape
+    width = w_max - w_min + 1
+    qmask = jnp.uint64(q)
+
+    idx = jnp.arange(M, dtype=jnp.int32)[None, :]  # (1, M)
+    j_idx = idx[:, :, None] + w_min + jnp.arange(width, dtype=jnp.int32)[None, None, :]
+    j_clip = jnp.minimum(j_idx, jnp.maximum(counts[:, None, None] - 1, 0)).astype(jnp.int64)
+    valid = j_idx < counts[:, None, None]
+    cand_pos = jnp.take_along_axis(positions, j_clip.reshape(B, -1), axis=1).reshape(B, M, width)
+    valid = valid & (cand_pos <= positions[:, :, None] + max_dist)
+    cand_hash = jnp.take_along_axis(hashes, j_clip.reshape(B, -1), axis=1).reshape(B, M, width)
+    xor = hashes[:, :, None] ^ cand_hash
+    metric = jax.lax.population_count(xor & qmask).astype(jnp.int64)
+    metric = jnp.where(valid, metric, jnp.int64(1) << 40)
+    best = jnp.argmin(metric, axis=2).astype(jnp.int32)  # leftmost min
+    any_valid = jnp.any(valid, axis=2)
+    strobe2 = jnp.where(any_valid, idx + w_min + best, idx).astype(jnp.int64)
+    strobe2 = jnp.minimum(strobe2, jnp.int64(M - 1))
+    h2 = jnp.take_along_axis(hashes, strobe2, axis=1)
+    p2 = jnp.take_along_axis(positions, strobe2, axis=1)
+    rs_hash = hashes + h2
+    n_out = jnp.maximum(counts - w_min, 0)
+    return rs_hash, positions, p2, n_out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "s", "t", "w_min", "w_max", "max_dist", "max_syncmers")
+)
+def randstrobes_query_device(codes, lengths, k: int, s: int, t: int,
+                             w_min: int, w_max: int, q: int, max_dist: int,
+                             max_syncmers: int):
+    """Batched query randstrobes for both strands
+    (seed/randstrobes.py randstrobes_query / reference
+    src/randstrobes.cpp:207-253). Returns (hash (B, 2M) uint64,
+    start (B, 2M) int32, end (B, 2M) int32, is_rc (B, 2M) bool,
+    n_fwd (B,), n_rc (B,)); rows [0, n_fwd) and [M, M + n_rc) are valid.
+    Reads shorter than w_max produce nothing."""
+    B, L = codes.shape
+    pos, h, counts = syncmers_device(codes, lengths, k, s, t, max_syncmers)
+    counts = jnp.where(lengths >= w_max, counts, 0)
+    M = pos.shape[1]
+
+    fh, f1, f2, n_fwd = link_randstrobes_device(pos, h, counts, w_min, w_max,
+                                                q, max_dist, k)
+
+    # reverse strand: reverse the syncmer list, mirror positions
+    idxs = jnp.arange(M, dtype=jnp.int32)[None, :]
+    src = (counts[:, None] - 1 - idxs)
+    src_clip = jnp.maximum(src, 0).astype(jnp.int64)
+    rpos_raw = jnp.take_along_axis(pos, src_clip, axis=1)
+    rpos = jnp.where(src >= 0, lengths[:, None] - rpos_raw - k, -1)
+    rh = jnp.where(src >= 0, jnp.take_along_axis(h, src_clip, axis=1), jnp.uint64(0))
+    bh, b1, b2, n_rc = link_randstrobes_device(rpos, rh, counts, w_min, w_max,
+                                               q, max_dist, k)
+
+    out_hash = jnp.concatenate([fh, bh], axis=1)
+    out_start = jnp.concatenate([f1, b1], axis=1)
+    out_end = jnp.concatenate([f2 + k, b2 + k], axis=1)
+    is_rc = jnp.concatenate(
+        [jnp.zeros((B, M), bool), jnp.ones((B, M), bool)], axis=1
+    )
+    return out_hash, out_start, out_end, is_rc, n_fwd, n_rc
+
+
+@jax.jit
+def index_find_device(index_hashes, bucket_starts, bits, query_hashes):
+    """Batched StrobemerIndex.find (index/strobemer_index.py): bucket-bound
+    binary search for the first entry of each query hash; -1 when absent
+    (including the skipped-first-run quirk of the bucket table).
+    index arrays are device-resident; query_hashes any shape."""
+    pos = jnp.searchsorted(index_hashes, query_hashes)
+    tops = (query_hashes >> (jnp.uint64(64) - bits.astype(jnp.uint64))).astype(jnp.int64)
+    lo = bucket_starts[tops].astype(jnp.int64)
+    hi = bucket_starts[tops + 1].astype(jnp.int64)
+    n = index_hashes.shape[0]
+    in_range = (pos >= lo) & (pos < hi) & (pos < n)
+    safe = jnp.where(pos < n, pos, 0)
+    found = in_range & (index_hashes[safe] == query_hashes)
+    return jnp.where(found, pos, -1).astype(jnp.int64)

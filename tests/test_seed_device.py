@@ -1,0 +1,110 @@
+"""On-device batched seeding vs the host implementations (bit-exact)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from rabbitsalign_tpu.index.params import IndexParameters
+from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+from rabbitsalign_tpu.io.fasta import References
+from rabbitsalign_tpu.ops.seed_device import (
+    index_find_device,
+    randstrobes_query_device,
+    syncmers_device,
+)
+from rabbitsalign_tpu.seed.randstrobes import randstrobes_query
+from rabbitsalign_tpu.seed.syncmers import syncmers
+from rabbitsalign_tpu.utils.dna import encode
+
+
+def _reads(n, rng):
+    reads = []
+    for i in range(n):
+        ln = rng.choice([150, 150, 150, 100, 75, 40, 10])
+        rd = "".join(rng.choice("ACGT") for _ in range(ln))
+        if i % 4 == 1 and ln > 40:
+            p = rng.randrange(10, ln - 10)
+            rd = rd[:p] + "N" * rng.randrange(1, 6) + rd[p + 1 :]
+        reads.append(rd.encode()[:ln])
+    return reads
+
+
+def _pad(reads, L):
+    B = len(reads)
+    codes = np.full((B, L), 4, np.uint8)
+    lengths = np.zeros(B, np.int32)
+    for i, r in enumerate(reads):
+        c = encode(r)
+        codes[i, : c.shape[0]] = c
+        lengths[i] = c.shape[0]
+    return codes, lengths
+
+
+def test_syncmers_device_bit_exact():
+    rng = random.Random(77)
+    reads = _reads(64, rng)
+    L = 150
+    codes, lengths = _pad(reads, L)
+    k, s, t = 20, 16, 3
+    pos, h, counts = map(np.asarray, syncmers_device(codes, lengths, k, s, t, L))
+    for i, r in enumerate(reads):
+        gp, gh = syncmers(r, k, s, t)
+        assert counts[i] == gp.shape[0], (i, r)
+        assert np.array_equal(pos[i, : counts[i]], gp.astype(np.int32))
+        assert np.array_equal(h[i, : counts[i]], gh)
+
+
+def test_randstrobes_query_device_bit_exact():
+    rng = random.Random(78)
+    reads = _reads(48, rng)
+    L = 150
+    codes, lengths = _pad(reads, L)
+    p = IndexParameters.from_read_length(150)
+    sp, rp = p.syncmer, p.randstrobe
+    out_hash, out_start, out_end, is_rc, n_fwd, n_rc = map(
+        np.asarray,
+        randstrobes_query_device(
+            codes, lengths, sp.k, sp.s, sp.t_syncmer, rp.w_min, rp.w_max,
+            rp.q, rp.max_dist, L,
+        ),
+    )
+    M = out_hash.shape[1] // 2
+    for i, r in enumerate(reads):
+        g = randstrobes_query(r, p)
+        nf = int(np.sum(~g.is_reverse))
+        nr = int(np.sum(g.is_reverse))
+        assert (n_fwd[i], n_rc[i]) == (nf, nr), (i, r)
+        assert np.array_equal(out_hash[i, :nf], g.hash[:nf])
+        assert np.array_equal(out_start[i, :nf], g.start[:nf])
+        assert np.array_equal(out_end[i, :nf], g.end[:nf])
+        assert np.array_equal(out_hash[i, M : M + nr], g.hash[nf:])
+        assert np.array_equal(out_start[i, M : M + nr], g.start[nf:])
+        assert np.array_equal(out_end[i, M : M + nr], g.end[nf:])
+
+
+def test_index_find_device_matches_host():
+    rng = random.Random(79)
+    genome = "".join(rng.choice("ACGT") for _ in range(120_000))
+    refs = References()
+    refs.add("c", genome.encode())
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+
+    queries = np.concatenate([
+        index.hashes[:: max(1, len(index) // 500)],
+        rng_hashes := np.array(
+            [rng.getrandbits(63) for _ in range(200)], dtype=np.uint64
+        ),
+    ])
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        index_find_device(
+            jnp.asarray(index.hashes), jnp.asarray(index.randstrobe_start_indices),
+            jnp.int64(index.bits), jnp.asarray(queries),
+        )
+    )
+    want = np.asarray(index.find(queries))
+    assert np.array_equal(got, want)

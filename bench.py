@@ -124,9 +124,9 @@ def main() -> None:
                           use_device=on_tpu)
     warm.map_file(fq.name, "", False, chunk_size, sink.append)
 
-    # best of 3 passes (the host is shared; single passes are noisy)
+    # best of 5 passes (the shared host and device link are noisy)
     reads_per_sec = 0.0
-    for _ in range(3):
+    for _ in range(5):
         pipeline = NativePipeline(index, params, refs, aln_params, map_param,
                                   use_device=on_tpu)
         t0 = time.perf_counter()

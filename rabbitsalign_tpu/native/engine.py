@@ -243,11 +243,17 @@ class NativeEngine:
 
     # --- device round trip ----------------------------------------------
 
+    # batches smaller than this resolve on the host instead: one device
+    # round trip costs more than ~50 scalar SSW alignments on this class
+    # of link (the reference pays the same trade with its CPU fallback)
+    MIN_DEVICE_JOBS = 48
+
     def plan_batches(self, chunk: NativeChunk, batch_size: int):
         """Group jobs into (Q, T) buckets; yields (idxs, Q, T, B, sub)
         dispatches where B = sub * groups columns are filled and the
         kernel runs per `sub`-column group inside one dispatch. Jobs that
-        fit no bucket resolve natively in phase B."""
+        fit no bucket — or tiny leftover batches not worth a round trip —
+        resolve natively in phase B."""
         if chunk.n_jobs == 0:
             return []
         q = chunk.qlens[: chunk.n_jobs]
@@ -263,6 +269,8 @@ class NativeEngine:
             bsz = sub * groups
             for start in range(0, idxs.shape[0], bsz):
                 part = idxs[start : start + bsz]
+                if part.shape[0] < self.MIN_DEVICE_JOBS:
+                    continue  # host resolves these in phase B
                 # shrink to the fewest sub-groups that cover the jobs
                 n_groups = max(1, -(-part.shape[0] // sub))
                 plans.append((part, qcap, tcap, sub * n_groups, sub))

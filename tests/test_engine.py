@@ -232,6 +232,7 @@ def test_engine_synthetic_device_results(world):
     from rabbitsalign_tpu.align.ssw import ssw_align
 
     eng = NativeEngine(index, params, refs, ap, mp, "")
+    eng.MIN_DEVICE_JOBS = 1  # force every batch through the device path
     texts = []
     for ci, (r1, r2, r3) in enumerate(chunks):
         ch = eng.chunk_a(r1, r2, r3, ci)

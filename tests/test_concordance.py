@@ -158,6 +158,10 @@ def run_python_pe(world, pairs, mode):
     mp.rescue_cutoff = 2 * index.filter_cutoff
     if mode == "paf":
         mp.is_sam_out = False
+    if mode == "details":
+        mp.details = True
+    if mode == "secondary":
+        mp.max_secondary = 3
     cigar_ops = CIGAR_OPS_EQX if mode == "eqx" else CIGAR_OPS_M
     aligner = Aligner(AlignmentParameters())
     stats = AlignmentStatistics()
@@ -199,7 +203,7 @@ def test_se_concordance(world, mode):
     assert golden == ours, diff_head(golden, ours)
 
 
-@pytest.mark.parametrize("mode", ["sam", "paf"])
+@pytest.mark.parametrize("mode", ["sam", "paf", "eqx", "details", "secondary"])
 def test_pe_concordance(world, mode):
     tmp, genome, ref, *_ = world
     pairs = simulate_pe(genome, 400)

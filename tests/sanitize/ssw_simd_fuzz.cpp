@@ -40,12 +40,23 @@ int main() {
         if (!ok) continue;
         n_checked++;
         if (best != fwd.score || re != fwd.ref_end || qe != fwd.read_end) {
-            printf("MISMATCH iter=%d m=%d n=%d mode=%d: scalar (%ld,%ld,%ld) "
-                   "simd (%ld,%ld,%ld)\n",
+            printf("AVX2 MISMATCH iter=%d m=%d n=%d mode=%d: scalar "
+                   "(%ld,%ld,%ld) simd (%ld,%ld,%ld)\n",
                    iter, m, n, mode, (long)fwd.score, (long)fwd.ref_end,
                    (long)fwd.read_end, (long)best, (long)re, (long)qe);
             return 1;
         }
+#ifdef __AVX512BW__
+        if (engine::ssw_forward_simd512(q.data(), m, r.data(), n, 2, 8, 12, 1,
+                                        s.simd, best, re, qe) &&
+            (best != fwd.score || re != fwd.ref_end || qe != fwd.read_end)) {
+            printf("AVX512 MISMATCH iter=%d m=%d n=%d mode=%d: scalar "
+                   "(%ld,%ld,%ld) simd (%ld,%ld,%ld)\n",
+                   iter, m, n, mode, (long)fwd.score, (long)fwd.ref_end,
+                   (long)fwd.read_end, (long)best, (long)re, (long)qe);
+            return 1;
+        }
+#endif
     }
     printf("ssw simd fuzz: %ld pairs bit-exact\n", n_checked);
     return 0;

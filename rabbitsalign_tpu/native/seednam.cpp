@@ -498,7 +498,20 @@ static void find_nams_one(const IndexView& ix,
     hpr[0].clear();
     hpr[1].clear();
     int total_hits = 0, good_hits = 0;
-    for (const auto& q : qrs) {
+    // two-stage software prefetch: large indexes (hundreds of MB) miss
+    // the cache on both the bucket-table load and the hash-array probe;
+    // issuing them 8/4 lookups ahead hides most of the DRAM latency
+    const i64 nq = (i64)qrs.size();
+    for (i64 qi = 0; qi < nq; ++qi) {
+        if (qi + 8 < nq) {
+            u64 top = qrs[qi + 8].hash >> (64 - ix.bits);
+            __builtin_prefetch(&ix.buckets[top]);
+        }
+        if (qi + 4 < nq) {
+            u64 top = qrs[qi + 4].hash >> (64 - ix.bits);
+            __builtin_prefetch(&ix.hashes[ix.buckets[top]]);
+        }
+        const auto& q = qrs[qi];
         i64 pos = ix_find(ix, q.hash);
         if (pos >= 0) {
             total_hits++;

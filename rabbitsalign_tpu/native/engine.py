@@ -148,7 +148,7 @@ class NativeEngine:
         aln_params,
         map_param,
         read_group_id: str = "",
-        buckets: Tuple[Tuple[int, int], ...] = ENGINE_BUCKETS,
+        buckets: Tuple[Tuple[int, int, int, int], ...] = ENGINE_BUCKETS,
     ):
         lib = _lib()
         if lib is None:

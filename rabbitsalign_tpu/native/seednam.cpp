@@ -538,7 +538,14 @@ static void find_nams_rescue_one(const IndexView& ix,
     std::vector<RescueHit>& hits_rc = scratch.hits_rc;
     hits_fw.clear();
     hits_rc.clear();
-    for (const auto& q : qrs) {
+    const i64 nq = (i64)qrs.size();
+    for (i64 qi = 0; qi < nq; ++qi) {
+        if (qi + 8 < nq)
+            __builtin_prefetch(&ix.buckets[qrs[qi + 8].hash >> (64 - ix.bits)]);
+        if (qi + 4 < nq)
+            __builtin_prefetch(
+                &ix.hashes[ix.buckets[qrs[qi + 4].hash >> (64 - ix.bits)]]);
+        const auto& q = qrs[qi];
         i64 pos = ix_find(ix, q.hash);
         if (pos >= 0) {
             u32 count = (u32)ix_count(ix, (u64)pos);

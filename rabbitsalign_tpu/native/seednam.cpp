@@ -489,6 +489,7 @@ struct ChunkResult {
 struct NamScratch {
     HitsPerRef hpr[2];
     std::vector<RescueHit> hits_fw, hits_rc, rhs[2];
+    std::vector<i64> found;
 };
 
 static void find_nams_one(const IndexView& ix,
@@ -498,10 +499,13 @@ static void find_nams_one(const IndexView& ix,
     hpr[0].clear();
     hpr[1].clear();
     int total_hits = 0, good_hits = 0;
-    // two-stage software prefetch: large indexes (hundreds of MB) miss
-    // the cache on both the bucket-table load and the hash-array probe;
-    // issuing them 8/4 lookups ahead hides most of the DRAM latency
     const i64 nq = (i64)qrs.size();
+    // Phase 1: all index lookups with two-stage software prefetch (the
+    // bucket-table load and the hash-array probe each miss DRAM on
+    // multi-GB indexes); lookup results are order-free, so the memory
+    // pipeline stays full. As each hit lands, prefetch the lines phase 2
+    // will touch (repetitive-filter probe, position/packed records).
+    scratch.found.resize(nq);
     for (i64 qi = 0; qi < nq; ++qi) {
         if (qi + 8 < nq) {
             u64 top = qrs[qi + 8].hash >> (64 - ix.bits);
@@ -511,15 +515,24 @@ static void find_nams_one(const IndexView& ix,
             u64 top = qrs[qi + 4].hash >> (64 - ix.bits);
             __builtin_prefetch(&ix.hashes[ix.buckets[top]]);
         }
-        const auto& q = qrs[qi];
-        i64 pos = ix_find(ix, q.hash);
+        i64 pos = ix_find(ix, qrs[qi].hash);
+        scratch.found[qi] = pos;
         if (pos >= 0) {
-            total_hits++;
-            if (hash_at(ix, (u64)pos) == hash_at(ix, (u64)pos + ix.filter_cutoff))
-                continue;  // repetitive
-            good_hits++;
-            add_to_hits_per_ref(hpr[q.is_reverse ? 1 : 0], q.start, q.end, ix, (u64)pos);
+            __builtin_prefetch(&ix.hashes[pos + ix.filter_cutoff]);
+            __builtin_prefetch(&ix.positions[pos]);
+            __builtin_prefetch(&ix.packed[pos]);
         }
+    }
+    // Phase 2: insertion-ordered hit collection (identical semantics)
+    for (i64 qi = 0; qi < nq; ++qi) {
+        i64 pos = scratch.found[qi];
+        if (pos < 0) continue;
+        const auto& q = qrs[qi];
+        total_hits++;
+        if (hash_at(ix, (u64)pos) == hash_at(ix, (u64)pos + ix.filter_cutoff))
+            continue;  // repetitive
+        good_hits++;
+        add_to_hits_per_ref(hpr[q.is_reverse ? 1 : 0], q.start, q.end, ix, (u64)pos);
     }
     rr.nonrep_frac = total_hits > 0 ? (float)good_hits / (float)total_hits : 1.0f;
     for (int rc = 0; rc < 2; ++rc)

@@ -593,3 +593,37 @@ def test_engine_edge_cases(world, tmp_path):
     reader = NativeReader(str(empty), "", False, 10)
     assert list(reader) == []
     reader.close()
+
+
+@pytest.mark.parametrize("cfg", [
+    # (k, s, l, u, A, B, O, E, L)
+    (18, 14, 0, 7, 1, 4, 6, 2, 5),
+    (22, 18, 2, 12, 3, 5, 9, 2, 15),
+])
+def test_engine_nondefault_parameters(world, cfg):
+    """Engine vs Python with non-default seeding and scoring parameters
+    (the concordance tests pin the defaults; this guards the plumbing)."""
+    from rabbitsalign_tpu.index.params import DEFAULT
+
+    k, s, l, u, A, B, O, E, L = cfg
+    genome, refs, _, _ = world
+    params = IndexParameters.from_read_length(150, k=k, s=s, l=l, u=u)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    w = (genome, refs, params, index)
+    ap = AlignmentParameters(match=A, mismatch=B, gap_open=O, gap_extend=E,
+                             end_bonus=L)
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    se = simulate_se(genome, 300, seed=k * 100 + s)
+    chunks = [(se[i : i + 100], [], []) for i in range(0, 300, 100)]
+    py, _, _ = run_python(w, chunks, mp, ap)
+    na, _ = run_native(w, chunks, mp, ap)
+    assert py == na
+
+    r1, r2 = simulate_pe(genome, 200, seed=k * 7)
+    chunks = [(r1[i : i + 100], r2[i : i + 100], []) for i in range(0, 200, 100)]
+    py, _, _ = run_python(w, chunks, mp, ap)
+    na, _ = run_native(w, chunks, mp, ap)
+    assert py == na

@@ -650,7 +650,12 @@ def align_PE_read(
     index: StrobemerIndex,
     random_engine: MinstdRand,
 ) -> List[Details]:
-    """reference src/aln.cpp:2308-2370"""
+    """reference src/aln.cpp:2308-2370; PE reads are uppercased by the
+    reference's callers (src/pc.cpp:410-411) — done here (idempotent)."""
+    from ..utils.dna import to_uppercase
+
+    record1.seq = to_uppercase(record1.seq)
+    record2.seq = to_uppercase(record2.seq)
     details = [Details(), Details()]
     nams_pair: List[List[Nam]] = [[], []]
     for is_revcomp, record in enumerate((record1, record2)):

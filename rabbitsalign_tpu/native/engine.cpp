@@ -2601,6 +2601,10 @@ void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
     ch->n_singles = n_singles;
     i64 n_records = 2 * n_pairs + n_singles;
     ch->seqs.assign((const char*)seqs, seq_off[n_records]);
+    // the reference uppercases PE read sequences before mapping (and,
+    // deliberately, not SE reads): src/pc.cpp:410-411,1193-1194 etc.
+    for (char* c = &ch->seqs[0], *e = c + seq_off[2 * n_pairs]; c < e; ++c)
+        *c &= (char)~32;
     ch->names.assign((const char*)names, name_off[n_records]);
     ch->quals.assign((const char*)quals, qual_off[n_records]);
     ch->records.resize(n_records);

@@ -832,10 +832,16 @@ def phase_a_chunk(
     is_pe = bool(records2)
     n_reads = 0
 
-    # bulk NAM finding (native when available)
+    # bulk NAM finding (native when available); PE reads are uppercased
+    # like the reference (src/pc.cpp:410-411,1193-1194 — SE reads are,
+    # deliberately, not)
+    from ..utils.dna import to_uppercase
+
     all_seqs: List[bytes] = []
     if is_pe:
         for r1, r2 in zip(records1, records2):
+            r1.seq = to_uppercase(r1.seq)
+            r2.seq = to_uppercase(r2.seq)
             all_seqs.append(r1.seq)
             all_seqs.append(r2.seq)
     else:

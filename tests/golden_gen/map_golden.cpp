@@ -170,6 +170,8 @@ int main(int argc, char** argv) {
                 fprintf(stderr, "r2 shorter than r1\n");
                 return 1;
             }
+            to_uppercase(rec1.seq);  // the reference's PE callers do this
+            to_uppercase(rec2.seq);  // (src/pc.cpp:410-411)
             align_PE_read(rec1, rec2, sam, outstring, stats, isize, aligner,
                           mp, ip, references, index, engine);
             n_in_chunk += 2;

@@ -242,3 +242,18 @@ def test_se_split_concordance_engine(world):
         texts.append(eng.chunk_b(eng.chunk_a(chunk, [], [], ci // CHUNK)))
     ours = "".join(texts)
     assert golden == ours, diff_head(golden, ours)
+
+
+def test_pe_lowercase_concordance(world):
+    """Lowercase PE reads: the reference uppercases PE sequences before
+    mapping (src/pc.cpp:410-411) and, deliberately, not SE reads; our
+    pipeline replicates both behaviors."""
+    tmp, genome, ref, *_ = world
+    pairs = [(n, a.lower(), b.lower()) for n, a, b in simulate_pe(genome, 150, seed=33)]
+    fq1 = tmp / "lc.1.fq"
+    fq2 = tmp / "lc.2.fq"
+    write_fq(fq1, [(n + "/1", a) for n, a, _ in pairs])
+    write_fq(fq2, [(n + "/2", b) for n, _, b in pairs])
+    golden = run_golden(ref, fq1, fq2, "sam")
+    ours = run_python_pe(world, pairs, "sam")
+    assert golden == ours, diff_head(golden, ours)

@@ -35,7 +35,7 @@ def _build(name: str, deps: tuple = ()) -> Optional[Path]:
         return out
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(src), "-o", str(out), "-lz",
+        "-fopenmp", str(src), "-o", str(out), "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)

@@ -2815,6 +2815,10 @@ void chunk_free(void* c) { delete (engine::ChunkC*)c; }
 
 #include <atomic>
 #include <thread>
+#ifdef _OPENMP
+#include <omp.h>
+#include <parallel/algorithm>
+#endif
 
 namespace engine {
 
@@ -2892,11 +2896,20 @@ void* index_build(const u8* seq_blob, const i64* offsets, i64 n_refs, int k,
         v.shrink_to_fit();
     }
     // (hash, position) stable order == np.lexsort((positions, hashes))
-    std::stable_sort(ib->recs.begin(), ib->recs.end(),
-                     [](const engine::RefRec& a, const engine::RefRec& b) {
-                         if (a.hash != b.hash) return a.hash < b.hash;
-                         return a.pos < b.pos;
-                     });
+    auto by_hash_pos = [](const engine::RefRec& a, const engine::RefRec& b) {
+        if (a.hash != b.hash) return a.hash < b.hash;
+        return a.pos < b.pos;
+    };
+#ifdef _OPENMP
+    if (nt > 1) {
+        omp_set_num_threads(nt);
+        __gnu_parallel::stable_sort(ib->recs.begin(), ib->recs.end(),
+                                    by_hash_pos);
+    } else
+#endif
+    {
+        std::stable_sort(ib->recs.begin(), ib->recs.end(), by_hash_pos);
+    }
     return ib;
 }
 

@@ -19,6 +19,34 @@ import numpy as np
 
 from ..native.engine import NativeEngine, engine_available
 
+_cache_enabled = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persist compiled extend programs across processes: a fresh CLI run
+    otherwise pays the ~5-30 s bucket-shape compiles inside the mapping
+    loop (the library path warms up explicitly; the reference's analog is
+    GASAL2's ahead-of-time-built kernels)."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.path.join(
+            os.environ.get("RABBITSALIGN_TPU_CACHE",
+                           os.path.expanduser("~/.cache/rabbitsalign_tpu")),
+            "jaxcache",
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
 
 class NativePipeline:
     def __init__(
@@ -43,6 +71,8 @@ class NativePipeline:
         self._next_dev = 0
         if use_device:
             import jax
+
+            _enable_compilation_cache()
 
             from ..ops.sw_jax import SwParams
 
@@ -129,6 +159,41 @@ class NativePipeline:
 
 def native_pipeline_available() -> bool:
     return engine_available()
+
+
+def prewarm_extend_programs(aln_params, batch_size: int = 512):
+    """Compile (or cache-load) the device extend programs for every
+    bucket shape in a daemon thread, so the work overlaps reference
+    loading / index building instead of stalling the first chunks
+    (the reference's analog: GASAL2 kernels are built ahead of time).
+    Returns the thread (join() optional)."""
+    import threading
+
+    def run():
+        try:
+            import numpy as _np
+
+            from ..native.engine import ENGINE_BUCKETS
+            from ..ops.extend_device import extend_batch_packed_grouped
+            from ..ops.sw_jax import SwParams
+
+            _enable_compilation_cache()
+            sw = SwParams(aln_params.match, aln_params.mismatch,
+                          aln_params.gap_open, aln_params.gap_extend)
+            for Q, T, bcap, groups in ENGINE_BUCKETS:
+                sub = min(batch_size, bcap)
+                shapes = {sub, sub * groups}
+                for B in shapes:
+                    buf = _np.zeros((Q + T + 4, B), dtype=_np.uint8)
+                    buf[Q + T] = 4  # qlen 4 keeps the kernel's loops sane
+                    buf[Q + T + 2] = 4
+                    extend_batch_packed_grouped(buf, Q, T, sw, sub)
+        except Exception:  # pragma: no cover - no device, no problem
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
 
 
 def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
@@ -227,8 +292,19 @@ class ThreadedNativePipeline:
         n_reads = [0]
         errors = []
 
+        def emit(ci, text):
+            with out_lock:
+                out_buf[ci] = text
+                while next_out[0] in out_buf:
+                    write(out_buf.pop(next_out[0]))
+                    next_out[0] += 1
+                out_lock.notify_all()
+
         def worker():
             pipe = self._mk()
+            prev = None  # (ci, state): per-worker double buffering — the
+            # device extends this worker's chunk i while it seeds i+1
+            # (the reference's per-worker E1/SEED/E2 rotation)
             try:
                 while True:
                     item = in_q.get()
@@ -246,13 +322,17 @@ class ThreadedNativePipeline:
                             buf = pipe.engine.fill_batch(chunk, idxs, B, Q, T)
                             out_dev = pipe._dispatch(buf, Q, T, sub)
                             pending.append((idxs, out_dev, Q + T - 1))
-                    text = pipe.finish_chunk((chunk, pending))
-                    with out_lock:
-                        out_buf[ci] = text
-                        while next_out[0] in out_buf:
-                            write(out_buf.pop(next_out[0]))
-                            next_out[0] += 1
-                        out_lock.notify_all()
+                        for _, out_dev, _ in pending:
+                            try:
+                                out_dev.copy_to_host_async()
+                            except Exception:  # pragma: no cover
+                                pass
+                    if prev is not None:
+                        emit(prev[0], pipe.finish_chunk(prev[1]))
+                    prev = (ci, (chunk, pending))
+                if prev is not None:
+                    emit(prev[0], pipe.finish_chunk(prev[1]))
+                    prev = None
             except Exception as e:  # pragma: no cover - propagate to caller
                 errors.append(e)
                 with out_lock:

@@ -52,6 +52,12 @@ def run_aligner(opt: CommandLineOptions) -> int:
         match=opt.A, mismatch=opt.B, gap_open=opt.O, gap_extend=opt.E,
         end_bonus=opt.end_bonus,
     )
+    if getattr(opt, "use_tpu", False):
+        # compile/cache-load the device extend programs while the host
+        # reads the reference and builds the index
+        from .native_pipeline import prewarm_extend_programs
+
+        prewarm_extend_programs(aln_params, getattr(opt, "tpu_batch", 512))
     map_param = MappingParameters(
         r=opt.r,
         max_secondary=opt.max_secondary,

@@ -93,6 +93,15 @@ def run_aligner(opt: CommandLineOptions) -> int:
         t0 = time.perf_counter()
         index.populate(opt.f, opt.n_threads)
         logger.info(f"Total time indexing: {time.perf_counter() - t0:.2f} s")
+        st = index.stats
+        logger.debug(f"Total number of randstrobes: {st.tot_strobemer_count}")
+        logger.debug(f"Total number of distinct randstrobes: {st.distinct_strobemers}")
+        if st.distinct_strobemers:
+            frac1 = st.tot_occur_once / st.distinct_strobemers
+            logger.debug(f"Fraction of unique randstrobes: {frac1:.4f}")
+            logger.debug(f"Highly abundant randstrobes (>100): {st.tot_high_ab}")
+            logger.debug(f"Mid abundance randstrobes (2-100): {st.tot_mid_ab}")
+        logger.debug(f"Filter cutoff: {index.filter_cutoff}")
         if opt.logfile_name:
             from ..index.diagnostics import print_diagnostics
 

@@ -191,7 +191,10 @@ def prewarm_extend_programs(aln_params, batch_size: int = 512):
         except Exception:  # pragma: no cover - no device, no problem
             pass
 
-    t = threading.Thread(target=run, daemon=True)
+    # non-daemon: the interpreter waits for it at exit, which avoids the
+    # glibc "exception not rethrown" abort when a daemon thread is torn
+    # down inside a jax/XLA call (compiles finish in bounded time)
+    t = threading.Thread(target=run, daemon=False)
     t.start()
     return t
 

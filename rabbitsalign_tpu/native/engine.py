@@ -293,15 +293,19 @@ class NativeEngine:
 
     # --- phase B --------------------------------------------------------
 
-    def chunk_b(self, chunk: NativeChunk) -> str:
+    def chunk_b_bytes(self, chunk: NativeChunk) -> bytes:
+        """Finish the chunk and return the output as bytes (the
+        production paths write binary; SAM/PAF are ASCII)."""
         self.lib.engine_chunk_b(self.handle, chunk.handle)
         n = int(self.lib.chunk_out_len(chunk.handle))
-        buf = ctypes.create_string_buffer(n)
+        out = np.empty(n, dtype=np.uint8)
         if n:
-            self.lib.chunk_out_copy(chunk.handle, buf)
-        text = buf.raw[:n].decode()
+            self.lib.chunk_out_copy(chunk.handle, out.ctypes.data)
         chunk.free()
-        return text
+        return out.tobytes()
+
+    def chunk_b(self, chunk: NativeChunk) -> str:
+        return self.chunk_b_bytes(chunk).decode()
 
     # --- state ----------------------------------------------------------
 

@@ -69,12 +69,13 @@ class ShardWriter:
             self.path = base_path
         else:
             self.path = f"{base_path}.part{process_index}of{process_count}"
-        self._f = open(self.path, "w")
+        self._f = open(self.path, "wb")
         self._manifest: List[Tuple[int, int]] = []  # (chunk_index, n_bytes)
 
-    def write_chunk(self, chunk_index: int, text: str) -> None:
-        self._f.write(text)
-        self._manifest.append((chunk_index, len(text.encode())))
+    def write_chunk(self, chunk_index: int, text) -> None:
+        data = text if isinstance(text, bytes) else text.encode()
+        self._f.write(data)
+        self._manifest.append((chunk_index, len(data)))
 
     def close(self) -> None:
         self._f.close()
@@ -101,15 +102,15 @@ def merge_output(base_path: str, process_count: int, header: str = "") -> None:
         for chunk_index, off, n in offsets:
             entries.append((chunk_index, path, off, n))
     entries.sort()
-    with open(base_path, "w") as out:
+    with open(base_path, "wb") as out:
         if header:
-            out.write(header)
+            out.write(header.encode())
         handles = {path: open(path, "rb") for path, _ in parts}
         try:
             for _, path, off, n in entries:
                 f = handles[path]
                 f.seek(off)
-                out.write(f.read(n).decode())
+                out.write(f.read(n))
         finally:
             for f in handles.values():
                 f.close()

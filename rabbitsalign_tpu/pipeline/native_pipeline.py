@@ -119,12 +119,13 @@ class NativePipeline:
                     pass
         return chunk, pending
 
-    def finish_chunk(self, state) -> str:
-        """Collect device results + phase B; returns the output text."""
+    def finish_chunk(self, state) -> bytes:
+        """Collect device results + phase B; returns the output bytes
+        (SAM/PAF text is ASCII; writers are binary)."""
         chunk, pending = state
         for idxs, out_dev, D in pending:
             self.engine.set_device_results(chunk, np.asarray(out_dev), D, idxs)
-        return self.engine.chunk_b(chunk)
+        return self.engine.chunk_b_bytes(chunk)
 
     def map_all(
         self,

@@ -119,11 +119,14 @@ def run_aligner(opt: CommandLineOptions) -> int:
     )
     logger.debug(f"Using rescue cutoff: {map_param.rescue_cutoff}")
 
-    out: TextIO = (
-        sys.stdout if opt.write_to_stdout else open(opt.output_file_name, "w")
+    # binary output end-to-end: the engine produces ASCII SAM/PAF bytes
+    out = (
+        sys.stdout.buffer if opt.write_to_stdout
+        else open(opt.output_file_name, "wb")
     )
     try:
         _map_reads(opt, out, references, index, index_parameters, map_param, aln_params)
+        out.flush()
     finally:
         if not opt.write_to_stdout:
             out.close()
@@ -175,7 +178,8 @@ def _map_reads(
     if map_param.is_sam_out and not multihost:
         cmd_line = " ".join(sys.argv)
         out.write(
-            sam_header(references, opt.read_group_id, opt.read_group_fields, cmd_line)
+            sam_header(references, opt.read_group_id, opt.read_group_fields,
+                       cmd_line).encode()
         )
 
     input_buffer = InputBuffer(
@@ -318,9 +322,9 @@ def _map_reads(
             index_parameters, references, engine,
         )
         if map_param.is_sam_out:
-            out.write(sam.take())
+            out.write(sam.take().encode())
         else:
-            out.write("".join(paf_out))
+            out.write("".join(paf_out).encode())
 
     # Software pipelining across chunks, mirroring the reference's worker
     # schedule (src/pc.cpp:1206-1510): the device extends chunk i while the

@@ -317,7 +317,7 @@ def test_engine_device_parity(world):
             ((ci, a, b, c) for ci, (a, b, c) in enumerate(chunks)),
             texts.append,
         )
-        return "".join(texts)
+        return b"".join(texts)
 
     assert run(False) == run(True)
 
@@ -441,14 +441,14 @@ def test_threaded_pipeline_se_identical(world, tmp_path):
         out = []
         pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
         n = pipe.map_file(str(p_se), "", False, 64, out.append)
-        return n, "".join(out)
+        return n, b"".join(out)
 
     def run_threaded(workers):
         out = []
         pipe = ThreadedNativePipeline(index, params, refs, ap, mp,
                                       use_device=False, n_workers=workers)
         n = pipe.map_file(str(p_se), "", False, 64, out.append)
-        return n, "".join(out)
+        return n, b"".join(out)
 
     n0, t0 = run_seq()
     assert n0 == 500
@@ -485,7 +485,7 @@ def test_threaded_pipeline_pe_runs(world, tmp_path):
                                   use_device=False, n_workers=2)
     n = pipe.map_file(str(p1), str(p2), False, 50, out.append)
     assert n == 600
-    lines = [l for l in "".join(out).splitlines() if l]
+    lines = [l for l in b"".join(out).decode().splitlines() if l]
     assert len(lines) == 600
     # ordered by chunk: read names must appear in input order
     names = [l.split("\t")[0] for l in lines if not (int(l.split("\t")[1]) & 0x100)]
@@ -513,6 +513,7 @@ def test_multihost_shard_merge(world, tmp_path):
     golden = []
     pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
     pipe.map_file(str(p_se), "", False, 64, golden.append)
+    golden_text = b"".join(golden)
 
     base = str(tmp_path / "mh.sam")
     total = 0
@@ -523,7 +524,7 @@ def test_multihost_shard_merge(world, tmp_path):
         w.close()
     assert total == 400
     merge_output(base, 2, header="")
-    assert open(base).read() == "".join(golden)
+    assert open(base, "rb").read() == golden_text
 
 
 def test_engine_edge_cases(world, tmp_path):

@@ -271,8 +271,10 @@ class NativeEngine:
                 part = idxs[start : start + bsz]
                 if part.shape[0] < self.MIN_DEVICE_JOBS:
                     continue  # host resolves these in phase B
-                # shrink to the fewest sub-groups that cover the jobs
-                n_groups = max(1, -(-part.shape[0] // sub))
+                # exactly two shapes per bucket (1 group or all groups):
+                # every distinct batch width is a separate compiled
+                # program, and lazy compiles stall the pipeline
+                n_groups = 1 if part.shape[0] <= sub else groups
                 plans.append((part, qcap, tcap, sub * n_groups, sub))
         return plans
 

@@ -181,10 +181,13 @@ def prewarm_extend_programs(aln_params, batch_size: int = 512):
             _enable_compilation_cache()
             sw = SwParams(aln_params.match, aln_params.mismatch,
                           aln_params.gap_open, aln_params.gap_extend)
-            for Q, T, bcap, groups in ENGINE_BUCKETS:
+            # the first (high-volume) bucket only: warming every bucket
+            # contends with the mapping loop's own compiles on short runs;
+            # rare buckets compile lazily (persistent-cached afterwards)
+            for Q, T, bcap, groups in ENGINE_BUCKETS[:1]:
                 sub = min(batch_size, bcap)
                 shapes = {sub, sub * groups}
-                for B in shapes:
+                for B in sorted(shapes):
                     buf = _np.zeros((Q + T + 4, B), dtype=_np.uint8)
                     buf[Q + T] = 4  # qlen 4 keeps the kernel's loops sane
                     buf[Q + T + 2] = 4

@@ -64,7 +64,10 @@ struct Syncmer {
 };
 
 // canonical closed syncmers; exact port of the min-queue automaton
-// (same semantics as seed/syncmers.py syncmers_slow)
+// (same semantics as seed/syncmers.py syncmers_slow). Two passes: the
+// first computes every s-mer hash and canonical k-mer value (no
+// cross-iteration dependency, so the xxh64 multiply chains pipeline);
+// the second runs the window automaton over the precomputed arrays.
 static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
                         std::vector<Syncmer>& out) {
     out.clear();
@@ -74,72 +77,90 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
     const int sshift = (s - 1) * 2;
     const int w = k - s + 1;
 
-    // ring buffer of the last w s-mer hashes (k-s+1 <= 64 always: k <= 32);
-    // wraps via compare-subtract — the modulo divisions were the hottest
-    // per-base ops in this automaton
+    thread_local std::vector<u64> smer_hash, kmer_can;
+    thread_local std::vector<int32_t> run;  // l counter (0 on N)
+    smer_hash.resize(n);
+    kmer_can.resize(n);
+    run.resize(n);
+
+    {
+        u64 xk0 = 0, xk1 = 0, xs0 = 0, xs1 = 0;
+        i64 l = 0;
+        for (i64 i = 0; i < n; ++i) {
+            int c = nt4(seq[i]);
+            if (c < 4) {
+                xk0 = ((xk0 << 2) | (u64)c) & kmask;
+                xk1 = (xk1 >> 2) | ((u64)(3 - c) << kshift);
+                xs0 = ((xs0 << 2) | (u64)c) & smask;
+                xs1 = (xs1 >> 2) | ((u64)(3 - c) << sshift);
+                ++l;
+                run[i] = (int32_t)l;
+                if (l >= s) {
+                    smer_hash[i] = xxh64(xs0 < xs1 ? xs0 : xs1);
+                    kmer_can[i] = xk0 < xk1 ? xk0 : xk1;
+                }
+            } else {
+                l = 0;
+                run[i] = 0;
+                xs0 = xs1 = xk0 = xk1 = 0;
+            }
+        }
+    }
+
+    // window automaton over the precomputed hashes; ring buffer wraps via
+    // compare-subtract (k <= 32 so w <= 64)
     u64 qs[64];
     int qs_size = 0;
     int qs_head = 0;  // index of oldest
     u64 qs_min_val = UMAX;
     i64 qs_min_pos = -1;
-    i64 l = 0;
-    u64 xk0 = 0, xk1 = 0, xs0 = 0, xs1 = 0;
     auto wrap = [w](int idx) { return idx >= w ? idx - w : idx; };
 
     for (i64 i = 0; i < n; ++i) {
-        int c = nt4(seq[i]);
-        if (c < 4) {
-            xk0 = ((xk0 << 2) | (u64)c) & kmask;
-            xk1 = (xk1 >> 2) | ((u64)(3 - c) << kshift);
-            xs0 = ((xs0 << 2) | (u64)c) & smask;
-            xs1 = (xs1 >> 2) | ((u64)(3 - c) << sshift);
-            if (++l < s) continue;
-            u64 ys = xs0 < xs1 ? xs0 : xs1;
-            u64 hash_s = xxh64(ys);
-            // push
-            if (qs_size < w) {
-                qs[wrap(qs_head + qs_size)] = hash_s;
-                qs_size++;
-                if (qs_size < w) continue;
-                // first full window: leftmost minimum
-                for (int j = 0; j < w; ++j) {
+        int32_t l = run[i];
+        if (l == 0) {
+            qs_min_val = UMAX;
+            qs_min_pos = -1;
+            qs_size = 0;
+            qs_head = 0;
+            continue;
+        }
+        if (l < s) continue;
+        u64 hash_s = smer_hash[i];
+        if (qs_size < w) {
+            qs[wrap(qs_head + qs_size)] = hash_s;
+            qs_size++;
+            if (qs_size < w) continue;
+            // first full window: leftmost minimum
+            for (int j = 0; j < w; ++j) {
+                u64 v = qs[wrap(qs_head + j)];
+                if (v < qs_min_val) {
+                    qs_min_val = v;
+                    qs_min_pos = i - k + j + 1;
+                }
+            }
+        } else {
+            // pop front, push back
+            qs[qs_head] = hash_s;
+            qs_head = wrap(qs_head + 1);
+            if (qs_min_pos == i - k) {
+                // tracked min slid out: rightmost minimum wins
+                qs_min_val = UMAX;
+                qs_min_pos = i - s + 1;
+                for (int j = w - 1; j >= 0; --j) {
                     u64 v = qs[wrap(qs_head + j)];
                     if (v < qs_min_val) {
                         qs_min_val = v;
                         qs_min_pos = i - k + j + 1;
                     }
                 }
-            } else {
-                // pop front, push back
-                qs[qs_head] = hash_s;
-                qs_head = wrap(qs_head + 1);
-                if (qs_min_pos == i - k) {
-                    // tracked min slid out: rightmost minimum wins
-                    qs_min_val = UMAX;
-                    qs_min_pos = i - s + 1;
-                    for (int j = w - 1; j >= 0; --j) {
-                        u64 v = qs[wrap(qs_head + j)];
-                        if (v < qs_min_val) {
-                            qs_min_val = v;
-                            qs_min_pos = i - k + j + 1;
-                        }
-                    }
-                } else if (hash_s < qs_min_val) {
-                    qs_min_val = hash_s;
-                    qs_min_pos = i - s + 1;
-                }
+            } else if (hash_s < qs_min_val) {
+                qs_min_val = hash_s;
+                qs_min_pos = i - s + 1;
             }
-            if (qs_min_pos == i - k + t) {
-                u64 yk = xk0 < xk1 ? xk0 : xk1;
-                out.push_back({xxh64(yk), i - k + 1});
-            }
-        } else {
-            qs_min_val = UMAX;
-            qs_min_pos = -1;
-            l = 0;
-            xs0 = xs1 = xk0 = xk1 = 0;
-            qs_size = 0;
-            qs_head = 0;
+        }
+        if (qs_min_pos == i - k + t) {
+            out.push_back({xxh64(kmer_can[i]), i - k + 1});
         }
     }
 }

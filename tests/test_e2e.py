@@ -232,3 +232,49 @@ def test_sam_validity(dataset):
     text = open(out).read()
     n = validate_sam(text, {"chr1": len(genome)})
     assert n == 200
+
+
+def test_cli_error_paths(dataset, tmp_path, capsys):
+    tmp, genome, ref = dataset
+    # nonexistent reads file
+    assert main(["--no-tpu", ref, str(tmp_path / "missing.fq")]) == 1
+    # malformed FASTQ (header without @)
+    bad = tmp_path / "bad.fq"
+    bad.write_text("not_a_header\nACGT\n+\nIIII\n")
+    assert main(["--no-tpu", ref, str(bad)]) == 1
+    # invalid -c
+    fq = tmp_path / "one.fq"
+    fq.write_text(f"@a\n{genome[:150]}\n+\n{'I' * 150}\n")
+    assert main(["--no-tpu", "-c", "64", ref, str(fq)]) == 1
+    # paired files of different lengths
+    fq2 = tmp_path / "two.fq"
+    fq2.write_text("")
+    assert main(["--no-tpu", ref, str(fq), str(fq2)]) == 1
+    capsys.readouterr()
+
+
+def test_cli_interleaved(dataset, tmp_path, capsys):
+    """--interleaved pairs consecutive same-name records; odd records map
+    as single-end."""
+    tmp, genome, ref = dataset
+    import random as _r
+
+    rr = _r.Random(5)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    il = tmp_path / "il.fq"
+    out = tmp_path / "il.sam"
+    with open(il, "w") as f:
+        for i in range(40):
+            st = rr.randrange(0, len(genome) - 700)
+            ins = 300
+            a = genome[st : st + 150]
+            b = "".join(comp[c] for c in reversed(genome[st + ins - 150 : st + ins]))
+            f.write(f"@x{i}/1\n{a}\n+\n{'I' * 150}\n")
+            if i != 17:  # orphan
+                f.write(f"@x{i}/2\n{b}\n+\n{'I' * 150}\n")
+    assert main(["--no-tpu", "--interleaved", "-o", str(out), ref, str(il)]) == 0
+    capsys.readouterr()
+    lines = [l for l in open(out) if not l.startswith("@")]
+    assert len(lines) == 79  # 39 pairs + 1 orphan
+    paired = sum(1 for l in lines if int(l.split("\t")[1]) & 1)
+    assert paired == 78

@@ -61,17 +61,12 @@ def simulate(genome: str, n: int, seed: int = 7):
 def main() -> None:
     import jax
 
-    from rabbitsalign_tpu.align.aligner import Aligner, AlignmentParameters
+    from rabbitsalign_tpu.align.aligner import AlignmentParameters
     from rabbitsalign_tpu.index.params import IndexParameters
     from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
     from rabbitsalign_tpu.io.fasta import References
-    from rabbitsalign_tpu.io.sam import Sam
-    from rabbitsalign_tpu.map.common import InsertSizeDistribution, MappingParameters
-    from rabbitsalign_tpu.map.randomness import MinstdRand
-    from rabbitsalign_tpu.map.stats import AlignmentStatistics
-    from rabbitsalign_tpu.ops.batch_extend import BatchAligner, HostBatchAligner
-    from rabbitsalign_tpu.pipeline.batched import map_chunk_batched
     from rabbitsalign_tpu.io.sam import SamRecord
+    from rabbitsalign_tpu.map.common import MappingParameters
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)

@@ -13,7 +13,7 @@ path as well.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Optional, Tuple
+from typing import Callable, Iterable, Tuple
 
 import numpy as np
 

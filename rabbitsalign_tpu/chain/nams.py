@@ -29,6 +29,7 @@ import numpy as np
 
 from ..index.strobemer_index import StrobemerIndex
 from ..seed.randstrobes import QueryRandstrobes
+from ..utils.sorting import introsort
 
 _INT_MAX = 2**31 - 1
 
@@ -135,7 +136,7 @@ def merge_hits_into_nams(
     """reference src/nam.cpp:370-536"""
     for ref_id, hits in hits_per_ref.items():
         if sort:
-            hits.sort(key=lambda h: (h[0], h[2]))
+            introsort(hits, [(h[0] << 32) | h[2] for h in hits], False)
         open_nams: List[Nam] = []
         prev_q_start = 0
         for hit in hits:
@@ -180,7 +181,7 @@ def merge_hits_into_nams_fast(
     absorbs at most one hit from the group (binary-searched ref window)."""
     for ref_id, hits in hits_per_ref.items():
         if sort:
-            hits.sort(key=lambda h: (h[0], h[2]))
+            introsort(hits, [(h[0] << 32) | h[2] for h in hits], False)
         open_nams: List[Nam] = []
         prev_q_start = 0
         i = 0
@@ -191,7 +192,8 @@ def merge_hits_into_nams_fast(
             while i_end < n_hits_total and hits[i_end][0] == hits[i][0]:
                 i_end += 1
             i = i_end
-            group = sorted(hits[i_start:i_end], key=lambda h: (h[0], h[2]))
+            group = list(hits[i_start:i_end])
+            introsort(group, [(h[0] << 32) | h[2] for h in group], False)
             i_size = len(group)
             is_added = [False] * i_size
             query_start = group[0][0]
@@ -304,8 +306,8 @@ def find_nams_rescue(
         else:
             hits_fw.append(rh)
 
-    hits_fw.sort(key=lambda r: (r[0], r[1], r[2]))
-    hits_rc.sort(key=lambda r: (r[0], r[1], r[2]))
+    introsort(hits_fw, [(r[0] << 32) | (r[1] << 16) | r[2] for r in hits_fw], False)
+    introsort(hits_rc, [(r[0] << 32) | (r[1] << 16) | r[2] for r in hits_rc], False)
 
     rhs: List[List[Tuple[int, int, int, int]]] = [[], []]
     for is_revcomp, rescue_hits in enumerate((hits_fw, hits_rc)):
@@ -321,7 +323,7 @@ def find_nams_rescue(
             cnt += 1
 
     for i in range(2):
-        rhs[i].sort(key=lambda r: r[1])  # by query_start only (cmp2)
+        introsort(rhs[i], [r[1] for r in rhs[i]], False)  # cmp2: query_start
         for rh in rhs[i]:
             _add_to_hits_per_ref(hits_per_ref[i], rh[1], rh[2], index, rh[3])
 
@@ -354,5 +356,5 @@ def _pre_create_keys(
 
 
 def sort_nams_by_score(nams: List[Nam]) -> None:
-    """Descending score (stable; reference uses unstable std::sort)."""
-    nams.sort(key=lambda n: -n.score)
+    """Descending score with the reference's std::sort permutation."""
+    introsort(nams, [n.score for n in nams], True)

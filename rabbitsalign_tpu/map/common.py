@@ -13,6 +13,7 @@ from ..chain.nams import Nam
 from ..io.fasta import References
 from ..io.sam import Alignment
 from ..utils.dna import Read
+from ..utils.sorting import introsort
 from .randomness import MinstdRand, shuffle
 
 

@@ -25,6 +25,7 @@ from ..io.paf import output_hits_paf_PE
 from ..io.sam import Alignment, Details, Sam, SamRecord, is_proper_pair
 from ..align.cigar import Cigar
 from ..utils.dna import Read
+from ..utils.sorting import introsort
 from .common import (
     InsertSizeDistribution,
     MappingParameters,
@@ -83,7 +84,7 @@ def get_best_scoring_nam_pairs(
     for nam2 in nams2:
         nams2_sorted[int(nam2.is_rc)].append(nam2)
     for lst in nams2_sorted:
-        lst.sort(key=lambda n: max(0, n.ref_start - n.query_start))
+        introsort(lst, [max(0, n.ref_start - n.query_start) for n in lst], False)
 
     window = mu + 10 * sigma
     for nam1 in nams1:
@@ -164,7 +165,7 @@ def get_best_scoring_nam_pairs(
                 continue
             joint_nam_scores.append(NamPair(nam2.n_hits, Nam(ref_start=-1), nam2))
 
-    joint_nam_scores.sort(key=lambda p: -p.score)
+    introsort(joint_nam_scores, [p.score for p in joint_nam_scores], True)
     return joint_nam_scores
 
 
@@ -343,10 +344,10 @@ def rescue_read(
         alignments2.append(a2)
         tries += 1
 
-    alignments1.sort(key=lambda a: -a.score)
-    alignments2.sort(key=lambda a: -a.score)
+    introsort(alignments1, [a.score for a in alignments1], True)
+    introsort(alignments2, [a.score for a in alignments2], True)
     high_scores = get_best_scoring_pairs(alignments1, alignments2, mu, sigma)
-    high_scores.sort(key=lambda p: -p.score)
+    introsort(high_scores, [p.score for p in high_scores], True)
     deduplicate_scored_pairs(high_scores)
     pick_random_top_pair(high_scores, random_engine)
     mapq1, mapq2 = joint_mapq_from_high_scores(high_scores)
@@ -563,7 +564,7 @@ def align_PE(
     combined_score = float(a1_indv_max.score) + float(a2_indv_max.score) - 20
     high_scores.append(ScoredAlignmentPair(combined_score, a1_indv_max, a2_indv_max))
 
-    high_scores.sort(key=lambda p: -p.score)
+    introsort(high_scores, [p.score for p in high_scores], True)
     deduplicate_scored_pairs(high_scores)
     pick_random_top_pair(high_scores, random_engine)
 

@@ -14,6 +14,7 @@ from ..io.paf import output_hits_paf
 from ..io.sam import Alignment, Details, Sam, SamRecord
 from ..seed.randstrobes import randstrobes_query
 from ..utils.dna import Read
+from ..utils.sorting import introsort
 from .common import MappingParameters, extend_seed, reverse_nam_if_needed, shuffle_top_nams
 from .randomness import MinstdRand, uniform_int
 
@@ -101,7 +102,7 @@ def align_SE(
     if len(alignments) > 1:
         alignments[best_index], alignments[-1] = alignments[-1], alignments[best_index]
     alignments.pop()
-    alignments.sort(key=lambda a: -a.score)
+    introsort(alignments, [a.score for a in alignments], True)
     n = 0
     for alignment in alignments:
         if (
@@ -134,7 +135,7 @@ def get_nams_for_read(
             nams = find_nams_rescue(query_randstrobes, index, map_param.rescue_cutoff)
 
     details.nams = len(nams)
-    nams.sort(key=lambda n: -n.score)
+    introsort(nams, [n.score for n in nams], True)
     shuffle_top_nams(nams, random_engine)
     return nams
 

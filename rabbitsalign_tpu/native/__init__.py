@@ -132,3 +132,37 @@ def hamming_try(query: bytes, ref: bytes, match: int, mismatch: int, end_bonus: 
         int(_ham_vals[0]), int(_ham_vals[1]), int(_ham_vals[2]), int(_ham_vals[3]),
         _ham_cigar[:n].tolist(),
     )
+
+
+def _register_sort(lib: ctypes.CDLL) -> None:
+    lib.sort_perm_u64_asc.restype = None
+    lib.sort_perm_u64_asc.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.sort_perm_f64_desc.restype = None
+    lib.sort_perm_f64_desc.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib._sort_configured = True
+
+
+def sort_perm(keys, descending: bool):
+    """Permutation that sorts `keys` the way the reference's std::sort
+    would (libstdc++ introsort — unstable, and its tie order is part of
+    the reference's observable output). keys: uint64 array (ascending)
+    or float64 array (descending). Returns an int32 index array, or None
+    when the native library is unavailable (callers fall back to a
+    stable sort; outputs then differ from the reference only in
+    equal-key tie order)."""
+    import numpy as np
+
+    lib = load_seednam()
+    if lib is None:
+        return None
+    if not getattr(lib, "_sort_configured", False):
+        _register_sort(lib)
+    n = keys.shape[0]
+    perm = np.empty(n, dtype=np.int32)
+    if descending:
+        keys = np.ascontiguousarray(keys, dtype=np.float64)
+        lib.sort_perm_f64_desc(keys.ctypes.data, n, perm.ctypes.data)
+    else:
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        lib.sort_perm_u64_asc(keys.ctypes.data, n, perm.ctypes.data)
+    return perm

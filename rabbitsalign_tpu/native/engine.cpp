@@ -1430,7 +1430,7 @@ static void get_best_scoring_nam_pairs(std::vector<NamT>& nams1,
     std::vector<NamT*> nams2_sorted[2];
     for (auto& n : nams2) nams2_sorted[n.is_rc ? 1 : 0].push_back(&n);
     for (auto& lst : nams2_sorted)
-        std::stable_sort(lst.begin(), lst.end(), [](const NamT* x, const NamT* y) {
+        std::sort(lst.begin(), lst.end(), [](const NamT* x, const NamT* y) {
             return std::max(0, x->ref_start - x->query_start) <
                    std::max(0, y->ref_start - y->query_start);
         });
@@ -1517,10 +1517,10 @@ static void get_best_scoring_nam_pairs(std::vector<NamT>& nams1,
             joint.push_back({nam2.n_hits, make_dummy(), &nam2});
         }
     }
-    std::stable_sort(joint.begin(), joint.end(),
-                     [](const NamPairC& a, const NamPairC& b) {
-                         return a.score > b.score;
-                     });
+    std::sort(joint.begin(), joint.end(),
+              [](const NamPairC& a, const NamPairC& b) {
+                  return a.score > b.score;
+              });
 }
 
 // map/pe.py has_shared_substring / reference src/aln.cpp:1002-1013
@@ -1671,8 +1671,10 @@ static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
     details.nams = (i64)rr.nams.size();
     nams.clear();
     std::swap(nams, rr.nams);  // keep both buffers alive for reuse
-    std::stable_sort(nams.begin(), nams.end(),
-                     [](const NamT& a, const NamT& b) { return a.score > b.score; });
+    // reference by_score + std::sort: the unstable tie order feeds the
+    // dropoff/reservoir logic and is part of the observable output
+    std::sort(nams.begin(), nams.end(),
+              [](const NamT& a, const NamT& b) { return a.score > b.score; });
     shuffle_top_nams(nams, rng);
     eng.t_seed_nam +=
         std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
@@ -2118,10 +2120,10 @@ static void align_SE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
     if (alignments.size() > 1)
         std::swap(alignments[best_index], alignments.back());
     if (!alignments.empty()) alignments.pop_back();
-    std::stable_sort(alignments.begin(), alignments.end(),
-                     [](const AlignmentC* a, const AlignmentC* b) {
-                         return a->score > b->score;
-                     });
+    std::sort(alignments.begin(), alignments.end(),
+              [](const AlignmentC* a, const AlignmentC* b) {
+                  return a->score > b->score;
+              });
     i64 n = 0;
     for (const AlignmentC* alignment : alignments) {
         if (n >= max_secondary ||
@@ -2208,10 +2210,9 @@ static std::pair<int, int> joint_mapq_from_high_scores(
 }
 
 static void sort_alignment_ptrs(std::vector<const AlignmentC*>& v) {
-    std::stable_sort(v.begin(), v.end(),
-                     [](const AlignmentC* a, const AlignmentC* b) {
-                         return a->score > b->score;
-                     });
+    std::sort(v.begin(), v.end(), [](const AlignmentC* a, const AlignmentC* b) {
+        return a->score > b->score;
+    });
 }
 
 // pipeline/batched.py rescue_read_last (reference src/aln.cpp:1983-2080)
@@ -2240,10 +2241,10 @@ static void rescue_read_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam,
 
     std::vector<ScoredPairC> high_scores;
     get_best_scoring_pairs(alignments1, alignments2, mu, sigma, high_scores);
-    std::stable_sort(high_scores.begin(), high_scores.end(),
-                     [](const ScoredPairC& a, const ScoredPairC& b) {
-                         return a.score > b.score;
-                     });
+    std::sort(high_scores.begin(), high_scores.end(),
+              [](const ScoredPairC& a, const ScoredPairC& b) {
+                  return a.score > b.score;
+              });
     deduplicate_scored_pairs(high_scores);
     pick_random_top_pair(high_scores, ch.rng);
     auto [mapq1, mapq2] = joint_mapq_from_high_scores(high_scores);
@@ -2396,10 +2397,10 @@ static void align_PE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
         (double)a1_indv_max->score + (double)a2_indv_max->score - 20.0;
     high_scores.push_back({combined_score, a1_indv_max, a2_indv_max});
 
-    std::stable_sort(high_scores.begin(), high_scores.end(),
-                     [](const ScoredPairC& a, const ScoredPairC& b) {
-                         return a.score > b.score;
-                     });
+    std::sort(high_scores.begin(), high_scores.end(),
+              [](const ScoredPairC& a, const ScoredPairC& b) {
+                  return a.score > b.score;
+              });
     deduplicate_scored_pairs(high_scores);
     pick_random_top_pair(high_scores, ch.rng);
 

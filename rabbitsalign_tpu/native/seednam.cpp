@@ -339,7 +339,9 @@ static void merge_hits(HitsPerRef& hpr, int k, bool sort, bool is_rc,
         int ref_id = hpr.pool[ri].first;
         auto& hits = hpr.pool[ri].second;
         if (sort)
-            std::stable_sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
+            // reference Hit::operator< (partial key; unstable sort order
+            // under (qs, rs) ties is part of the observable output)
+            std::sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
                 return a.query_start != b.query_start ? a.query_start < b.query_start
                                                       : a.ref_start < b.ref_start;
             });
@@ -400,7 +402,9 @@ static void merge_hits_fast(HitsPerRef& hpr, int k, bool sort, bool is_rc,
         int ref_id = hpr.pool[ri].first;
         auto& hits = hpr.pool[ri].second;
         if (sort)
-            std::stable_sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
+            // reference Hit::operator< (partial key; unstable sort order
+            // under (qs, rs) ties is part of the observable output)
+            std::sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
                 return a.query_start != b.query_start ? a.query_start < b.query_start
                                                       : a.ref_start < b.ref_start;
             });
@@ -414,7 +418,7 @@ static void merge_hits_fast(HitsPerRef& hpr, int k, bool sort, bool is_rc,
                 i_end++;
             i = i_end;
             std::vector<Hit> group(hits.begin() + i_start, hits.begin() + i_end);
-            std::stable_sort(group.begin(), group.end(), [](const Hit& a, const Hit& b) {
+            std::sort(group.begin(), group.end(), [](const Hit& a, const Hit& b) {
                 return a.query_start != b.query_start ? a.query_start < b.query_start
                                                       : a.ref_start < b.ref_start;
             });
@@ -592,8 +596,8 @@ static void find_nams_rescue_one(const IndexView& ix,
         if (a.query_start != b.query_start) return a.query_start < b.query_start;
         return a.query_end < b.query_end;
     };
-    std::stable_sort(hits_fw.begin(), hits_fw.end(), cmp1);
-    std::stable_sort(hits_rc.begin(), hits_rc.end(), cmp1);
+    std::sort(hits_fw.begin(), hits_fw.end(), cmp1);
+    std::sort(hits_rc.begin(), hits_rc.end(), cmp1);
     std::vector<RescueHit>* rhs = scratch.rhs;
     rhs[0].clear();
     rhs[1].clear();
@@ -609,10 +613,10 @@ static void find_nams_rescue_one(const IndexView& ix,
         is_rc_i++;
     }
     for (int i = 0; i < 2; ++i) {
-        std::stable_sort(rhs[i].begin(), rhs[i].end(),
-                         [](const RescueHit& a, const RescueHit& b) {
-                             return a.query_start < b.query_start;
-                         });
+        std::sort(rhs[i].begin(), rhs[i].end(),
+                  [](const RescueHit& a, const RescueHit& b) {
+                      return a.query_start < b.query_start;
+                  });
         for (auto& rh : rhs[i])
             add_to_hits_per_ref(hpr[i], rh.query_start, rh.query_end, ix, rh.position);
     }
@@ -785,6 +789,31 @@ int hamming_try(const u8* query, const u8* ref, i64 n,
     out_vals[3] = (int)edits;
     *cigar_len = cl;
     return 1;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Introsort-order permutation helpers. The reference sorts NAMs, hits
+// and alignment candidates with (unstable) std::sort; with ties the
+// resulting order is an artifact of libstdc++'s introsort that the
+// mapping tie-breaks then consume. A std::sort over an index array with
+// a key-based comparator performs the exact same comparison/swap
+// sequence, so these yield the reference's permutation for the Python
+// layer (the C++ engine simply uses std::sort directly).
+
+extern "C" {
+
+void sort_perm_u64_asc(const u64* keys, i64 n, int32_t* perm) {
+    for (i64 i = 0; i < n; ++i) perm[i] = (int32_t)i;
+    std::sort(perm, perm + n,
+              [keys](int32_t a, int32_t b) { return keys[a] < keys[b]; });
+}
+
+void sort_perm_f64_desc(const double* keys, i64 n, int32_t* perm) {
+    for (i64 i = 0; i < n; ++i) perm[i] = (int32_t)i;
+    std::sort(perm, perm + n,
+              [keys](int32_t a, int32_t b) { return keys[a] > keys[b]; });
 }
 
 }  // extern "C"

@@ -57,6 +57,7 @@ from ..map.randomness import MinstdRand, uniform_int
 from ..map.se import get_nams_for_read
 from ..ops.batch_extend import BatchAligner
 from ..utils.dna import Read
+from ..utils.sorting import introsort
 
 INT_MAX = 2**31 - 1
 
@@ -370,7 +371,7 @@ def align_SE_last(
         alignments[best_index], alignments[-1] = alignments[-1], alignments[best_index]
     if alignments:
         alignments.pop()
-    alignments.sort(key=lambda a: -a.score)
+    introsort(alignments, [a.score for a in alignments], True)
     n = 0
     for alignment in alignments:
         if (
@@ -445,11 +446,11 @@ def rescue_read_last(
         alignments1.append(tmp.align_res[i])
         alignments2.append(tmp.align_res[i + 1])
         details[1].mate_rescue += not tmp.align_res[i + 1].is_unaligned
-    alignments1.sort(key=lambda a: -a.score)
-    alignments2.sort(key=lambda a: -a.score)
+    introsort(alignments1, [a.score for a in alignments1], True)
+    introsort(alignments2, [a.score for a in alignments2], True)
 
     high_scores = get_best_scoring_pairs(alignments1, alignments2, mu, sigma)
-    high_scores.sort(key=lambda p: -p.score)
+    introsort(high_scores, [p.score for p in high_scores], True)
     deduplicate_scored_pairs(high_scores)
     pick_random_top_pair(high_scores, random_engine)
     mapq1, mapq2 = joint_mapq_from_high_scores(high_scores)
@@ -759,7 +760,7 @@ def align_PE_last(
     combined_score = float(a1_indv_max.score) + float(a2_indv_max.score) - 20
     high_scores.append(ScoredAlignmentPair(combined_score, a1_indv_max, a2_indv_max))
 
-    high_scores.sort(key=lambda p: -p.score)
+    introsort(high_scores, [p.score for p in high_scores], True)
     deduplicate_scored_pairs(high_scores)
     pick_random_top_pair(high_scores, random_engine)
 
@@ -857,7 +858,7 @@ def phase_a_chunk(
             pre_i += 1
             details.nam_rescue = used_rescue
             details.nams = len(nams)
-            nams.sort(key=lambda n: -n.score)
+            introsort(nams, [n.score for n in nams], True)
             shuffle_top_nams(nams, random_engine)
             return nams
         return get_nams_for_read(

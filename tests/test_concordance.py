@@ -257,3 +257,46 @@ def test_pe_lowercase_concordance(world):
     golden = run_golden(ref, fq1, fq2, "sam")
     ours = run_python_pe(world, pairs, "sam")
     assert golden == ours, diff_head(golden, ours)
+
+
+def test_repetitive_genome_concordance(tmp_path):
+    """Tandem-repeat-heavy genome: exercises the repetitive-seed filter
+    and the NAM-rescue take rules (count<=cutoff / first-5 / hard stop at
+    1000, reference src/nam.cpp:955-1058) against the reference."""
+    rng = random.Random(777)
+    unit = "".join(rng.choice("ACGT") for _ in range(400))
+    parts = []
+    for i in range(120):
+        u = list(unit)
+        for _ in range(rng.randrange(0, 6)):  # slightly diverged copies
+            u[rng.randrange(len(u))] = rng.choice("ACGT")
+        parts.append("".join(u))
+        if i % 10 == 3:
+            parts.append("".join(rng.choice("ACGT") for _ in range(800)))
+    genome = "".join(parts)
+    ref = tmp_path / "rep.fa"
+    with open(ref, "w") as f:
+        f.write(">rep unit\n")
+        for i in range(0, len(genome), 80):
+            f.write(genome[i : i + 80] + "\n")
+    refs = References.from_fasta(str(ref))
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    world = (tmp_path, genome, str(ref), refs, params, index)
+
+    recs = simulate_se(genome, 400, seed=12)
+    fq = tmp_path / "rep.fq"
+    write_fq(fq, recs)
+    golden = run_golden(str(ref), fq, None, "sam")
+    ours = run_python_se(world, recs, "sam")
+    assert golden == ours, diff_head(golden, ours)
+
+    pairs = simulate_pe(genome, 250, seed=21)
+    fq1 = tmp_path / "rep.1.fq"
+    fq2 = tmp_path / "rep.2.fq"
+    write_fq(fq1, [(n + "/1", a) for n, a, _ in pairs])
+    write_fq(fq2, [(n + "/2", b) for n, _, b in pairs])
+    golden = run_golden(str(ref), fq1, fq2, "sam")
+    ours = run_python_pe(world, pairs, "sam")
+    assert golden == ours, diff_head(golden, ours)

@@ -13,11 +13,10 @@ sweep-line merge:
 * `find_nams` (reference src/nam.cpp:771-926) and `find_nams_rescue`
   (reference src/nam.cpp:955-1058, `pre_sort` configuration).
 
-One deliberate deviation: hits are grouped per reference id in *insertion
-order* (Python dict) instead of robin_hood's hash-bucket iteration order.
-NAM emission order across reference ids therefore may differ for reads
-hitting multiple contigs; scores, coordinates and hit counts are
-identical, and single-contig references are bit-exact.
+Per-reference-id groups are iterated in the reference's
+robin_hood::unordered_map order (simulated natively from the first-touch
+key sequence; see native.robinhood_order) because the NAM emission order
+across contigs is downstream-observable in equal-score tie-breaks.
 """
 
 from __future__ import annotations
@@ -32,6 +31,20 @@ from ..seed.randstrobes import QueryRandstrobes
 from ..utils.sorting import introsort
 
 _INT_MAX = 2**31 - 1
+
+
+def _rh_items(hits_per_ref: "HitsPerRef"):
+    """hits_per_ref groups in the reference's robin_hood map iteration
+    order (dict preserves first-touch order == the map's insertion order,
+    from which the simulator reproduces the final slot order)."""
+    items = list(hits_per_ref.items())
+    if len(items) > 1:
+        from .. import native
+
+        perm = native.robinhood_order([ref_id for ref_id, _ in items])
+        if perm is not None:
+            items = [items[p] for p in perm]
+    return items
 
 
 @dataclass(slots=True)
@@ -134,7 +147,7 @@ def merge_hits_into_nams(
     hits_per_ref: HitsPerRef, k: int, sort: bool, is_revcomp: bool, nams: List[Nam]
 ) -> None:
     """reference src/nam.cpp:370-536"""
-    for ref_id, hits in hits_per_ref.items():
+    for ref_id, hits in _rh_items(hits_per_ref):
         if sort:
             introsort(hits, [(h[0] << 32) | h[2] for h in hits], False)
         open_nams: List[Nam] = []
@@ -179,7 +192,7 @@ def merge_hits_into_nams_fast(
     """Grouped variant used by the rescue path (reference src/nam.cpp:117-366):
     hits sharing a query start are processed as one group; each open NAM
     absorbs at most one hit from the group (binary-searched ref window)."""
-    for ref_id, hits in hits_per_ref.items():
+    for ref_id, hits in _rh_items(hits_per_ref):
         if sort:
             introsort(hits, [(h[0] << 32) | h[2] for h in hits], False)
         open_nams: List[Nam] = []
@@ -269,7 +282,12 @@ def find_nams(
             index,
             int(positions[i]),
         )
-    nonrepetitive_fraction = nr_good_hits / total_hits if total_hits > 0 else 1.0
+    # reference computes the ratio in float32 (nam.cpp:753) and the <0.7
+    # rescue gate later promotes it to double: keep the f32 rounding
+    nonrepetitive_fraction = (
+        float(np.float32(nr_good_hits) / np.float32(total_hits))
+        if total_hits > 0 else 1.0
+    )
     nams: List[Nam] = []
     for is_rc in (0, 1):
         merge_hits_into_nams(hits_per_ref[is_rc], index.k(), True, bool(is_rc), nams)

@@ -134,6 +134,32 @@ def hamming_try(query: bytes, ref: bytes, match: int, mismatch: int, end_bonus: 
     )
 
 
+def robinhood_order(keys):
+    """Iteration order of the reference's robin_hood::unordered_map after
+    inserting `keys` (unique u32 ref_ids) in first-touch order — the tie
+    order of equal-score NAMs on different contigs is downstream-observable
+    (reference ext/robin_hood.h; simulated bit-exactly, fuzz-validated).
+    Returns an int32 permutation, or None without the native library
+    (callers then iterate in insertion order)."""
+    import numpy as np
+
+    lib = load_seednam()
+    if lib is None:
+        return None
+    if not getattr(lib, "_rh_configured", False):
+        lib.robinhood_iteration_order.restype = None
+        lib.robinhood_iteration_order.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._rh_configured = True
+    arr = np.ascontiguousarray(keys, dtype=np.uint32)
+    perm = np.empty(arr.shape[0], dtype=np.int32)
+    # every reference construction site reserves 100 (src/nam.cpp:589 etc.)
+    lib.robinhood_iteration_order(arr.ctypes.data, arr.shape[0], 100,
+                                  perm.ctypes.data)
+    return perm
+
+
 def _register_sort(lib: ctypes.CDLL) -> None:
     lib.sort_perm_u64_asc.restype = None
     lib.sort_perm_u64_asc.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]

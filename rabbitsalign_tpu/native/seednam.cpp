@@ -308,6 +308,191 @@ static void pre_create_keys(HitsPerRef& hpr, int qs, int qe,
     }
 }
 
+namespace rh {
+
+struct Sim {
+    std::vector<u8> info;
+    std::vector<u32> key;
+    std::vector<int> orig;
+    u64 mask = 0;
+    u64 max_allowed = 0;
+    u64 num_elem = 0;
+    u64 mult = 0xc4ceb9fe1a85ec53ULL;
+    u32 info_inc = 32;
+    u32 info_hash_shift = 0;
+
+    static u64 hash_int(u64 x) {
+        x ^= x >> 33;
+        x *= 0xff51afd7ed558ccdULL;
+        x ^= x >> 33;
+        return x;
+    }
+    static u64 calc_max_allowed(u64 n) { return n * 80 / 100; }
+    u64 buffer_elems(u64 n) const {
+        u64 ma = calc_max_allowed(n);
+        return n + (ma < 0xFF ? ma : 0xFF);
+    }
+    void init_data(u64 max_elements) {
+        num_elem = 0;
+        mask = max_elements - 1;
+        max_allowed = calc_max_allowed(max_elements);
+        u64 buf = buffer_elems(max_elements);
+        info.assign(buf + 1, 0);
+        info[buf] = 1;  // sentinel
+        key.assign(buf + 1, 0);
+        orig.assign(buf + 1, -1);
+        info_inc = 32;
+        info_hash_shift = 0;
+    }
+    void key_to_idx(u32 k, u64* idx, u32* inf) const {
+        u64 h = hash_int(k) * mult;
+        h ^= h >> 33;
+        *inf = info_inc + (u32)((h & 31) >> info_hash_shift);
+        *idx = (h >> 5) & mask;
+    }
+    void shift_up(u64 start_idx, u64 insertion_idx) {
+        u64 idx = start_idx;
+        key[idx] = key[idx - 1];
+        orig[idx] = orig[idx - 1];
+        while (--idx != insertion_idx) {
+            key[idx] = key[idx - 1];
+            orig[idx] = orig[idx - 1];
+        }
+        idx = start_idx;
+        while (idx != insertion_idx) {
+            info[idx] = (u8)(info[idx - 1] + info_inc);
+            if ((u32)info[idx] + info_inc > 0xFF) max_allowed = 0;
+            --idx;
+        }
+    }
+    bool try_increase_info() {
+        if (info_inc <= 2) return false;
+        info_inc = (u8)(info_inc >> 1);
+        ++info_hash_shift;
+        u64 buf = buffer_elems(mask + 1);
+        for (u64 i = 0; i < buf; ++i) info[i] = (u8)(info[i] >> 1);
+        info[buf] = 1;
+        max_allowed = calc_max_allowed(mask + 1);
+        return true;
+    }
+    // the rehash insert (keys are unique): "skip forward, use <="
+    void insert_move(u32 k, int o) {
+        // robin_hood.h:1453 - a zeroed max-allowed mid-rehash halves
+        // info_inc before continuing (order-observable!)
+        if (max_allowed == 0) try_increase_info();
+        u64 idx;
+        u32 inf;
+        key_to_idx(k, &idx, &inf);
+        while (inf <= info[idx]) {
+            idx++;
+            inf += info_inc;
+        }
+        u64 insertion_idx = idx;
+        u8 insertion_info = (u8)inf;
+        if ((u32)insertion_info + info_inc > 0xFF) max_allowed = 0;
+        while (info[idx] != 0) {
+            idx++;
+            inf += info_inc;
+        }
+        if (idx != insertion_idx) shift_up(idx, insertion_idx);
+        info[insertion_idx] = insertion_info;
+        key[insertion_idx] = k;
+        orig[insertion_idx] = o;
+        ++num_elem;
+    }
+    void rehash_pow2(u64 num_buckets) {
+        std::vector<u8> oinfo = std::move(info);
+        std::vector<u32> okey = std::move(key);
+        std::vector<int> oorig = std::move(orig);
+        u64 obuf = oinfo.empty() ? 0 : buffer_elems(mask + 1);
+        init_data(num_buckets);
+        for (u64 i = 0; i < obuf; ++i)
+            if (oinfo[i] != 0) insert_move(okey[i], oorig[i]);
+    }
+    // robin_hood.h reserve(c, false): grow to the smallest power-of-two
+    // bucket count whose max-load bound covers c (reference calls
+    // hits_per_ref[*].reserve(100) at every construction site,
+    // src/nam.cpp:589,776,967,1020 -> 128 buckets)
+    void reserve(u64 c) {
+        u64 min_allowed = c > num_elem ? c : num_elem;
+        u64 new_size = 8;
+        while (calc_max_allowed(new_size) < min_allowed && new_size != 0)
+            new_size *= 2;
+        if (new_size > mask + 1 || mask == 0) rehash_pow2(new_size);
+    }
+    bool increase_size() {
+        if (mask == 0) {
+            init_data(8);
+            return true;
+        }
+        if (num_elem < calc_max_allowed(mask + 1) && try_increase_info())
+            return true;
+        mult += 0xc4ceb9fe1a85ec54ULL;
+        if (num_elem * 2 < calc_max_allowed(mask + 1))
+            rehash_pow2(mask + 1);
+        else
+            rehash_pow2((mask + 1) * 2);
+        return true;
+    }
+    // operator[] first-touch (full insertKeyPrepareEmptySpot)
+    void touch(u32 k, int o) {
+        for (int attempt = 0; attempt < 256; ++attempt) {
+            if (mask == 0) {
+                increase_size();
+                continue;
+            }
+            u64 idx;
+            u32 inf;
+            key_to_idx(k, &idx, &inf);
+            while (inf < info[idx]) {
+                idx++;
+                inf += info_inc;
+            }
+            while (inf == info[idx]) {
+                if (key[idx] == k) return;  // found
+                idx++;
+                inf += info_inc;
+            }
+            if (num_elem >= max_allowed) {
+                increase_size();
+                continue;
+            }
+            u64 insertion_idx = idx;
+            u8 insertion_info = (u8)inf;
+            if ((u32)insertion_info + info_inc > 0xFF) max_allowed = 0;
+            while (info[idx] != 0) {
+                idx++;
+                inf += info_inc;
+            }
+            if (idx != insertion_idx) shift_up(idx, insertion_idx);
+            info[insertion_idx] = insertion_info;
+            key[insertion_idx] = k;
+            orig[insertion_idx] = o;
+            ++num_elem;
+            return;
+        }
+    }
+};
+
+}  // namespace rh
+
+void rh_iteration_perm(const std::vector<std::pair<int, std::vector<Hit>>>& pool,
+                       size_t n_used, std::vector<int32_t>& perm) {
+    perm.resize(n_used);
+    if (n_used <= 1) {
+        if (n_used == 1) perm[0] = 0;
+        return;
+    }
+    rh::Sim sim;
+    sim.reserve(100);
+    for (size_t i = 0; i < n_used; ++i) sim.touch((u32)pool[i].first, (int)i);
+    size_t w = 0;
+    u64 buf = sim.mask ? sim.buffer_elems(sim.mask + 1) : 0;
+    for (u64 i = 0; i < buf && w < n_used; ++i)
+        if (sim.info[i] != 0) perm[w++] = sim.orig[i];
+    for (size_t i = w; i < n_used; ++i) perm[i] = (int32_t)i;
+}
+
 static inline float nam_score(const Nam& n) {
     int qspan = n.query_end - n.query_start;
     int rspan = n.ref_end - n.ref_start;
@@ -335,7 +520,11 @@ static void flush_open(std::vector<Nam>& open_nams, int query_start,
 
 static void merge_hits(HitsPerRef& hpr, int k, bool sort, bool is_rc,
                        std::vector<Nam>& nams) {
-    for (size_t ri = 0; ri < hpr.n_used; ++ri) {
+    // per-ref groups iterate in robin_hood slot order like the reference
+    thread_local std::vector<int32_t> perm;
+    rh_iteration_perm(hpr.pool, hpr.n_used, perm);
+    for (size_t pi = 0; pi < hpr.n_used; ++pi) {
+        size_t ri = (size_t)perm[pi];
         int ref_id = hpr.pool[ri].first;
         auto& hits = hpr.pool[ri].second;
         if (sort)
@@ -398,7 +587,10 @@ static void merge_hits(HitsPerRef& hpr, int k, bool sort, bool is_rc,
 // merge_hits_into_nams_fast semantics)
 static void merge_hits_fast(HitsPerRef& hpr, int k, bool sort, bool is_rc,
                             std::vector<Nam>& nams) {
-    for (size_t ri = 0; ri < hpr.n_used; ++ri) {
+    thread_local std::vector<int32_t> perm;
+    rh_iteration_perm(hpr.pool, hpr.n_used, perm);
+    for (size_t pi = 0; pi < hpr.n_used; ++pi) {
+        size_t ri = (size_t)perm[pi];
         int ref_id = hpr.pool[ri].first;
         auto& hits = hpr.pool[ri].second;
         if (sort)
@@ -662,7 +854,10 @@ void* seednam_chunk(
             }
         }
         find_nams_one(ix, qrs, rr, nsc);
-        if (rescue_level > 1 && (rr.nams.empty() || rr.nonrep_frac < 0.7f)) {
+        // the reference's gate promotes the f32 fraction to double and
+        // compares to the double literal 0.7 (aln.cpp:2395) - observable
+        // exactly when the ratio rounds to f32(0.7) = 0.699999988 < 0.7
+        if (rescue_level > 1 && (rr.nams.empty() || (double)rr.nonrep_frac < 0.7)) {
             find_nams_rescue_one(ix, qrs, rescue_cutoff, rr, nsc);
         }
     }
@@ -814,6 +1009,37 @@ void sort_perm_f64_desc(const double* keys, i64 n, int32_t* perm) {
     for (i64 i = 0; i < n; ++i) perm[i] = (int32_t)i;
     std::sort(perm, perm + n,
               [keys](int32_t a, int32_t b) { return keys[a] > keys[b]; });
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// robin_hood iteration-order simulation. The reference groups hits per
+// reference id in robin_hood::unordered_map and iterates in SLOT order
+// (hash-bucket order after robin-hood displacement), which decides NAM
+// emission order across contigs — observable output under score ties.
+// This simulates the exact slot assignment of the vendored map
+// (flat map, MaxLoadFactor100=80, InitialNumElements=8, murmur-mixed
+// integer hash, info-byte displacement, growth/rehash/multiplier
+// sequence) for a given key first-touch order and yields the iteration
+// permutation.
+
+
+extern "C" {
+
+// keys: unique u32 keys in first-touch order; perm: iteration order as
+// indices into the input
+void robinhood_iteration_order(const u32* keys, i64 n, i64 reserve,
+                               int32_t* perm) {
+    rh::Sim sim;
+    if (reserve > 0) sim.reserve((u64)reserve);
+    for (i64 i = 0; i < n; ++i) sim.touch(keys[i], (int)i);
+    i64 w = 0;
+    u64 buf = sim.mask ? sim.buffer_elems(sim.mask + 1) : 0;
+    for (u64 i = 0; i < buf && w < n; ++i)
+        if (sim.info[i] != 0) perm[w++] = sim.orig[i];
+    // defensive: keys beyond the simulated range keep insertion order
+    for (i64 i = w; i < n; ++i) perm[i] = (int32_t)i;
 }
 
 }  // extern "C"

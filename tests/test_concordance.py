@@ -300,3 +300,55 @@ def test_repetitive_genome_concordance(tmp_path):
     golden = run_golden(str(ref), fq1, fq2, "sam")
     ours = run_python_pe(world, pairs, "sam")
     assert golden == ours, diff_head(golden, ours)
+
+
+def test_multicontig_repetitive_concordance(tmp_path):
+    """Shared repeats across SEVERAL contigs: reads hit multiple reference
+    ids with equal scores, so the output depends on the iteration order of
+    the reference's per-ref robin_hood map (simulated bit-exactly, see
+    native.robinhood_order / reference ext/robin_hood.h) and on the
+    float32 nonrepetitive-fraction rescue gate (reference src/nam.cpp:753,
+    aln.cpp:2395)."""
+    rng = random.Random(555)
+    unit = "".join(rng.choice("ACGT") for _ in range(400))
+
+    def contig(n_units):
+        parts = []
+        for i in range(n_units):
+            u = list(unit)
+            for _ in range(rng.randrange(0, 6)):  # diverged repeat copies
+                u[rng.randrange(len(u))] = rng.choice("ACGT")
+            parts.append("".join(u))
+            if i % 7 == 2:
+                parts.append("".join(rng.choice("ACGT") for _ in range(600)))
+        return "".join(parts)
+
+    c1, c2, c3 = contig(60), contig(60), contig(60)
+    genome = c1 + c2 + c3
+    ref = tmp_path / "mc.fa"
+    with open(ref, "w") as f:
+        for nm, seq in (("c1", c1), ("c2", c2), ("c3", c3)):
+            f.write(f">{nm}\n")
+            for i in range(0, len(seq), 80):
+                f.write(seq[i : i + 80] + "\n")
+    refs = References.from_fasta(str(ref))
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    world = (tmp_path, genome, str(ref), refs, params, index)
+
+    recs = simulate_se(genome, 400, seed=66)
+    fq = tmp_path / "mc.fq"
+    write_fq(fq, recs)
+    golden = run_golden(str(ref), fq, None, "sam")
+    ours = run_python_se(world, recs, "sam")
+    assert golden == ours, diff_head(golden, ours)
+
+    pairs = simulate_pe(genome, 250, seed=67)
+    fq1 = tmp_path / "mc.1.fq"
+    fq2 = tmp_path / "mc.2.fq"
+    write_fq(fq1, [(n + "/1", a) for n, a, _ in pairs])
+    write_fq(fq2, [(n + "/2", b) for n, _, b in pairs])
+    golden = run_golden(str(ref), fq1, fq2, "sam")
+    ours = run_python_pe(world, pairs, "sam")
+    assert golden == ours, diff_head(golden, ours)

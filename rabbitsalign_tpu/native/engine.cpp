@@ -2706,6 +2706,35 @@ void chunk_fill_batch(void* c, const i64* idxs, i64 n_idx, i64 B, i64 Q, i64 T,
     }
 }
 
+// Query-only batch fill for the device-resident-reference path: targets
+// are always FORWARD slices of the reference blob (extend windows and
+// rescue windows, see extend_seed_part/rescue_mate_part), so the device
+// gathers them from its resident copy and the host ships only query
+// codes + lengths + a u32 global target offset.
+// Layout (Q + 8, B): query codes, qlen lo/hi, tlen lo/hi, tstart u32.
+void chunk_fill_batch_q(void* e, void* c, const i64* idxs, i64 n_idx, i64 B,
+                        i64 Q, u8* out) {
+    auto* eng = (engine::EngineC*)e;
+    auto* ch = (engine::ChunkC*)c;
+    i64 rows = Q + 8;
+    memset(out, 0, (size_t)(rows * B));
+    memset(out, 4, (size_t)(Q * B));
+    const u8* base = eng->refs.seqs;
+    for (i64 b = 0; b < n_idx; ++b) {
+        const engine::JobC& job = ch->jobs[idxs[b]];
+        for (i64 r = 0; r < job.qn; ++r) out[r * B + b] = (u8)nt4(job.q[r]);
+        u64 tstart = (u64)(job.t - base);
+        out[(Q + 0) * B + b] = (u8)(job.qn & 0xFF);
+        out[(Q + 1) * B + b] = (u8)((job.qn >> 8) & 0xFF);
+        out[(Q + 2) * B + b] = (u8)(job.tn & 0xFF);
+        out[(Q + 3) * B + b] = (u8)((job.tn >> 8) & 0xFF);
+        out[(Q + 4) * B + b] = (u8)(tstart & 0xFF);
+        out[(Q + 5) * B + b] = (u8)((tstart >> 8) & 0xFF);
+        out[(Q + 6) * B + b] = (u8)((tstart >> 16) & 0xFF);
+        out[(Q + 7) * B + b] = (u8)((tstart >> 24) & 0xFF);
+    }
+}
+
 // Ingest a device output buffer (ops/extend_device.py packed output):
 // rows 0..Dpad-1 op stream, then 6 u16 rows (score, t_end, q_end,
 // t_begin, q_begin, edits). Decodes cigars, validates, and runs the
@@ -2715,7 +2744,11 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
                               const i64* idxs, i64 n_idx) {
     auto* eng = (engine::EngineC*)e;
     auto* ch = (engine::ChunkC*)c;
-    i64 Dpad = ((D + 7) / 8) * 8;
+    (void)D;  // kernel output is RLE, independent of the diagonal count
+    // device-RLE layout (ops/extend_device.py): M run op codes, M length
+    // lo bytes, M length hi bytes, then score/t_end/q_end/t_begin/
+    // q_begin/edits/n_runs as u16 (lo,hi) row pairs
+    const i64 M = 64;  // = extend_device.RLE_M
     // device op code -> cigar op
     static const int OPMAP[5] = {-1, engine::OP_EQ, engine::OP_X, engine::OP_I,
                                  engine::OP_D};
@@ -2724,11 +2757,12 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
         i64 j = idxs[b];
         const engine::JobC& job = ch->jobs[j];
         auto u16row = [&](i64 i) -> i64 {
-            return (i64)dev[(Dpad + 2 * i) * B + b] |
-                   ((i64)dev[(Dpad + 2 * i + 1) * B + b] << 8);
+            return (i64)dev[(3 * M + 2 * i) * B + b] |
+                   ((i64)dev[(3 * M + 2 * i + 1) * B + b] << 8);
         };
         i64 score = u16row(0), t_end = u16row(1), q_end = u16row(2);
         i64 t_begin = u16row(3), q_begin = u16row(4), edits = u16row(5);
+        i64 n_runs = u16row(6);
         engine::AlignmentInfoC& res = ch->job_results[j];
         if (score <= 0) {
             // nothing aligned: same failure values as the host path
@@ -2739,17 +2773,27 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
             ch->job_done[j] = 1;
             continue;
         }
+        if (n_runs <= 0 || n_runs > M) {
+            eng->fallbacks++;  // >M runs or empty stream -> host re-align
+            continue;
+        }
         cigar.clear();
         i64 span_q = 0, span_t = 0;
-        for (i64 r = 0; r < D; ++r) {
+        bool ok = true;
+        for (i64 r = 0; r < n_runs; ++r) {
             u8 v = dev[r * B + b];
-            if (!v || v > 4) continue;
+            i64 len = (i64)dev[(M + r) * B + b] |
+                      ((i64)dev[(2 * M + r) * B + b] << 8);
+            if (!v || v > 4 || len <= 0) {
+                ok = false;
+                break;
+            }
             int op = OPMAP[v];
-            cigar.push(op, 1);
-            if (op != engine::OP_D) span_q++;
-            if (op != engine::OP_I) span_t++;
+            cigar.push(op, (int)len);
+            if (op != engine::OP_D) span_q += len;
+            if (op != engine::OP_I) span_t += len;
         }
-        if (cigar.empty() || span_q != q_end + 1 - q_begin ||
+        if (!ok || cigar.empty() || span_q != q_end + 1 - q_begin ||
             span_t != t_end + 1 - t_begin) {
             eng->fallbacks++;  // gasal_fail analog -> host re-align
             continue;

@@ -73,6 +73,10 @@ def _lib():
             c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
             c.c_void_p,
         ]
+        lib.chunk_fill_batch_q.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+            c.c_int64, c.c_void_p,
+        ]
         lib.chunk_set_device_results.argtypes = [
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
             c.c_void_p, c.c_int64,
@@ -160,6 +164,7 @@ class NativeEngine:
         ref_blob, ref_off = _offsets(references.sequences)
         name_blob, name_off = _offsets([n.encode() for n in references.names])
         self._keep += [ref_blob, ref_off, name_blob, name_off, index]
+        self._ref_blob = ref_blob
         sp = index_parameters.syncmer
         rp = index_parameters.randstrobe
         rg_tail = b"\n" if not read_group_id else f"\tRG:Z:{read_group_id}\n".encode()
@@ -285,6 +290,26 @@ class NativeEngine:
             buf.ctypes.data,
         )
         return buf
+
+    def fill_batch_q(self, chunk: NativeChunk, idxs: np.ndarray, B: int, Q: int) -> np.ndarray:
+        """Query-only fill for the device-resident-reference path
+        (targets gathered on device from the resident genome copy):
+        (Q + 8, B) = query codes, qlen u16, tlen u16, tstart u32."""
+        buf = np.empty((Q + 8, B), dtype=np.uint8)
+        self.lib.chunk_fill_batch_q(
+            self.handle, chunk.handle, idxs.ctypes.data, idxs.shape[0], B, Q,
+            buf.ctypes.data,
+        )
+        return buf
+
+    def ref_codes(self) -> np.ndarray:
+        """The concatenated reference blob as nt4 codes (uint8 0-4), for
+        uploading once per device (the device-resident target source)."""
+        table = np.full(256, 4, dtype=np.uint8)
+        for ch_, v in ((65, 0), (67, 1), (71, 2), (84, 3)):  # A C G T
+            table[ch_] = v
+            table[ch_ + 32] = v
+        return table[self._ref_blob]
 
     def set_device_results(self, chunk: NativeChunk, out: np.ndarray, D: int, idxs: np.ndarray) -> None:
         out = np.ascontiguousarray(out)

@@ -136,12 +136,12 @@ class BatchAligner:
         """Fetch and post-process the results of a dispatch()."""
         jobs, results, pending = token
         for (Q, T, _), chunk, out_dev in pending:
-            D = Q + T - 1
             out = np.asarray(out_dev)
-            ops, score, t_end, q_end, t_begin, q_begin, edits = unpack_output(out, D)
+            (op_runs, len_runs, n_runs, score, t_end, q_end, t_begin,
+             q_begin, edits) = unpack_output(out)
             from .extend_device import ops_to_cigars
 
-            cigars = ops_to_cigars(ops, score, D)
+            cigars = ops_to_cigars(op_runs, len_runs, n_runs, score)
             for col, ji in enumerate(chunk):
                 job = jobs[ji]
                 results[ji] = self._finish(

@@ -2,8 +2,8 @@
 traceback, one jit, compact host outputs.
 
 The 50 MB direction tensor never leaves the device; the host receives
-only (score, t_end, q_end) (B,), an op stream (Dpad, B) uint8 and meta
-(8, B) int32 [t_begin, q_begin, edits]. This replaces the reference's
+only a run-length-encoded cigar (RLE_M fixed run slots per pair) plus
+score/coords/edits as u16 rows. This replaces the reference's
 GPU flow of downloading packed traceback matrices + cigars
 (/root/reference/GASAL2/src/gasal_align.cu:266-304,
 /root/reference/src/gasal2_ssw.cpp:179-249).
@@ -42,11 +42,58 @@ def _extend_batch_device(q_t, t_t, qlen, tlen, params: SwParams):
 
 # --- packed single-buffer interface -------------------------------------
 #
-# The host<->device link has ~25 ms per-transfer latency, so the batch
-# aligner ships ONE uint8 array each way:
-#   input  (Q + T + 4, B): q codes / t codes / qlen lo,hi / tlen lo,hi
-#   output (Dpad + 24, B): op stream, then score, t_end, q_end, t_begin,
-#                          q_begin, edits as u16 (lo,hi) row pairs
+# The host<->device link has ~25 ms per-transfer latency AND the host has
+# one core, so the batch aligner ships ONE uint8 array each way and keeps
+# it small — the (Dpad, B) op stream is run-length encoded ON DEVICE into
+# RLE_M fixed run slots per pair (~10-20x fewer bytes than raw ops; raw
+# op-stream download dominated the single-core grpc serialization cost):
+#   input  (Q + T + 4, B):    q codes / t codes / qlen lo,hi / tlen lo,hi
+#   output (3*RLE_M + 14, B): run op codes [0,M), run length lo [M,2M),
+#                             run length hi [2M,3M), then score, t_end,
+#                             q_end, t_begin, q_begin, edits as u16
+#                             (lo,hi) row pairs, then n_runs u16
+#                             (0xFFFF = >M runs -> host fallback)
+
+RLE_M = 64  # max cigar runs per pair (ungapped reads use the Hamming fast
+# path on the host; device pairs are gapped, typically <20 runs)
+OUT_ROWS = 3 * RLE_M + 14
+
+
+def _rle_ops(ops):
+    """Run-length encode the (Dpad, B) op stream per column on device.
+    Zero gaps between equal ops merge, matching the host parsers'
+    push-merge semantics (engine.cpp chunk_set_device_results,
+    ops_to_cigars). Returns (op (M,B) i32, len (M,B) i32, n_runs (B,))."""
+    D, B = ops.shape
+    v = jnp.where((ops > 0) & (ops <= 4), ops, 0).astype(jnp.int32)
+    valid = v > 0
+    # previous nonzero op: consecutive path ops sit 1 or 2 diagonal rows
+    # apart (EQ/X advance q+t by 2, I/D by 1), so a 2-row lookback replaces
+    # a full skip-zeros scan
+    z = jnp.zeros((1, B), jnp.int32)
+    p1 = jnp.concatenate([z, v[:-1]], axis=0)
+    p2 = jnp.concatenate([z, z, v[:-2]], axis=0)
+    prev_nz = jnp.where(p1 > 0, p1, p2)
+    is_start = valid & (v != prev_nz)
+    run_idx = jnp.cumsum(is_start.astype(jnp.int32), axis=0) - 1
+    n_runs = jnp.sum(is_start.astype(jnp.int32), axis=0)
+    # run_idx is monotone per column, so each run is a searchsorted away —
+    # gathers only (TPU scatters via segment_sum are ~3x the whole kernel)
+    first = jax.vmap(
+        lambda col: jnp.searchsorted(col, jnp.arange(RLE_M + 1, dtype=jnp.int32)),
+        in_axes=1, out_axes=1,
+    )(run_idx)  # (M+1, B): first row of run r (D where absent)
+    row = jnp.minimum(first[:RLE_M], D - 1)
+    opv = jnp.take_along_axis(v, row, axis=0)  # (M, B)
+    # exclusive prefix of valid-counts: run length = C[first_{r+1}]-C[first_r]
+    C = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32), jnp.cumsum(valid.astype(jnp.int32), axis=0)],
+        axis=0,
+    )
+    bounds = jnp.take_along_axis(C, first, axis=0)  # (M+1, B)
+    lens = bounds[1:] - bounds[:-1]
+    have = jnp.arange(RLE_M, dtype=jnp.int32)[:, None] < n_runs[None, :]
+    return jnp.where(have, opv, 0), jnp.where(have, lens, 0), n_runs
 
 def pack_input(q_t: np.ndarray, t_t: np.ndarray, qlen: np.ndarray, tlen: np.ndarray) -> np.ndarray:
     Q, B = q_t.shape
@@ -61,16 +108,24 @@ def pack_input(q_t: np.ndarray, t_t: np.ndarray, qlen: np.ndarray, tlen: np.ndar
     return buf
 
 
-def unpack_output(out: np.ndarray, D: int):
-    """Returns (ops (Dpad, B), score, t_end, q_end, t_begin, q_begin, edits)."""
-    Dpad = ((D + 7) // 8) * 8
-    ops = out[:Dpad]
+def unpack_output(out: np.ndarray, D: int = 0):
+    """Returns (op_runs (M, B), len_runs (M, B), n_runs (B,), score,
+    t_end, q_end, t_begin, q_begin, edits). `D` is unused (kept for API
+    stability); n_runs == 0xFFFF marks an overflowed (>M-run) pair that
+    the caller must re-align on the host."""
+    M = RLE_M
+    op_runs = out[:M]
+    len_runs = out[M : 2 * M].astype(np.int32) | (
+        out[2 * M : 3 * M].astype(np.int32) << 8
+    )
     vals = []
-    for i in range(6):
-        lo = out[Dpad + 2 * i].astype(np.int32)
-        hi = out[Dpad + 2 * i + 1].astype(np.int32)
+    for i in range(7):
+        lo = out[3 * M + 2 * i].astype(np.int32)
+        hi = out[3 * M + 2 * i + 1].astype(np.int32)
         vals.append(lo | (hi << 8))
-    return (ops, *vals)
+    score, t_end, q_end, t_begin, q_begin, edits, n_runs = vals
+    return (op_runs, len_runs, n_runs, score, t_end, q_end, t_begin,
+            q_begin, edits)
 
 
 def extend_batch_packed(buf, Q: int, T: int, params: SwParams):
@@ -78,64 +133,67 @@ def extend_batch_packed(buf, Q: int, T: int, params: SwParams):
         return _extend_batch_packed(buf, Q, T, params)
 
 
-@functools.partial(jax.jit, static_argnames=("Q", "T", "params"))
-def _extend_batch_packed(buf, Q: int, T: int, params: SwParams):
-    B = buf.shape[1]
-    q_t = buf[:Q]
-    t_t = buf[Q : Q + T]
-    qlen = buf[Q + T].astype(jnp.int32) | (buf[Q + T + 1].astype(jnp.int32) << 8)
-    tlen = buf[Q + T + 2].astype(jnp.int32) | (buf[Q + T + 3].astype(jnp.int32) << 8)
-
-    score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
-        q_t, t_t, qlen, tlen, params
-    )
-    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
+def _pack_rle_output(ops, score, t_end, q_end, meta):
+    opv, lens, n_runs = _rle_ops(ops)
 
     def u16rows(v):
         v = v.astype(jnp.int32)
         return jnp.stack([(v & 0xFF).astype(jnp.uint8), ((v >> 8) & 0xFF).astype(jnp.uint8)])
 
-    tail = jnp.concatenate(
+    nr = jnp.where(n_runs > RLE_M, 0xFFFF, n_runs)
+    return jnp.concatenate(
         [
+            opv.astype(jnp.uint8),
+            (lens & 0xFF).astype(jnp.uint8),
+            ((lens >> 8) & 0xFF).astype(jnp.uint8),
             u16rows(score),
             u16rows(t_end),
             u16rows(q_end),
             u16rows(meta[0]),  # t_begin
             u16rows(meta[1]),  # q_begin
             u16rows(meta[2]),  # edits
-        ]
+            u16rows(nr),
+        ],
+        axis=0,
     )
-    return jnp.concatenate([ops, tail], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "T", "params"))
+def _extend_batch_packed(buf, Q: int, T: int, params: SwParams):
+    return _extend_batch_packed_body(buf, Q, T, params)
 
 
 def ops_to_cigars(
-    ops: np.ndarray,  # (Dpad, B) uint8, ascending diagonal order
+    op_runs: np.ndarray,   # (M, B) uint8 run op codes
+    len_runs: np.ndarray,  # (M, B) int32 run lengths
+    n_runs: np.ndarray,    # (B,) int32; 0xFFFF = overflow
     score: np.ndarray,
-    D: int,
 ) -> List[Optional[Tuple[Cigar, int]]]:
-    """Run-length encode each pair's op stream into an =/X/I/D cigar.
-    Returns per pair (cigar, n_ops_consumed) or None for score<=0."""
+    """Decode the device-RLE runs into =/X/I/D cigars. Returns per pair
+    (cigar, n_ops_consumed) or None for score<=0, empty streams, and
+    >M-run overflows (caller re-aligns those on the host)."""
     _MAP = {OP_EQ: CIGAR_EQ, OP_X: CIGAR_X, OP_I: CIGAR_INS, OP_D: CIGAR_DEL}
-    B = ops.shape[1]
+    B = op_runs.shape[1]
+    opsT = np.ascontiguousarray(op_runs.T)
+    lensT = np.ascontiguousarray(len_runs.T)
     out: List[Optional[Tuple[Cigar, int]]] = []
-    opsT = np.ascontiguousarray(ops[:D].T)  # (B, D)
     for b in range(B):
-        if score[b] <= 0:
+        nr = int(n_runs[b])
+        if score[b] <= 0 or nr == 0 or nr > RLE_M:
             out.append(None)
             continue
-        stream = opsT[b]
-        nz = np.flatnonzero(stream)
-        if nz.size == 0:
-            out.append(None)
-            continue
-        vals = stream[nz]
         cigar = Cigar()
-        boundaries = np.flatnonzero(vals[1:] != vals[:-1]) + 1
-        starts = np.concatenate([[0], boundaries])
-        ends = np.concatenate([boundaries, [vals.shape[0]]])
-        for rs, re in zip(starts, ends):
-            cigar.push(_MAP[int(vals[rs])], int(re - rs))
-        out.append((cigar, int(vals.shape[0])))
+        total = 0
+        ok = True
+        for r in range(nr):
+            op = int(opsT[b, r])
+            ln = int(lensT[b, r])
+            if not 1 <= op <= 4 or ln <= 0:
+                ok = False
+                break
+            cigar.push(_MAP[op], ln)
+            total += ln
+        out.append((cigar, total) if ok else None)
     return out
 
 
@@ -161,6 +219,57 @@ def _extend_batch_packed_grouped(buf, Q: int, T: int, params: SwParams, sub: int
     return jnp.concatenate(outs, axis=1)
 
 
+# --- device-resident-reference variant -----------------------------------
+#
+# The reference genome (nt4 codes, uint8) lives in HBM for the whole run
+# (GRCh38 = 3.1 GB, well under one chip's capacity); the host ships ONLY
+# query codes + lengths + a u32 global target offset per pair (Q + 8 rows
+# vs Q + T + 4), and the kernel gathers each pair's forward target window
+# from the resident copy. Cuts per-batch upload ~4-7x on top of the RLE
+# download cut; this is the production transfer layout.
+
+def extend_batch_packed_resident(buf, ref_codes, Q: int, T: int,
+                                 params: SwParams, sub: int):
+    with jax.enable_x64(False):
+        return _extend_batch_packed_resident(buf, ref_codes, Q, T, params, sub)
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "T", "params", "sub"))
+def _extend_batch_packed_resident(buf, ref_codes, Q: int, T: int,
+                                  params: SwParams, sub: int):
+    B = buf.shape[1]
+    outs = [
+        _extend_resident_body(buf[:, i : i + sub], ref_codes, Q, T, params)
+        for i in range(0, B, sub)
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _extend_resident_body(buf, ref_codes, Q: int, T: int, params: SwParams):
+    B = buf.shape[1]
+    qlen = buf[Q].astype(jnp.int32) | (buf[Q + 1].astype(jnp.int32) << 8)
+    tlen = buf[Q + 2].astype(jnp.int32) | (buf[Q + 3].astype(jnp.int32) << 8)
+    # u32 offsets cover genomes up to 4.29 Gbp (the reference itself caps
+    # positions at u32, randstrobes.hpp:23); x64 is disabled in-jit so
+    # int64 would silently truncate to int32 — keep everything u32
+    tstart = (
+        buf[Q + 4].astype(jnp.uint32)
+        | (buf[Q + 5].astype(jnp.uint32) << 8)
+        | (buf[Q + 6].astype(jnp.uint32) << 16)
+        | (buf[Q + 7].astype(jnp.uint32) << 24)
+    )
+    n_ref = ref_codes.shape[0]
+    rows = jnp.arange(T, dtype=jnp.uint32)[:, None]
+    idx = jnp.minimum(tstart[None, :] + rows, jnp.uint32(n_ref - 1))
+    t_t = jnp.where(rows < tlen[None, :].astype(jnp.uint32),
+                    ref_codes[idx], jnp.uint8(4))
+    score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
+        buf[:Q], t_t, qlen, tlen, params
+    )
+    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
+    return _pack_rle_output(ops, score, t_end, q_end, meta)
+
+
 def _extend_batch_packed_body(buf, Q: int, T: int, params: SwParams):
     qlen = buf[Q + T].astype(jnp.int32) | (buf[Q + T + 1].astype(jnp.int32) << 8)
     tlen = buf[Q + T + 2].astype(jnp.int32) | (buf[Q + T + 3].astype(jnp.int32) << 8)
@@ -168,13 +277,4 @@ def _extend_batch_packed_body(buf, Q: int, T: int, params: SwParams):
         buf[:Q], buf[Q : Q + T], qlen, tlen, params
     )
     ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
-
-    def u16rows(v):
-        v = v.astype(jnp.int32)
-        return jnp.stack([(v & 0xFF).astype(jnp.uint8), ((v >> 8) & 0xFF).astype(jnp.uint8)])
-
-    tail = jnp.concatenate(
-        [u16rows(score), u16rows(t_end), u16rows(q_end),
-         u16rows(meta[0]), u16rows(meta[1]), u16rows(meta[2])]
-    )
-    return jnp.concatenate([ops, tail], axis=0)
+    return _pack_rle_output(ops, score, t_end, q_end, meta)

@@ -48,6 +48,24 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+_RESIDENT_CACHE: dict = {}
+
+
+def _resident_ref_codes(references, engine, devices):
+    key = id(references)
+    cached = _RESIDENT_CACHE.get(key)
+    if cached is not None and len(cached[1]) == len(devices):
+        return cached[1]
+    import jax
+
+    codes = engine.ref_codes()
+    arrs = [jax.device_put(codes, dev) for dev in devices]
+    # keep a strong ref to `references` so the id() key stays valid
+    _RESIDENT_CACHE.clear()  # one genome per run; don't hold stale copies
+    _RESIDENT_CACHE[key] = (references, arrs)
+    return arrs
+
+
 class NativePipeline:
     def __init__(
         self,
@@ -85,19 +103,33 @@ class NativePipeline:
             # collectives (each batch is self-contained), so this is the
             # natural multi-chip mapping of the reference's GPU streams
             self._devices = jax.local_devices()
+            # resident reference: the genome (nt4 codes) lives in each
+            # chip's HBM for the whole run; per-batch uploads carry only
+            # query codes + u32 target offsets (fill_batch_q). One copy
+            # per device per run, shared by all threaded workers.
+            self._ref_codes = _resident_ref_codes(
+                references, self.engine, self._devices
+            )
+
+    def _fill(self, chunk, idxs, B, Q, T):
+        return self.engine.fill_batch_q(chunk, idxs, B, Q)
 
     def _dispatch(self, buf, Q, T, sub):
         """Launch one extend dispatch on the next device (round-robin);
-        the kernel runs per `sub`-column group inside the dispatch."""
+        the kernel runs per `sub`-column group inside the dispatch and
+        gathers targets from that device's resident reference copy."""
         import jax
 
-        from ..ops.extend_device import extend_batch_packed_grouped
+        from ..ops.extend_device import extend_batch_packed_resident
 
+        di = 0
         if len(self._devices) > 1:
-            dev = self._devices[self._next_dev % len(self._devices)]
+            di = self._next_dev % len(self._devices)
             self._next_dev += 1
-            buf = jax.device_put(buf, dev)
-        return extend_batch_packed_grouped(buf, Q, T, self._sw, sub)
+            buf = jax.device_put(buf, self._devices[di])
+        return extend_batch_packed_resident(
+            buf, self._ref_codes[di], Q, T, self._sw, sub
+        )
 
     # --- two-phase API (callers drive the cross-chunk pipelining) -------
 
@@ -107,7 +139,7 @@ class NativePipeline:
         pending = []
         if self.use_device and chunk.n_jobs:
             for idxs, Q, T, B, sub in self.engine.plan_batches(chunk, self.batch_size):
-                buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
+                buf = self._fill(chunk, idxs, B, Q, T)
                 out_dev = self._dispatch(buf, Q, T, sub)  # async
                 pending.append((idxs, out_dev, Q + T - 1))
             for _, out_dev, _ in pending:
@@ -162,7 +194,8 @@ def native_pipeline_available() -> bool:
     return engine_available()
 
 
-def prewarm_extend_programs(aln_params, batch_size: int = 512):
+def prewarm_extend_programs(aln_params, batch_size: int = 512,
+                            ref_codes=None):
     """Compile (or cache-load) the device extend programs for every
     bucket shape in a daemon thread, so the work overlaps reference
     loading / index building instead of stalling the first chunks
@@ -174,6 +207,8 @@ def prewarm_extend_programs(aln_params, batch_size: int = 512):
         try:
             import numpy as _np
 
+            import jax as _jax
+
             from ..native.engine import ENGINE_BUCKETS
             from ..ops.extend_device import extend_batch_packed_grouped
             from ..ops.sw_jax import SwParams
@@ -181,6 +216,8 @@ def prewarm_extend_programs(aln_params, batch_size: int = 512):
             _enable_compilation_cache()
             sw = SwParams(aln_params.match, aln_params.mismatch,
                           aln_params.gap_open, aln_params.gap_extend)
+            from ..ops.extend_device import _extend_batch_packed_resident
+
             # the first (high-volume) bucket only: warming every bucket
             # contends with the mapping loop's own compiles on short runs;
             # rare buckets compile lazily (persistent-cached afterwards)
@@ -188,10 +225,22 @@ def prewarm_extend_programs(aln_params, batch_size: int = 512):
                 sub = min(batch_size, bcap)
                 shapes = {sub, sub * groups}
                 for B in sorted(shapes):
-                    buf = _np.zeros((Q + T + 4, B), dtype=_np.uint8)
-                    buf[Q + T] = 4  # qlen 4 keeps the kernel's loops sane
-                    buf[Q + T + 2] = 4
-                    extend_batch_packed_grouped(buf, Q, T, sw, sub)
+                    if ref_codes is not None:
+                        # production layout (device-resident reference):
+                        # AOT lower+compile from shapes only, so the
+                        # genome is never uploaded just to warm the cache
+                        buf_s = _jax.ShapeDtypeStruct((Q + 8, B), _np.uint8)
+                        codes_s = _jax.ShapeDtypeStruct(
+                            (int(ref_codes.shape[0]),), _np.uint8)
+                        with _jax.enable_x64(False):
+                            _extend_batch_packed_resident.lower(
+                                buf_s, codes_s, Q, T, sw, sub
+                            ).compile()
+                    else:
+                        buf = _np.zeros((Q + T + 4, B), dtype=_np.uint8)
+                        buf[Q + T] = 4  # qlen 4 keeps the loops sane
+                        buf[Q + T + 2] = 4
+                        extend_batch_packed_grouped(buf, Q, T, sw, sub)
         except Exception:  # pragma: no cover - no device, no problem
             pass
 
@@ -227,7 +276,7 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
             pending = []
             if self.use_device and chunk.n_jobs:
                 for idxs, Q, T, B, sub in self.engine.plan_batches(chunk, self.batch_size):
-                    buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
+                    buf = self._fill(chunk, idxs, B, Q, T)
                     out_dev = self._dispatch(buf, Q, T, sub)
                     pending.append((idxs, out_dev, Q + T - 1))
                 for _, out_dev, _ in pending:
@@ -326,7 +375,7 @@ class ThreadedNativePipeline:
                     if pipe.use_device and chunk.n_jobs:
                         for idxs, Q, T, B, sub in pipe.engine.plan_batches(
                                 chunk, pipe.batch_size):
-                            buf = pipe.engine.fill_batch(chunk, idxs, B, Q, T)
+                            buf = pipe._fill(chunk, idxs, B, Q, T)
                             out_dev = pipe._dispatch(buf, Q, T, sub)
                             pending.append((idxs, out_dev, Q + T - 1))
                         for _, out_dev, _ in pending:
@@ -430,7 +479,7 @@ def _pipeline_map_file_sharded(self, path1, path2, interleaved, chunk_size,
             pending = []
             if self.use_device and chunk.n_jobs:
                 for idxs, Q, T, B, sub in self.engine.plan_batches(chunk, self.batch_size):
-                    buf = self.engine.fill_batch(chunk, idxs, B, Q, T)
+                    buf = self._fill(chunk, idxs, B, Q, T)
                     out_dev = self._dispatch(buf, Q, T, sub)
                     pending.append((idxs, out_dev, Q + T - 1))
             in_flight.append((chunk_index, (chunk, pending)))

@@ -15,6 +15,8 @@ import sys
 import time
 from typing import List, Optional, TextIO
 
+import numpy as np
+
 from ..align.aligner import Aligner, AlignmentParameters
 from ..cli import CommandLineOptions
 from ..index.params import DEFAULT, IndexParameters
@@ -52,12 +54,6 @@ def run_aligner(opt: CommandLineOptions) -> int:
         match=opt.A, mismatch=opt.B, gap_open=opt.O, gap_extend=opt.E,
         end_bonus=opt.end_bonus,
     )
-    if getattr(opt, "use_tpu", False):
-        # compile/cache-load the device extend programs while the host
-        # reads the reference and builds the index
-        from .native_pipeline import prewarm_extend_programs
-
-        prewarm_extend_programs(aln_params, getattr(opt, "tpu_batch", 512))
     map_param = MappingParameters(
         r=opt.r,
         max_secondary=opt.max_secondary,
@@ -80,6 +76,21 @@ def run_aligner(opt: CommandLineOptions) -> int:
         f"Reference size: {references.total_length() / 1e6:.2f} Mbp "
         f"({len(references)} contig{'s' if len(references) != 1 else ''})"
     )
+
+    if getattr(opt, "use_tpu", False):
+        # compile/cache-load the device extend programs (production layout:
+        # device-resident reference, so the program shape depends on the
+        # genome length) while the host builds or reads the index
+        from .native_pipeline import prewarm_extend_programs
+
+        _table = np.full(256, 4, dtype=np.uint8)
+        for _c, _v in ((65, 0), (67, 1), (71, 2), (84, 3)):
+            _table[_c] = _v
+            _table[_c + 32] = _v
+        _codes = _table[np.frombuffer(b"".join(references.sequences),
+                                      dtype=np.uint8)]
+        prewarm_extend_programs(aln_params, getattr(opt, "tpu_batch", 512),
+                                ref_codes=_codes)
 
     index = StrobemerIndex(references, index_parameters, opt.bits)
     if opt.use_index:

@@ -236,11 +236,12 @@ def test_engine_synthetic_device_results(world):
     texts = []
     for ci, (r1, r2, r3) in enumerate(chunks):
         ch = eng.chunk_a(r1, r2, r3, ci)
+        from rabbitsalign_tpu.ops.extend_device import RLE_M
+
         for idxs, Q, T, B, sub in eng.plan_batches(ch, 64):
             buf = eng.fill_batch(ch, idxs, B, Q, T)
             D = Q + T - 1
-            Dpad = ((D + 7) // 8) * 8
-            out = np.zeros((Dpad + 24, B), dtype=np.uint8)
+            out = np.zeros((3 * RLE_M + 14, B), dtype=np.uint8)
             for col, j in enumerate(idxs):
                 qn = int(ch.qlens[j])
                 tn = int(ch.tlens[j])
@@ -250,8 +251,8 @@ def test_engine_synthetic_device_results(world):
                                 ap.gap_extend)
                 if res.score1 == 0 or res.flag != 0:
                     continue  # score row stays 0 -> failed-info path
-                # per-base op stream + edits over the aligned region
-                row = 0
+                # per-base device op stream, then RLE as the kernel would
+                stream = []
                 edits = 0
                 qi, ti = res.read_begin, res.ref_begin
                 for op_len in res.cigar.ops:
@@ -259,31 +260,41 @@ def test_engine_synthetic_device_results(world):
                     for _ in range(op_len >> 4):
                         if op == CIGAR_MATCH:
                             if qc[qi] == tc[ti]:
-                                out[row, col] = 1  # EQ
+                                stream.append(1)  # EQ
                             else:
-                                out[row, col] = 2  # X
+                                stream.append(2)  # X
                                 edits += 1
                             qi += 1
                             ti += 1
                         elif op == CIGAR_INS:
-                            out[row, col] = 3
+                            stream.append(3)
                             qi += 1
                             edits += 1
                         else:
-                            out[row, col] = 4  # DEL
+                            stream.append(4)  # DEL
                             ti += 1
                             edits += 1
-                        row += 1
+                runs = []
+                for v in stream:
+                    if runs and runs[-1][0] == v:
+                        runs[-1][1] += 1
+                    else:
+                        runs.append([v, 1])
+                for r, (v, ln) in enumerate(runs[:RLE_M]):
+                    out[r, col] = v
+                    out[RLE_M + r, col] = ln & 0xFF
+                    out[2 * RLE_M + r, col] = (ln >> 8) & 0xFF
+                n_runs = len(runs) if len(runs) <= RLE_M else 0xFFFF
                 vals = [
                     res.score1, res.ref_end, res.read_end,
-                    res.ref_begin, res.read_begin, edits,
+                    res.ref_begin, res.read_begin, edits, n_runs,
                 ]
                 for vi, v in enumerate(vals):
-                    out[Dpad + 2 * vi, col] = v & 0xFF
-                    out[Dpad + 2 * vi + 1, col] = (v >> 8) & 0xFF
+                    out[3 * RLE_M + 2 * vi, col] = v & 0xFF
+                    out[3 * RLE_M + 2 * vi + 1, col] = (v >> 8) & 0xFF
                 if col % 7 == 3:
                     # corrupt the stream: must trigger host fallback
-                    out[:D, col] = 0
+                    out[:RLE_M, col] = 0
                     out[0, col] = 1
             eng.set_device_results(ch, out, D, np.asarray(idxs))
         texts.append(eng.chunk_b(ch))

@@ -135,6 +135,9 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
                    help="TPU extension batch size [512]")
     p.add_argument("--no-tpu", action="store_true",
                    help="Disable the TPU extend path (host alignment only)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="Write a jax.profiler trace of the mapping run to "
+                        "DIR (view with TensorBoard / Perfetto)")
     # multi-host pod scale-out (jax.distributed; requires -o on a shared fs)
     p.add_argument("--num-nodes", type=int, default=1, metavar="INT",
                    help="Number of hosts in the pod [1]")
@@ -211,6 +214,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
 
     opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 512
     opt.use_tpu = not args.no_tpu
+    opt.profile_dir = args.profile
     opt.num_nodes = args.num_nodes
     opt.node_id = args.node_id
     opt.coordinator = args.coordinator

@@ -135,8 +135,21 @@ def run_aligner(opt: CommandLineOptions) -> int:
         sys.stdout.buffer if opt.write_to_stdout
         else open(opt.output_file_name, "wb")
     )
+    import contextlib
+
+    profiler_cm = contextlib.nullcontext()
+    if getattr(opt, "profile_dir", None):
+        # tracing subsystem: one jax.profiler trace of the whole mapping
+        # run (host + device), viewable in TensorBoard/Perfetto — the
+        # TPU-native analog of the reference's Timer/rdtsc micro-timers
+        # (src/aln.hpp:13-56, src/pc.cpp:543-551)
+        import jax
+
+        profiler_cm = jax.profiler.trace(opt.profile_dir)
     try:
-        _map_reads(opt, out, references, index, index_parameters, map_param, aln_params)
+        with profiler_cm:
+            _map_reads(opt, out, references, index, index_parameters,
+                       map_param, aln_params)
         out.flush()
     finally:
         if not opt.write_to_stdout:

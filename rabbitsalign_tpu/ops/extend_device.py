@@ -58,6 +58,28 @@ RLE_M = 64  # max cigar runs per pair (ungapped reads use the Hamming fast
 # path on the host; device pairs are gapped, typically <20 runs)
 OUT_ROWS = 3 * RLE_M + 14
 
+REF_PAGE_BITS = 30  # 1 GiB resident-reference pages (int32-safe offsets)
+REF_PAGE_SIZE = 1 << REF_PAGE_BITS
+REF_PAGE_OVERLAP = 4096  # >= max target window (T caps at 2048)
+
+
+def pack_ref_pages(codes: np.ndarray) -> np.ndarray:
+    """Reshape the flat nt4 code array into overlapped pages
+    (P, PAGE + OVERLAP) so every target window [tstart, tstart+T) lives
+    entirely inside the page tstart >> REF_PAGE_BITS. Pad value 4 ('N')."""
+    n = codes.shape[0]
+    n_pages = max(1, -(-n // REF_PAGE_SIZE))
+    # a sub-page genome gets one page of its own size (page id is then
+    # always 0 and the in-page offset equals tstart), so small references
+    # don't pad to a full GiB
+    width = min(REF_PAGE_SIZE, max(n, 1)) + REF_PAGE_OVERLAP
+    pages = np.full((n_pages, width), 4, dtype=np.uint8)
+    for p in range(n_pages):
+        lo = p * REF_PAGE_SIZE
+        hi = min(n, lo + width)
+        pages[p, : hi - lo] = codes[lo:hi]
+    return pages
+
 
 def _rle_ops(ops):
     """Run-length encode the (Dpad, B) op stream per column on device.
@@ -250,19 +272,25 @@ def _extend_resident_body(buf, ref_codes, Q: int, T: int, params: SwParams):
     qlen = buf[Q].astype(jnp.int32) | (buf[Q + 1].astype(jnp.int32) << 8)
     tlen = buf[Q + 2].astype(jnp.int32) | (buf[Q + 3].astype(jnp.int32) << 8)
     # u32 offsets cover genomes up to 4.29 Gbp (the reference itself caps
-    # positions at u32, randstrobes.hpp:23); x64 is disabled in-jit so
-    # int64 would silently truncate to int32 — keep everything u32
+    # positions at u32, randstrobes.hpp:23). XLA gather indices are int32
+    # under the x64-disabled jit, so a flat >2^31-element gather would
+    # wrap; ref_codes therefore arrives as PAGES (P, PAGE + OVERLAP) from
+    # pack_ref_pages (1 GiB pages overlapped by the max target length) and
+    # both the page id and in-page offset stay comfortably int32
     tstart = (
         buf[Q + 4].astype(jnp.uint32)
         | (buf[Q + 5].astype(jnp.uint32) << 8)
         | (buf[Q + 6].astype(jnp.uint32) << 16)
         | (buf[Q + 7].astype(jnp.uint32) << 24)
     )
-    n_ref = ref_codes.shape[0]
-    rows = jnp.arange(T, dtype=jnp.uint32)[:, None]
-    idx = jnp.minimum(tstart[None, :] + rows, jnp.uint32(n_ref - 1))
-    t_t = jnp.where(rows < tlen[None, :].astype(jnp.uint32),
-                    ref_codes[idx], jnp.uint8(4))
+    page = (tstart >> jnp.uint32(REF_PAGE_BITS)).astype(jnp.int32)
+    off = (tstart & jnp.uint32(REF_PAGE_SIZE - 1)).astype(jnp.int32)
+    page_w = ref_codes.shape[1]
+    rows = jnp.arange(T, dtype=jnp.int32)[:, None]
+    ridx = jnp.minimum(off[None, :] + rows, page_w - 1)
+    t_t = jnp.where(rows < tlen[None, :],
+                    ref_codes[page[None, :].repeat(T, axis=0), ridx],
+                    jnp.uint8(4))
     score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
         buf[:Q], t_t, qlen, tlen, params
     )

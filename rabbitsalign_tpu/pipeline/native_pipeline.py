@@ -58,8 +58,10 @@ def _resident_ref_codes(references, engine, devices):
         return cached[1]
     import jax
 
-    codes = engine.ref_codes()
-    arrs = [jax.device_put(codes, dev) for dev in devices]
+    from ..ops.extend_device import pack_ref_pages
+
+    pages = pack_ref_pages(engine.ref_codes())
+    arrs = [jax.device_put(pages, dev) for dev in devices]
     # keep a strong ref to `references` so the id() key stays valid
     _RESIDENT_CACHE.clear()  # one genome per run; don't hold stale copies
     _RESIDENT_CACHE[key] = (references, arrs)
@@ -229,9 +231,16 @@ def prewarm_extend_programs(aln_params, batch_size: int = 512,
                         # production layout (device-resident reference):
                         # AOT lower+compile from shapes only, so the
                         # genome is never uploaded just to warm the cache
+                        from ..ops.extend_device import (
+                            REF_PAGE_OVERLAP, REF_PAGE_SIZE)
+
+                        n = int(ref_codes.shape[0])
+                        n_pages = max(1, -(-n // REF_PAGE_SIZE))
+                        width = (min(REF_PAGE_SIZE, max(n, 1))
+                                 + REF_PAGE_OVERLAP)
                         buf_s = _jax.ShapeDtypeStruct((Q + 8, B), _np.uint8)
                         codes_s = _jax.ShapeDtypeStruct(
-                            (int(ref_codes.shape[0]),), _np.uint8)
+                            (n_pages, width), _np.uint8)
                         with _jax.enable_x64(False):
                             _extend_batch_packed_resident.lower(
                                 buf_s, codes_s, Q, T, sw, sub

@@ -250,3 +250,132 @@ def index_find_device(index_hashes, bucket_starts, bits, query_hashes):
     safe = jnp.where(pos < n, pos, 0)
     found = in_range & (index_hashes[safe] == query_hashes)
     return jnp.where(found, pos, -1).astype(jnp.int64)
+
+
+# --- fully-vectorized variant (no lax.scan) -------------------------------
+#
+# The scan automaton above is the bit-exact reference implementation; this
+# variant restructures the same computation into pure data-parallel ops
+# (unrolled polynomial s-mer/k-mer evaluation, window min + argmin,
+# searchsorted-free compaction, masked window linking) and runs ~3 orders
+# of magnitude faster on a TPU (sub-0.1 ms for 4000x150 vs ~600 ms for the
+# scan). One semantic caveat: the reference's min-queue breaks ties
+# between EQUAL minimum s-mer hashes path-dependently (leftmost on first
+# fill, rightmost after a slide-out eviction, keep-old on ties), which a
+# per-window closed form cannot reproduce. Reads containing any window
+# with a duplicated minimum get `tie=True` and must take the host (or
+# scan) path; on random genomes that is ~0 reads, on unit repeats a few
+# percent.
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "s", "t", "w_min", "w_max",
+                                    "max_dist", "M"))
+def randstrobes_query_vec(codes, lengths, k: int, s: int, t: int,
+                          w_min: int, w_max: int, q: int, max_dist: int,
+                          M: int):
+    """Vectorized batched query randstrobes for both strands.
+
+    codes (B, L) uint8 {0..3, 4=N}; lengths (B,) int32. Returns
+    (hash (B, 2M) uint64, start (B, 2M) int32, end (B, 2M) int32,
+    n_fwd (B,), n_rc (B,), tie (B,) bool); slots [0, n_fwd) and
+    [M, M + n_rc) are valid; `tie` rows must be recomputed on the host.
+    Requires s <= 32 and k <= 32 (the production profiles)."""
+    B, L = codes.shape
+    w = k - s + 1
+    c64 = codes.astype(jnp.uint64)
+    four = jnp.uint64(4)
+
+    ns = L - s + 1
+    fs = jnp.zeros((B, ns), jnp.uint64)
+    rs = jnp.zeros((B, ns), jnp.uint64)
+    for j in range(s):  # unrolled: no cross-position dependency
+        cj = c64[:, j : j + ns]
+        fs = fs * four + cj
+        rs = rs + ((jnp.uint64(3) - cj) << jnp.uint64(2 * j))
+    shash = xxh64_u64(jnp.minimum(fs, rs))
+
+    nk = L - k + 1
+    fk = jnp.zeros((B, nk), jnp.uint64)
+    rk = jnp.zeros((B, nk), jnp.uint64)
+    for j in range(k):
+        cj = c64[:, j : j + nk]
+        fk = fk * four + cj
+        rk = rk + ((jnp.uint64(3) - cj) << jnp.uint64(2 * j))
+    khash = xxh64_u64(jnp.minimum(fk, rk))
+
+    # N gates: a window participates only when N-free (the automaton's
+    # run-length counter)
+    isn = codes >= 4
+    csp = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(isn.astype(jnp.int32), axis=1)],
+        axis=1,
+    )
+    sclean = (csp[:, s : s + ns] - csp[:, :ns]) == 0
+    kclean = (csp[:, k : k + nk] - csp[:, :nk]) == 0
+    inlen = (jnp.arange(nk, dtype=jnp.int32)[None, :] + k) <= lengths[:, None]
+
+    sh = jnp.where(sclean, shash, UMAX)
+    stack = jnp.stack([sh[:, j : j + nk] for j in range(w)], axis=0)  # (w,B,nk)
+    mn = jnp.min(stack, axis=0)
+    eq = stack == mn[None]
+    arg = jnp.argmax(eq, axis=0)  # leftmost minimum
+    ndup = jnp.sum(eq.astype(jnp.int32), axis=0)
+    gate = kclean & inlen & (mn != UMAX)
+    # the automaton tracks s-mer START positions; emission at offset t-1
+    emit = gate & (arg.astype(jnp.int32) == t - 1)
+    tie = jnp.any(gate & (ndup > 1), axis=1) | (
+        jnp.sum(emit.astype(jnp.int32), axis=1) > M
+    )
+
+    # compact emissions into M slots (broadcast argmax: vmapped
+    # searchsorted lowers to slow per-element loops on TPU)
+    ce = jnp.cumsum(emit.astype(jnp.int32), axis=1)
+    n_sync = jnp.where(lengths >= w_max, ce[:, -1], 0)
+    targets = jnp.arange(1, M + 1, dtype=jnp.int32)
+    slot_pos = jnp.argmax(ce[:, None, :] >= targets[None, :, None],
+                          axis=2).astype(jnp.int32)
+    sync_pos = slot_pos
+    sync_hash = jnp.take_along_axis(khash, slot_pos.astype(jnp.int64), axis=1)
+
+    qmask = jnp.uint64(q)
+
+    def link(pos, hsh, n):
+        res_h = jnp.zeros((B, M), jnp.uint64)
+        res_e = jnp.zeros((B, M), jnp.int32)
+        best_key = jnp.full((B, M), 0x7FFFFFFF, jnp.int32)
+        midx = jnp.arange(M, dtype=jnp.int32)[None, :]
+        for d in range(w_min, w_max + 1):
+            jpos = jnp.roll(pos, -d, axis=1)
+            jh = jnp.roll(hsh, -d, axis=1)
+            ok = (midx + d < n[:, None]) & (jpos <= pos + max_dist)
+            pc = jax.lax.population_count((hsh ^ jh) & qmask).astype(jnp.int32)
+            key = jnp.where(ok, pc * 16 + (d - w_min), 0x7FFFFFFF)
+            upd = key < best_key
+            best_key = jnp.where(upd, key, best_key)
+            res_h = jnp.where(upd, hsh + jh, res_h)
+            res_e = jnp.where(upd, jpos, res_e)
+        none = best_key == 0x7FFFFFFF  # no in-range strobe2: self-link
+        res_h = jnp.where(none, hsh + hsh, res_h)
+        res_e = jnp.where(none, pos, res_e)
+        valid = (midx + w_min) < n[:, None]
+        return res_h, pos, res_e, valid
+
+    fh, f1, f2, fvalid = link(sync_pos, sync_hash, n_sync)
+
+    rev_idx = jnp.clip(
+        n_sync[:, None] - 1 - jnp.arange(M, dtype=jnp.int32)[None, :], 0, M - 1
+    ).astype(jnp.int64)
+    rpos = lengths[:, None] - jnp.take_along_axis(sync_pos, rev_idx.astype(jnp.int32), axis=1) - k
+    rhsh = jnp.take_along_axis(sync_hash, rev_idx, axis=1)
+    bh, b1, b2, bvalid = link(rpos, rhsh, n_sync)
+
+    n_fwd = jnp.sum(fvalid.astype(jnp.int32), axis=1)
+    n_rc = jnp.sum(bvalid.astype(jnp.int32), axis=1)
+    return (
+        jnp.concatenate([fh, bh], axis=1),
+        jnp.concatenate([f1, b1], axis=1),
+        jnp.concatenate([f2 + k, b2 + k], axis=1),
+        n_fwd,
+        n_rc,
+        tie,
+    )

@@ -108,3 +108,59 @@ def test_index_find_device_matches_host():
     )
     want = np.asarray(index.find(queries))
     assert np.array_equal(got, want)
+
+
+def test_randstrobes_query_vec_matches_host():
+    """The vectorized (scan-free) variant matches the host randstrobes
+    exactly on every read it does not flag; ties (duplicated window
+    minima, possible on repeats) are flagged for host fallback."""
+    import random
+
+    import jax.numpy as jnp
+
+    from rabbitsalign_tpu.index.params import IndexParameters
+    from rabbitsalign_tpu.ops.seed_device import randstrobes_query_vec
+    from rabbitsalign_tpu.seed.randstrobes import randstrobes_query
+
+    p = IndexParameters.from_read_length(150)
+    sp, rp = p.syncmer, p.randstrobe
+    r = random.Random(7)
+    reads = []
+    for i in range(120):
+        L = r.choice([150, 150, 150, 100, 40, 11])  # incl. < w_max
+        if i % 4 == 0:
+            unit = "".join(r.choice("ACGT") for _ in range(r.choice([3, 8, 25])))
+            sq = (unit * (L // len(unit) + 1))[:L]
+        else:
+            sq = "".join(r.choice("ACGT") for _ in range(L))
+        if i % 9 == 2 and L > 20:
+            sq = sq[:10] + "N" + sq[11:]
+        reads.append(sq)
+    M = 64
+    Lmax = max(len(x) for x in reads)
+    MP = {"A": 0, "C": 1, "G": 2, "T": 3}
+    codes = np.full((len(reads), Lmax), 4, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, sq in enumerate(reads):
+        codes[i, : len(sq)] = [MP.get(c, 4) for c in sq]
+        lens[i] = len(sq)
+    h, st, en, nf, nr, tie = [
+        np.asarray(x)
+        for x in randstrobes_query_vec(
+            jnp.asarray(codes), jnp.asarray(lens), sp.k, sp.s, sp.t_syncmer,
+            rp.w_min, rp.w_max, rp.q, rp.max_dist, M,
+        )
+    ]
+    checked = fallbacks = 0
+    for i, sq in enumerate(reads):
+        g = randstrobes_query(sq, p)
+        if tie[i]:
+            fallbacks += 1
+            continue
+        mh = list(h[i, : nf[i]]) + list(h[i, M : M + nr[i]])
+        ms = list(st[i, : nf[i]]) + list(st[i, M : M + nr[i]])
+        me = list(en[i, : nf[i]]) + list(en[i, M : M + nr[i]])
+        assert mh == list(g.hash), f"read {i} hashes differ"
+        assert ms == list(g.start) and me == list(g.end), f"read {i} coords"
+        checked += 1
+    assert checked > 80  # the vast majority is covered by the fast path

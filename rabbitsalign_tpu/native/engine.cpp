@@ -2735,6 +2735,40 @@ void chunk_fill_batch_q(void* e, void* c, const i64* idxs, i64 n_idx, i64 B,
     }
 }
 
+// 2-bit-packed query fill: 4 codes/byte + an N-mask bitmap, shrinking the
+// per-batch upload ~2.5x on top of the query-only layout (the dev tunnel
+// moves ~30 MB/s, so upload bytes are wall time).
+// Layout (ceil(Q/4) + ceil(Q/8) + 8, B): packed codes, N-mask bits,
+// qlen u16, tlen u16, tstart u32.
+void chunk_fill_batch_q2(void* e, void* c, const i64* idxs, i64 n_idx, i64 B,
+                         i64 Q, u8* out) {
+    auto* eng = (engine::EngineC*)e;
+    auto* ch = (engine::ChunkC*)c;
+    i64 Qp = (Q + 3) / 4, Qm = (Q + 7) / 8;
+    i64 rows = Qp + Qm + 8;
+    memset(out, 0, (size_t)(rows * B));
+    const u8* base = eng->refs.seqs;
+    u8* nm = out + Qp * B;
+    u8* tail = out + (Qp + Qm) * B;
+    for (i64 b = 0; b < n_idx; ++b) {
+        const engine::JobC& job = ch->jobs[idxs[b]];
+        for (i64 r = 0; r < job.qn; ++r) {
+            int code = nt4(job.q[r]);
+            out[(r >> 2) * B + b] |= (u8)((code & 3) << ((r & 3) << 1));
+            if (code >= 4) nm[(r >> 3) * B + b] |= (u8)(1 << (r & 7));
+        }
+        u64 tstart = (u64)(job.t - base);
+        tail[0 * B + b] = (u8)(job.qn & 0xFF);
+        tail[1 * B + b] = (u8)((job.qn >> 8) & 0xFF);
+        tail[2 * B + b] = (u8)(job.tn & 0xFF);
+        tail[3 * B + b] = (u8)((job.tn >> 8) & 0xFF);
+        tail[4 * B + b] = (u8)(tstart & 0xFF);
+        tail[5 * B + b] = (u8)((tstart >> 8) & 0xFF);
+        tail[6 * B + b] = (u8)((tstart >> 16) & 0xFF);
+        tail[7 * B + b] = (u8)((tstart >> 24) & 0xFF);
+    }
+}
+
 // Ingest a device output buffer (ops/extend_device.py packed output):
 // rows 0..Dpad-1 op stream, then 6 u16 rows (score, t_end, q_end,
 // t_begin, q_begin, edits). Decodes cigars, validates, and runs the

@@ -77,6 +77,10 @@ def _lib():
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
             c.c_int64, c.c_void_p,
         ]
+        lib.chunk_fill_batch_q2.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+            c.c_int64, c.c_void_p,
+        ]
         lib.chunk_set_device_results.argtypes = [
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
             c.c_void_p, c.c_int64,
@@ -297,6 +301,17 @@ class NativeEngine:
         (Q + 8, B) = query codes, qlen u16, tlen u16, tstart u32."""
         buf = np.empty((Q + 8, B), dtype=np.uint8)
         self.lib.chunk_fill_batch_q(
+            self.handle, chunk.handle, idxs.ctypes.data, idxs.shape[0], B, Q,
+            buf.ctypes.data,
+        )
+        return buf
+
+    def fill_batch_q2(self, chunk: NativeChunk, idxs: np.ndarray, B: int, Q: int) -> np.ndarray:
+        """2-bit-packed query fill (4 codes/byte + N-mask bitmap + u16
+        lengths + u32 target offset) - the production upload layout."""
+        rows = (Q + 3) // 4 + (Q + 7) // 8 + 8
+        buf = np.empty((rows, B), dtype=np.uint8)
+        self.lib.chunk_fill_batch_q2(
             self.handle, chunk.handle, idxs.ctypes.data, idxs.shape[0], B, Q,
             buf.ctypes.data,
         )

@@ -267,6 +267,63 @@ def _extend_batch_packed_resident(buf, ref_codes, Q: int, T: int,
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
+def extend_batch_packed_resident_q2(buf, ref_codes, Q: int, T: int,
+                                    params: SwParams, sub: int):
+    with jax.enable_x64(False):
+        return _extend_batch_packed_resident_q2(buf, ref_codes, Q, T, params,
+                                                sub)
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "T", "params", "sub"))
+def _extend_batch_packed_resident_q2(buf, ref_codes, Q: int, T: int,
+                                     params: SwParams, sub: int):
+    B = buf.shape[1]
+    outs = [
+        _extend_resident_q2_body(buf[:, i : i + sub], ref_codes, Q, T, params)
+        for i in range(0, B, sub)
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _extend_resident_q2_body(buf, ref_codes, Q: int, T: int,
+                             params: SwParams):
+    # 2-bit-packed queries (chunk_fill_batch_q2): 4 codes/byte + N-mask
+    # bitmap + u16 lengths + u32 target offset. ~2.5x smaller uploads than
+    # the byte-per-code layout on the bandwidth-bound link.
+    B = buf.shape[1]
+    Qp = (Q + 3) // 4
+    Qm = (Q + 7) // 8
+    packed = buf[:Qp]
+    nmask = buf[Qp : Qp + Qm]
+    tail = buf[Qp + Qm :]
+    r = jnp.arange(Q, dtype=jnp.int32)
+    code = (packed[r >> 2] >> ((r & 3) << 1)[:, None].astype(jnp.uint8)) & 3
+    nbit = (nmask[r >> 3] >> (r & 7)[:, None].astype(jnp.uint8)) & 1
+    qlen = tail[0].astype(jnp.int32) | (tail[1].astype(jnp.int32) << 8)
+    tlen = tail[2].astype(jnp.int32) | (tail[3].astype(jnp.int32) << 8)
+    q_t = jnp.where((nbit != 0) | (r[:, None] >= qlen[None, :]),
+                    jnp.uint8(4), code.astype(jnp.uint8))
+    tstart = (
+        tail[4].astype(jnp.uint32)
+        | (tail[5].astype(jnp.uint32) << 8)
+        | (tail[6].astype(jnp.uint32) << 16)
+        | (tail[7].astype(jnp.uint32) << 24)
+    )
+    page = (tstart >> jnp.uint32(REF_PAGE_BITS)).astype(jnp.int32)
+    off = (tstart & jnp.uint32(REF_PAGE_SIZE - 1)).astype(jnp.int32)
+    page_w = ref_codes.shape[1]
+    rows = jnp.arange(T, dtype=jnp.int32)[:, None]
+    ridx = jnp.minimum(off[None, :] + rows, page_w - 1)
+    t_t = jnp.where(rows < tlen[None, :],
+                    ref_codes[page[None, :].repeat(T, axis=0), ridx],
+                    jnp.uint8(4))
+    score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
+        q_t, t_t, qlen, tlen, params
+    )
+    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
+    return _pack_rle_output(ops, score, t_end, q_end, meta)
+
+
 def _extend_resident_body(buf, ref_codes, Q: int, T: int, params: SwParams):
     B = buf.shape[1]
     qlen = buf[Q].astype(jnp.int32) | (buf[Q + 1].astype(jnp.int32) << 8)

@@ -114,7 +114,7 @@ class NativePipeline:
             )
 
     def _fill(self, chunk, idxs, B, Q, T):
-        return self.engine.fill_batch_q(chunk, idxs, B, Q)
+        return self.engine.fill_batch_q2(chunk, idxs, B, Q)
 
     def _dispatch(self, buf, Q, T, sub):
         """Launch one extend dispatch on the next device (round-robin);
@@ -122,14 +122,14 @@ class NativePipeline:
         gathers targets from that device's resident reference copy."""
         import jax
 
-        from ..ops.extend_device import extend_batch_packed_resident
+        from ..ops.extend_device import extend_batch_packed_resident_q2
 
         di = 0
         if len(self._devices) > 1:
             di = self._next_dev % len(self._devices)
             self._next_dev += 1
             buf = jax.device_put(buf, self._devices[di])
-        return extend_batch_packed_resident(
+        return extend_batch_packed_resident_q2(
             buf, self._ref_codes[di], Q, T, self._sw, sub
         )
 
@@ -218,7 +218,9 @@ def prewarm_extend_programs(aln_params, batch_size: int = 512,
             _enable_compilation_cache()
             sw = SwParams(aln_params.match, aln_params.mismatch,
                           aln_params.gap_open, aln_params.gap_extend)
-            from ..ops.extend_device import _extend_batch_packed_resident
+            from ..ops.extend_device import (
+                _extend_batch_packed_resident_q2,
+            )
 
             # the first (high-volume) bucket only: warming every bucket
             # contends with the mapping loop's own compiles on short runs;
@@ -238,11 +240,12 @@ def prewarm_extend_programs(aln_params, batch_size: int = 512,
                         n_pages = max(1, -(-n // REF_PAGE_SIZE))
                         width = (min(REF_PAGE_SIZE, max(n, 1))
                                  + REF_PAGE_OVERLAP)
-                        buf_s = _jax.ShapeDtypeStruct((Q + 8, B), _np.uint8)
+                        rows = (Q + 3) // 4 + (Q + 7) // 8 + 8
+                        buf_s = _jax.ShapeDtypeStruct((rows, B), _np.uint8)
                         codes_s = _jax.ShapeDtypeStruct(
                             (n_pages, width), _np.uint8)
                         with _jax.enable_x64(False):
-                            _extend_batch_packed_resident.lower(
+                            _extend_batch_packed_resident_q2.lower(
                                 buf_s, codes_s, Q, T, sw, sub
                             ).compile()
                     else:

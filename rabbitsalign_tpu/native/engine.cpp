@@ -2770,10 +2770,11 @@ void chunk_fill_batch_q2(void* e, void* c, const i64* idxs, i64 n_idx, i64 B,
 }
 
 // Ingest a device output buffer (ops/extend_device.py packed output):
-// rows 0..Dpad-1 op stream, then 6 u16 rows (score, t_end, q_end,
-// t_begin, q_begin, edits). Decodes cigars, validates, and runs the
-// end-bonus post-processing; jobs that fail validation stay unresolved
-// and fall back to the host aligner in phase B.
+// RLE_M run-op rows + RLE_M length lo + RLE_M length hi, then u16 rows
+// (score, t_end, q_end, t_begin, q_begin, edits, n_runs). Decodes
+// cigars, validates, and runs the end-bonus post-processing; jobs that
+// fail validation stay unresolved and fall back to the host aligner in
+// phase B.
 void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
                               const i64* idxs, i64 n_idx) {
     auto* eng = (engine::EngineC*)e;
@@ -2814,7 +2815,11 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
         cigar.clear();
         i64 span_q = 0, span_t = 0;
         bool ok = true;
-        for (i64 r = 0; r < n_runs; ++r) {
+        // runs sit at slots [M - n_runs, M) in forward cigar order (the
+        // device walker fills slots descending from M-1 as it discovers
+        // the cigar back-to-front, ops/tb_pallas.py)
+        i64 off = M - n_runs;
+        for (i64 r = off; r < off + n_runs; ++r) {
             u8 v = dev[r * B + b];
             i64 len = (i64)dev[(M + r) * B + b] |
                       ((i64)dev[(2 * M + r) * B + b] << 8);

@@ -21,12 +21,21 @@ import numpy as np
 from ..align.cigar import CIGAR_DEL, CIGAR_EQ, CIGAR_INS, CIGAR_X, Cigar
 from .sw_jax import SwParams
 from .sw_pallas import _sw_forward_pallas_core
-from .tb_pallas import OP_D, OP_EQ, OP_I, OP_NONE, OP_X, _sw_traceback_pallas_core
+from .tb_pallas import (
+    OP_D,
+    OP_EQ,
+    OP_I,
+    OP_NONE,
+    OP_X,
+    RLE_M,
+    _sw_traceback_pallas_core,
+)
 
 
 def extend_batch_device(q_t, t_t, qlen, tlen, params: SwParams):
     """q_t (Q, B) uint8, t_t (T, B) uint8, qlen/tlen (B,) int32.
-    Returns (score (B,), t_end, q_end, ops (Dpad, B) uint8, meta (8, B))."""
+    Returns (score (B,), t_end, q_end, runs_op (RLE_M, B) i32,
+    runs_len (RLE_M, B) i32, meta (8, B) i32)."""
     with jax.enable_x64(False):
         return _extend_batch_device(q_t, t_t, qlen, tlen, params)
 
@@ -36,26 +45,27 @@ def _extend_batch_device(q_t, t_t, qlen, tlen, params: SwParams):
     score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
         q_t, t_t, qlen, tlen, params
     )
-    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
-    return score, t_end, q_end, ops, meta
+    runs_op, runs_len, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
+    return score, t_end, q_end, runs_op, runs_len, meta
 
 
 # --- packed single-buffer interface -------------------------------------
 #
 # The host<->device link has ~25 ms per-transfer latency AND the host has
 # one core, so the batch aligner ships ONE uint8 array each way and keeps
-# it small — the (Dpad, B) op stream is run-length encoded ON DEVICE into
-# RLE_M fixed run slots per pair (~10-20x fewer bytes than raw ops; raw
-# op-stream download dominated the single-core grpc serialization cost):
+# it small — the cigar is run-length encoded ON DEVICE (inside the
+# traceback walk, tb_pallas.py) into RLE_M fixed run slots per pair
+# (~10-20x fewer bytes than raw ops; raw op-stream download dominated the
+# single-core grpc serialization cost):
 #   input  (Q + T + 4, B):    q codes / t codes / qlen lo,hi / tlen lo,hi
 #   output (3*RLE_M + 14, B): run op codes [0,M), run length lo [M,2M),
 #                             run length hi [2M,3M), then score, t_end,
 #                             q_end, t_begin, q_begin, edits as u16
 #                             (lo,hi) row pairs, then n_runs u16
-#                             (0xFFFF = >M runs -> host fallback)
+#                             (0xFFFF = >M runs -> host fallback).
+# Runs sit at slots [M - n_runs, M) in forward cigar order (the walker
+# discovers them back-to-front and fills slots descending from M-1).
 
-RLE_M = 64  # max cigar runs per pair (ungapped reads use the Hamming fast
-# path on the host; device pairs are gapped, typically <20 runs)
 OUT_ROWS = 3 * RLE_M + 14
 
 REF_PAGE_BITS = 30  # 1 GiB resident-reference pages (int32-safe offsets)
@@ -80,42 +90,6 @@ def pack_ref_pages(codes: np.ndarray) -> np.ndarray:
         pages[p, : hi - lo] = codes[lo:hi]
     return pages
 
-
-def _rle_ops(ops):
-    """Run-length encode the (Dpad, B) op stream per column on device.
-    Zero gaps between equal ops merge, matching the host parsers'
-    push-merge semantics (engine.cpp chunk_set_device_results,
-    ops_to_cigars). Returns (op (M,B) i32, len (M,B) i32, n_runs (B,))."""
-    D, B = ops.shape
-    v = jnp.where((ops > 0) & (ops <= 4), ops, 0).astype(jnp.int32)
-    valid = v > 0
-    # previous nonzero op: consecutive path ops sit 1 or 2 diagonal rows
-    # apart (EQ/X advance q+t by 2, I/D by 1), so a 2-row lookback replaces
-    # a full skip-zeros scan
-    z = jnp.zeros((1, B), jnp.int32)
-    p1 = jnp.concatenate([z, v[:-1]], axis=0)
-    p2 = jnp.concatenate([z, z, v[:-2]], axis=0)
-    prev_nz = jnp.where(p1 > 0, p1, p2)
-    is_start = valid & (v != prev_nz)
-    run_idx = jnp.cumsum(is_start.astype(jnp.int32), axis=0) - 1
-    n_runs = jnp.sum(is_start.astype(jnp.int32), axis=0)
-    # run_idx is monotone per column, so each run is a searchsorted away —
-    # gathers only (TPU scatters via segment_sum are ~3x the whole kernel)
-    first = jax.vmap(
-        lambda col: jnp.searchsorted(col, jnp.arange(RLE_M + 1, dtype=jnp.int32)),
-        in_axes=1, out_axes=1,
-    )(run_idx)  # (M+1, B): first row of run r (D where absent)
-    row = jnp.minimum(first[:RLE_M], D - 1)
-    opv = jnp.take_along_axis(v, row, axis=0)  # (M, B)
-    # exclusive prefix of valid-counts: run length = C[first_{r+1}]-C[first_r]
-    C = jnp.concatenate(
-        [jnp.zeros((1, B), jnp.int32), jnp.cumsum(valid.astype(jnp.int32), axis=0)],
-        axis=0,
-    )
-    bounds = jnp.take_along_axis(C, first, axis=0)  # (M+1, B)
-    lens = bounds[1:] - bounds[:-1]
-    have = jnp.arange(RLE_M, dtype=jnp.int32)[:, None] < n_runs[None, :]
-    return jnp.where(have, opv, 0), jnp.where(have, lens, 0), n_runs
 
 def pack_input(q_t: np.ndarray, t_t: np.ndarray, qlen: np.ndarray, tlen: np.ndarray) -> np.ndarray:
     Q, B = q_t.shape
@@ -155,19 +129,22 @@ def extend_batch_packed(buf, Q: int, T: int, params: SwParams):
         return _extend_batch_packed(buf, Q, T, params)
 
 
-def _pack_rle_output(ops, score, t_end, q_end, meta):
-    opv, lens, n_runs = _rle_ops(ops)
+def _pack_rle_output(runs_op, runs_len, score, t_end, q_end, meta):
+    """Pack the walker-RLE'd traceback (tb_pallas) into the u8 transfer
+    buffer. Runs stay at their descending slots: rows [M - n_runs, M)
+    hold the forward-order cigar."""
 
     def u16rows(v):
         v = v.astype(jnp.int32)
         return jnp.stack([(v & 0xFF).astype(jnp.uint8), ((v >> 8) & 0xFF).astype(jnp.uint8)])
 
+    n_runs = meta[3]
     nr = jnp.where(n_runs > RLE_M, 0xFFFF, n_runs)
     return jnp.concatenate(
         [
-            opv.astype(jnp.uint8),
-            (lens & 0xFF).astype(jnp.uint8),
-            ((lens >> 8) & 0xFF).astype(jnp.uint8),
+            runs_op.astype(jnp.uint8),
+            (runs_len & 0xFF).astype(jnp.uint8),
+            ((runs_len >> 8) & 0xFF).astype(jnp.uint8),
             u16rows(score),
             u16rows(t_end),
             u16rows(q_end),
@@ -191,9 +168,10 @@ def ops_to_cigars(
     n_runs: np.ndarray,    # (B,) int32; 0xFFFF = overflow
     score: np.ndarray,
 ) -> List[Optional[Tuple[Cigar, int]]]:
-    """Decode the device-RLE runs into =/X/I/D cigars. Returns per pair
-    (cigar, n_ops_consumed) or None for score<=0, empty streams, and
-    >M-run overflows (caller re-aligns those on the host)."""
+    """Decode the device-RLE runs into =/X/I/D cigars. Runs live at slots
+    [M - n_runs, M) in forward cigar order (tb_pallas slot layout).
+    Returns per pair (cigar, n_ops_consumed) or None for score<=0, empty
+    streams, and >M-run overflows (caller re-aligns those on the host)."""
     _MAP = {OP_EQ: CIGAR_EQ, OP_X: CIGAR_X, OP_I: CIGAR_INS, OP_D: CIGAR_DEL}
     B = op_runs.shape[1]
     opsT = np.ascontiguousarray(op_runs.T)
@@ -207,7 +185,8 @@ def ops_to_cigars(
         cigar = Cigar()
         total = 0
         ok = True
-        for r in range(nr):
+        off = RLE_M - nr
+        for r in range(off, off + nr):
             op = int(opsT[b, r])
             ln = int(lensT[b, r])
             if not 1 <= op <= 4 or ln <= 0:
@@ -285,11 +264,12 @@ def _extend_batch_packed_resident_q2(buf, ref_codes, Q: int, T: int,
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
-def _extend_resident_q2_body(buf, ref_codes, Q: int, T: int,
-                             params: SwParams):
-    # 2-bit-packed queries (chunk_fill_batch_q2): 4 codes/byte + N-mask
-    # bitmap + u16 lengths + u32 target offset. ~2.5x smaller uploads than
-    # the byte-per-code layout on the bandwidth-bound link.
+def unpack_q2(buf, ref_codes, Q: int, T: int):
+    """Decode the q2 upload layout into (q_t (Q,B) u8, t_t (T,B) u8,
+    qlen (B,), tlen (B,)): 2-bit-packed queries (chunk_fill_batch_q2) —
+    4 codes/byte + N-mask bitmap + u16 lengths + u32 target offset —
+    with targets gathered from the device-resident paged reference.
+    Shared by the Pallas and portable extend paths."""
     B = buf.shape[1]
     Qp = (Q + 3) // 4
     Qm = (Q + 7) // 8
@@ -317,11 +297,17 @@ def _extend_resident_q2_body(buf, ref_codes, Q: int, T: int,
     t_t = jnp.where(rows < tlen[None, :],
                     ref_codes[page[None, :].repeat(T, axis=0), ridx],
                     jnp.uint8(4))
+    return q_t, t_t, qlen, tlen
+
+
+def _extend_resident_q2_body(buf, ref_codes, Q: int, T: int,
+                             params: SwParams):
+    q_t, t_t, qlen, tlen = unpack_q2(buf, ref_codes, Q, T)
     score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
         q_t, t_t, qlen, tlen, params
     )
-    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
-    return _pack_rle_output(ops, score, t_end, q_end, meta)
+    runs_op, runs_len, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
+    return _pack_rle_output(runs_op, runs_len, score, t_end, q_end, meta)
 
 
 def _extend_resident_body(buf, ref_codes, Q: int, T: int, params: SwParams):
@@ -351,8 +337,8 @@ def _extend_resident_body(buf, ref_codes, Q: int, T: int, params: SwParams):
     score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
         buf[:Q], t_t, qlen, tlen, params
     )
-    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
-    return _pack_rle_output(ops, score, t_end, q_end, meta)
+    runs_op, runs_len, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
+    return _pack_rle_output(runs_op, runs_len, score, t_end, q_end, meta)
 
 
 def _extend_batch_packed_body(buf, Q: int, T: int, params: SwParams):
@@ -361,5 +347,5 @@ def _extend_batch_packed_body(buf, Q: int, T: int, params: SwParams):
     score, t_end, q_end, dirs, q_i32, t_i32 = _sw_forward_pallas_core(
         buf[:Q], buf[Q : Q + T], qlen, tlen, params
     )
-    ops, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
-    return _pack_rle_output(ops, score, t_end, q_end, meta)
+    runs_op, runs_len, meta = _sw_traceback_pallas_core(dirs, score, t_end, q_end)
+    return _pack_rle_output(runs_op, runs_len, score, t_end, q_end, meta)

@@ -10,13 +10,28 @@ the two hot data motions cheap:
   * the per-diagonal target base is a (1, B) sublane slice of the
     transposed target block, broadcast across sublanes.
 
-Each grid step does ~20 VPU ops on the (Q, B) plane and streams one
+Each grid step does ~30 VPU ops on the (Q, B) plane and streams one
 (Q, B) uint8 direction plane to HBM — the TPU-native replacement for
 GASAL2's one-thread-per-pair CUDA kernel
 (/root/reference/GASAL2/src/kernels/local_kernel_template.h).
 
-All in-kernel constants are explicit int32: weak-typed Python ints
-trigger a promotion recursion bug in pallas tracing under jax_enable_x64.
+The kernel body is dtype-generic with every comparison canonicalized to
+`<`/`==` and every max written as compare+select (the compares double
+as direction bits), so a 16-bit DP drops in by changing `_pick_dtype` —
+but the current Mosaic build cannot lower ordered 16-bit comparisons on
+v5e at all (see `_pick_dtype`), so the accumulator stays int32.
+
+Out-of-range cells (q >= qlen, t >= tlen) are NOT masked: both
+sequences are padded with code 4 which never matches (the substitution
+rule requires code < 4), so every DP path that crosses the valid
+boundary strictly loses score with each step and can never become the
+running best — and the traceback only walks cells inside the valid
+region, so garbage direction bits outside it are never read. Dropping
+the per-cell validity test saves ~8 VPU ops/cell.
+
+All in-kernel constants are explicit typed scalars: weak-typed Python
+ints trigger a promotion recursion bug in pallas tracing under
+jax_enable_x64.
 """
 
 from __future__ import annotations
@@ -32,18 +47,35 @@ from jax.experimental.pallas import tpu as pltpu
 from .sw_jax import SwParams
 
 NEG = -(1 << 28)
+NEG16 = -(1 << 14)
+
+
+def _pick_dtype(Q: int, T: int, params: SwParams):
+    """DP accumulator dtype. Always int32 on the current toolchain.
+
+    int16 DP (2x VPU lanes/cycle, half the VMEM) fits the score range
+    easily — H in [0, A*min(Q,T)] peaks at 1024 under default scoring —
+    but the Mosaic build in this image cannot lower ANY ordered 16-bit
+    vector comparison on v5e (cmpi slt/sle/ult on i16, cmpf on bf16 and
+    f16 all fail with "Target does not support this comparison" /
+    "Unsupported type"; only eq legalizes, and arith.{maxsi,shrsi} on
+    i16 fail too — probed 2026-08, see tests/test_ops parity notes).
+    A DP recurrence without ordered compares or max has no efficient
+    encoding, so the kernel stays int32 until the toolchain catches up;
+    the kernel body below is dtype-generic and already canonicalizes
+    every compare to `<`/`==`, so flipping this function is the only
+    change needed when 16-bit compares land."""
+    return jnp.int32
 
 
 def _kernel(
-    q_ref,  # (Q, B) int32 codes
+    q_ref,  # (Q, B) acc codes (0..4)
     t_ref,  # (8, B) int32: rows d..d+7 of the transposed padded target
-    qlen_ref,  # (1, B) int32
-    tlen_ref,  # (1, B) int32
     dirs_ref,  # out block (1, Q, B) uint8 for this diagonal
-    besth_ref,  # out (Q, B) int32
-    bestt_ref,  # out (Q, B) int32
+    besth_ref,  # out (Q, B) acc
+    bestt_ref,  # out (Q, B) acc: diagonal index of the running best
     H1,
-    H2,
+    H1S,
     E1,
     F1,
     revt,
@@ -52,90 +84,112 @@ def _kernel(
     Bm: int,
     O: int,
     Eg: int,
+    acc,
 ):
     d = pl.program_id(0)
     Q, B = H1.shape
-    zero = jnp.int32(0)
-    one = jnp.int32(1)
-    neg = jnp.int32(NEG)
-    cA = jnp.int32(A)
-    cB = jnp.int32(Bm)
-    cO = jnp.int32(O)
-    cE = jnp.int32(Eg)
+    zero = acc(0)
+    one = acc(1)
+    neg = acc(NEG16 if acc == jnp.int16 else NEG)
+    cA = acc(A)
+    cB = acc(Bm)
+    cO = acc(O)
+    cE = acc(Eg)
 
     @pl.when(d == 0)
     def _init():
-        zeros = jnp.zeros((Q, B), jnp.int32)
+        zeros = jnp.zeros((Q, B), acc)
         H1[:] = zeros
-        H2[:] = zeros
-        E1[:] = jnp.full((Q, B), neg, jnp.int32)
-        F1[:] = jnp.full((Q, B), neg, jnp.int32)
-        revt[:] = zeros
+        H1S[:] = zeros
+        E1[:] = jnp.full((Q, B), neg, acc)
+        F1[:] = jnp.full((Q, B), neg, acc)
+        # revt MUST start at 4 ('N', never matches): rows the wavefront
+        # has not reached yet (t = d - q < 0) read their base from here,
+        # and a matchable stale code would let H grow ahead of the front
+        revt[:] = jnp.full((Q, B), jnp.int32(4), jnp.int32)
         besth_ref[:] = zeros
-        bestt_ref[:] = jnp.full((Q, B), jnp.int32(-1), jnp.int32)
+        bestt_ref[:] = jnp.full((Q, B), acc(-1), acc)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
-    is_row0 = row == zero
+    is_row0 = row == jnp.int32(0)
 
     def shift_down(x, fill):
-        rolled = pltpu.roll(x, shift=jnp.int32(1), axis=0)
-        return jnp.where(is_row0, fill, rolled)
+        # sublane shift by one: this Mosaic build has no 16-bit rotate,
+        # so slice + concatenate instead of pltpu.roll for acc planes
+        top = jnp.full((1, B), fill, x.dtype)
+        return jnp.concatenate([top, x[: Q - 1]], axis=0)
 
     # slide the reversed-target window and insert this diagonal's base
+    # (the revt/q planes stay int32 — their roll/compare cost is one op
+    # either way, and 32-bit keeps the rotate on the supported path)
     tcol = t_ref[pl.ds(d % 8, 1), :]  # (1, B)
-    revt_new = jnp.where(is_row0, tcol, pltpu.roll(revt[:], shift=jnp.int32(1), axis=0))
+    revt_new = jnp.where(is_row0, tcol, pltpu.roll(revt[:], shift=1, axis=0))
     revt[:] = revt_new
 
+    # every max below is written as compare+select (Mosaic has no 16-bit
+    # arith.maxsi on this build) and every acc-domain comparison is
+    # canonicalized to `<` or `==` (only slt/eq legalize for i16 here;
+    # sle/sge/sgt do not) — the compare results double as the direction
+    # bits the traceback needs anyway
     h1 = H1[:]
     Hm1s = shift_down(h1, zero)
     Em1s = shift_down(E1[:], neg)
     e_open = Hm1s - cO
     e_ext_v = Em1s - cE
-    E = jnp.maximum(e_open, e_ext_v)
-    e_is_ext = e_open <= e_ext_v
+    e_opn_w = e_ext_v < e_open  # open strictly wins
+    E = jnp.where(e_opn_w, e_open, e_ext_v)
+    e_is_ext = ~e_opn_w
 
     f_open = h1 - cO
     f_ext_v = F1[:] - cE
-    F = jnp.maximum(f_open, f_ext_v)
-    f_is_ext = f_open <= f_ext_v
+    f_opn_w = f_ext_v < f_open
+    F = jnp.where(f_opn_w, f_open, f_ext_v)
+    f_is_ext = ~f_opn_w
 
-    Hm2s = shift_down(H2[:], zero)
-    qv = q_ref[:]
-    sub = jnp.where((qv == revt_new) & (qv < jnp.int32(4)), cA, -cB)
+    # H(q-1, t-1) = diagonal d-2 shifted = the Hm1s this kernel computed
+    # at step d-1, kept in H1S — saves one shift per step
+    Hm2s = H1S[:]
+    qv = q_ref[:]  # acc dtype
+    # compare in the acc domain: an i1 mask born under a 32-bit layout
+    # cannot feed a 16-bit select (Mosaic "invalid relayout"), so the
+    # int32 revt row converts once per step instead
+    rv = revt_new.astype(acc) if acc != jnp.int32 else revt_new
+    is_eq = qv == rv
+    sub = jnp.where(is_eq & (qv < acc(4)), cA, -cB)
     dsub = Hm2s + sub
 
-    e1 = jnp.maximum(E, zero)
-    f1 = jnp.maximum(F, zero)
-    gap1 = jnp.maximum(e1, f1)
-    H = jnp.maximum(jnp.maximum(dsub, gap1), zero)
-
-    t_vec = d - row
-    valid = (t_vec >= zero) & (t_vec < tlen_ref[:]) & (row < qlen_ref[:])
-    H = jnp.where(valid, H, zero)
-    E = jnp.where(valid, E, neg)
-    F = jnp.where(valid, F, neg)
+    e1 = jnp.where(zero < E, E, zero)
+    f1 = jnp.where(zero < F, F, zero)
+    ef_cmp = f1 < e1  # e1 > f1
+    gap1 = jnp.where(ef_cmp, e1, f1)
+    d_cmp = ~(dsub < gap1)  # dsub >= gap1
+    hm = jnp.where(d_cmp, dsub, gap1)
+    h_pos = zero < hm
+    H = jnp.where(h_pos, hm, zero)
 
     h_src = jnp.where(
-        H == zero,
+        ~h_pos,
         zero,
-        jnp.where(dsub >= gap1, one, jnp.where(e1 > f1, jnp.int32(2), jnp.int32(3))),
+        jnp.where(d_cmp, one, jnp.where(ef_cmp, acc(2), acc(3))),
     )
     dirs = (
         h_src
-        | (e_is_ext.astype(jnp.int32) << jnp.int32(2))
-        | (f_is_ext.astype(jnp.int32) << jnp.int32(3))
+        | (e_is_ext.astype(acc) << acc(2))
+        | (f_is_ext.astype(acc) << acc(3))
         # bit 4: plain code equality ('='/'X' for the cigar) so the
         # traceback never needs the sequence planes
-        | ((qv == revt_new).astype(jnp.int32) << jnp.int32(4))
+        | (is_eq.astype(acc) << acc(4))
     )
-    dirs = jnp.where(valid, dirs, zero)
     dirs_ref[0] = dirs.astype(jnp.uint8)
 
-    upd = H > besth_ref[:]
+    upd = besth_ref[:] < H
     besth_ref[:] = jnp.where(upd, H, besth_ref[:])
-    bestt_ref[:] = jnp.where(upd, t_vec, bestt_ref[:])
+    # per-cell best target index t = d - q (fits int16: t < T <= 2048);
+    # strict > keeps the smallest t per row on score ties, matching the
+    # SSW tie-break
+    bestt_ref[:] = jnp.where(upd, (d - row).astype(acc), bestt_ref[:])
 
-    H2[:] = h1
+    H1S[:] = Hm1s
     H1[:] = H
     E1[:] = E
     F1[:] = F
@@ -159,12 +213,18 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
     T = t_t.shape[0]
     D = Q + T - 1
     Dpad = ((D + 7) // 8) * 8
+    acc = _pick_dtype(Q, T, params)
 
-    q_i32 = q_t.astype(jnp.int32)
-    t_i32 = t_t.astype(jnp.int32)
+    # enforce the never-matches padding the kernel's unmasked DP relies
+    # on: one (Q,B)+(T,B) select per batch replaces a per-diagonal
+    # validity mask inside the kernel (callers don't all pad with 4)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
+    ti = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
+    qlen_i = qlen.astype(jnp.int32)
+    tlen_i = tlen.astype(jnp.int32)
+    q_acc = jnp.where(qi < qlen_i[None, :], q_t, jnp.uint8(4)).astype(acc)
+    t_i32 = jnp.where(ti < tlen_i[None, :], t_t, jnp.uint8(4)).astype(jnp.int32)
     t_pad = jnp.pad(t_i32, ((0, Dpad - T), (0, 0)), constant_values=4)
-    qlen2 = qlen.astype(jnp.int32).reshape(1, B)
-    tlen2 = tlen.astype(jnp.int32).reshape(1, B)
 
     kernel = functools.partial(
         _kernel,
@@ -172,15 +232,14 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
         Bm=params.mismatch,
         O=params.gap_open,
         Eg=params.gap_extend,
+        acc=acc,
     )
-    dirs, best_h, best_t = pl.pallas_call(
+    dirs, best_h, best_d = pl.pallas_call(
         kernel,
         grid=(D,),
         in_specs=[
             pl.BlockSpec((Q, B), lambda d: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, B), lambda d: (d // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda d: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, Q, B), lambda d: (d, 0, 0), memory_space=pltpu.VMEM),
@@ -192,17 +251,22 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
             # can consume (8, Q, B) blocks without a pad copy; rows
             # D..Dpad-1 are never written nor stood on by walkers
             jax.ShapeDtypeStruct((Dpad, Q, B), jnp.uint8),
-            jax.ShapeDtypeStruct((Q, B), jnp.int32),
-            jax.ShapeDtypeStruct((Q, B), jnp.int32),
+            jax.ShapeDtypeStruct((Q, B), acc),
+            jax.ShapeDtypeStruct((Q, B), acc),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Q, B), jnp.int32),  # H1
-            pltpu.VMEM((Q, B), jnp.int32),  # H2
-            pltpu.VMEM((Q, B), jnp.int32),  # E1
-            pltpu.VMEM((Q, B), jnp.int32),  # F1
+            pltpu.VMEM((Q, B), acc),  # H1
+            pltpu.VMEM((Q, B), acc),  # H1S (prev step's shifted H1)
+            pltpu.VMEM((Q, B), acc),  # E1
+            pltpu.VMEM((Q, B), acc),  # F1
             pltpu.VMEM((Q, B), jnp.int32),  # revt
         ],
-    )(q_i32, t_pad, qlen2, tlen2)
+    )(q_acc, t_pad)
+
+    best_h = best_h.astype(jnp.int32)
+    # the kernel stores t = d - q per cell (fits int16: t < T <= 2048);
+    # -1 marks "never updated"
+    best_t = best_d.astype(jnp.int32)
 
     # SSW global tie-break: max score, then min t, then min q
     score = jnp.max(best_h, axis=0)  # (B,)
@@ -213,7 +277,7 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
     q_end = jnp.argmax(is_best & (best_t == t_end[None, :]), axis=0).astype(jnp.int32)
     # dirs stay in their native (D, Q, B) layout — transposing 50MB of
     # uint8 on-device costs more than the whole DP
-    return score, t_end, q_end, dirs, q_i32, t_i32
+    return score, t_end, q_end, dirs, q_t.astype(jnp.int32), t_t.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -79,6 +79,7 @@ class NativePipeline:
         read_group_id: str = "",
         use_device: bool = True,
         batch_size: int = 512,
+        kernel: str = "auto",
     ):
         self.engine = NativeEngine(
             index, index_parameters, references, aln_params, map_param,
@@ -96,6 +97,14 @@ class NativePipeline:
 
             from ..ops.sw_jax import SwParams
 
+            # kernel="auto": Pallas on real accelerators, the portable
+            # lax.scan twin (ops/extend_portable.py, byte-identical
+            # outputs) on CPU backends — which is what lets the device
+            # dispatch path run on virtual CPU meshes in tests/dryruns
+            if kernel == "auto":
+                kernel = ("portable" if jax.devices()[0].platform == "cpu"
+                          else "pallas")
+            self.kernel = kernel
             self._sw = SwParams(
                 aln_params.match, aln_params.mismatch, aln_params.gap_open,
                 aln_params.gap_extend,
@@ -122,16 +131,21 @@ class NativePipeline:
         gathers targets from that device's resident reference copy."""
         import jax
 
-        from ..ops.extend_device import extend_batch_packed_resident_q2
+        if self.kernel == "portable":
+            from ..ops.extend_portable import (
+                extend_batch_packed_resident_q2_portable as extend_fn,
+            )
+        else:
+            from ..ops.extend_device import (
+                extend_batch_packed_resident_q2 as extend_fn,
+            )
 
         di = 0
         if len(self._devices) > 1:
             di = self._next_dev % len(self._devices)
             self._next_dev += 1
             buf = jax.device_put(buf, self._devices[di])
-        return extend_batch_packed_resident_q2(
-            buf, self._ref_codes[di], Q, T, self._sw, sub
-        )
+        return extend_fn(buf, self._ref_codes[di], Q, T, self._sw, sub)
 
     # --- two-phase API (callers drive the cross-chunk pipelining) -------
 
@@ -337,10 +351,12 @@ class ThreadedNativePipeline:
         batch_size: int = 512,
         n_workers: int = 3,
         queue_depth: int = 8,
+        kernel: str = "auto",
     ):
         self._mk = lambda: NativePipeline(
             index, index_parameters, references, aln_params, map_param,
             read_group_id, use_device=use_device, batch_size=batch_size,
+            kernel=kernel,
         )
         self.n_workers = max(1, n_workers)
         self.queue_depth = queue_depth

@@ -280,10 +280,13 @@ def test_engine_synthetic_device_results(world):
                         runs[-1][1] += 1
                     else:
                         runs.append([v, 1])
+                # runs live at slots [M - n_runs, M) in forward order
+                # (tb_pallas descending-slot layout)
+                off = RLE_M - min(len(runs), RLE_M)
                 for r, (v, ln) in enumerate(runs[:RLE_M]):
-                    out[r, col] = v
-                    out[RLE_M + r, col] = ln & 0xFF
-                    out[2 * RLE_M + r, col] = (ln >> 8) & 0xFF
+                    out[off + r, col] = v
+                    out[RLE_M + off + r, col] = ln & 0xFF
+                    out[2 * RLE_M + off + r, col] = (ln >> 8) & 0xFF
                 n_runs = len(runs) if len(runs) <= RLE_M else 0xFFFF
                 vals = [
                     res.score1, res.ref_end, res.read_end,
@@ -305,13 +308,12 @@ def test_engine_synthetic_device_results(world):
 def test_engine_device_parity(world):
     """Device-dispatched extension must match the host-resolved engine
     byte for byte (validation + end-bonus post-processing identical).
-    Needs a real TPU (pallas kernels do not run on the CPU backend); the
-    same parity holds there — see also the synthetic test above."""
+    On the CPU test mesh this drives the portable kernel round-robined
+    over all 8 virtual devices with per-device resident reference pages
+    — the multi-chip production dispatch path; on a real TPU (run with
+    RABBITSALIGN_TPU_TEST_TPU=1) the same run uses the Pallas kernels."""
     import jax
     import numpy as np
-
-    if jax.devices()[0].platform == "cpu":
-        pytest.skip("pallas extend path needs a TPU")
 
     from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
 
@@ -320,17 +322,30 @@ def test_engine_device_parity(world):
     mp.rescue_cutoff = min(2 * world[3].filter_cutoff, 1000)
     chunks = _pe_chunks(world, n=300, chunk=150)
 
+    dispatched = []
+
     def run(use_device):
         pipe = NativePipeline(world[3], world[2], world[1], ap, mp,
                               use_device=use_device)
+        if jax.devices()[0].platform == "cpu":
+            # small batches so several dispatches round-robin across the
+            # virtual devices (on TPU keep the production bucket shapes —
+            # every distinct batch width is a fresh ~30 s compile)
+            pipe.batch_size = 64
+        pipe.engine.MIN_DEVICE_JOBS = 1
         texts = []
         pipe.map_all(
             ((ci, a, b, c) for ci, (a, b, c) in enumerate(chunks)),
             texts.append,
         )
+        if use_device:
+            dispatched.append(pipe._next_dev)
         return b"".join(texts)
 
     assert run(False) == run(True)
+    if len(jax.devices()) > 1:
+        # the round-robin actually visited multiple devices
+        assert dispatched[0] >= 2
 
 
 def test_native_index_build_matches_numpy(world):

@@ -118,3 +118,113 @@ def test_dumpstrobes_tool(tmp_path):
     assert len(lines) > 100
     f = lines[0].split("\t")
     assert f[0] == "c" and int(f[2]) > int(f[1])
+
+
+def _extend_parity_pairs(Q, T):
+    """Random extend pairs incl. junk, empty, and a >RLE_M-run overflow
+    case — shared by the Pallas (TPU) and portable (CPU) parity tests."""
+    r = random.Random(77)
+    pairs = []
+    for i in range(40):
+        core = random_dna(r.randint(60, 200), seed=900 + i)
+        q = _mutate(core, r, r.randint(0, 6), r.randint(0, 2), r.randint(0, 2))[:Q]
+        t = (random_dna(r.randint(0, 100), seed=i) + core
+             + random_dna(r.randint(0, 100), seed=i + 1))[:T]
+        pairs.append((q, t))
+    pairs.append((random_dna(150, seed=1), random_dna(400, seed=2)))  # junk
+    pairs.append(("", random_dna(100, seed=3)))  # empty query
+    pairs.append((random_dna(100, seed=5), ""))  # empty target
+    # overflow: a mismatch every 7th base keeps the local score climbing
+    # (+12 - 8 per period) while generating ~2 runs per period -> >64 runs
+    t_ov = random_dna(480, seed=6)
+    q_ov = "".join(
+        ("A" if t_ov[i] != "A" else "C") if i % 7 == 3 else t_ov[i]
+        for i in range(252)
+    )
+    pairs.append((q_ov, t_ov))
+    # pad the batch to a lane-aligned width (the engine always dispatches
+    # full 256/512-wide buckets; unaligned lane counts are unsupported)
+    while len(pairs) % 128:
+        pairs.append(("", ""))
+    return pairs
+
+
+def _check_extend_parity(pairs, Q, T, out):
+    """Compare a packed device/portable extend output against the
+    sw_jax + host-traceback golden."""
+    from rabbitsalign_tpu.ops.extend_device import (
+        RLE_M,
+        ops_to_cigars,
+        unpack_output,
+    )
+
+    qc, tc, ql, tl = _pack(pairs, Q, T)
+    score_g, t_end_g, q_end_g, dirs_g = map(
+        np.asarray, sw_forward(qc, tc, ql, tl, PARAMS)
+    )
+    golden_tb = traceback_batch(dirs_g, score_g, t_end_g, q_end_g, qc, tc)
+
+    (op_runs, len_runs, n_runs, score, t_end, q_end, t_begin, q_begin,
+     edits) = unpack_output(out)
+    cigars = ops_to_cigars(op_runs, len_runs, n_runs, score)
+
+    saw_overflow = False
+    for b in range(len(pairs)):
+        assert score[b] == score_g[b], (b, score[b], score_g[b])
+        if score_g[b] == 0:
+            assert golden_tb[b] is None
+            continue
+        assert t_end[b] == t_end_g[b] and q_end[b] == q_end_g[b], b
+        gt_begin, gq_begin, gcigar, gedits = golden_tb[b]
+        if int(n_runs[b]) == 0xFFFF:
+            saw_overflow = True
+            assert len(gcigar.ops) > RLE_M  # genuine overflow
+            assert cigars[b] is None
+            continue
+        assert t_begin[b] == gt_begin and q_begin[b] == gq_begin, b
+        assert edits[b] == gedits, b
+        assert cigars[b] is not None, b
+        assert str(cigars[b][0]) == str(gcigar), b
+    assert saw_overflow, "overflow case must exercise the 0xFFFF marker"
+
+
+def test_portable_extend_matches_host_traceback():
+    """The portable (lax.scan) fused extend path — forward + in-walk RLE
+    traceback + packed output — must match the host traceback golden on
+    CPU. This is the cross-check that also validates the Pallas
+    traceback *semantics* without a TPU (the kernels share the walk and
+    slot layout)."""
+    from rabbitsalign_tpu.ops.extend_device import pack_input
+    from rabbitsalign_tpu.ops.extend_portable import extend_batch_packed_portable
+
+    Q, T = 256, 512
+    pairs = _extend_parity_pairs(Q, T)
+    qc, tc, ql, tl = _pack(pairs, Q, T)
+    buf = pack_input(
+        np.ascontiguousarray(qc.T), np.ascontiguousarray(tc.T), ql, tl
+    )
+    out = np.asarray(extend_batch_packed_portable(buf, Q, T, PARAMS))
+    _check_extend_parity(pairs, Q, T, out)
+
+
+def test_pallas_extend_matches_sw_jax_tpu():
+    """Fused Pallas extend (int16 DP forward + in-walk RLE traceback)
+    must reproduce the portable sw_jax + host-traceback golden exactly:
+    scores, end/begin coordinates, cigars, edit counts, and the >RLE_M
+    overflow marker. Needs a real TPU (run with
+    RABBITSALIGN_TPU_TEST_TPU=1)."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("pallas extend path needs a TPU")
+
+    from rabbitsalign_tpu.ops.extend_device import extend_batch_packed, pack_input
+
+    Q, T = 256, 512  # the production high-volume bucket shape
+    pairs = _extend_parity_pairs(Q, T)
+    qc, tc, ql, tl = _pack(pairs, Q, T)
+    buf = pack_input(
+        np.ascontiguousarray(qc.T), np.ascontiguousarray(tc.T), ql, tl
+    )
+    out = np.asarray(extend_batch_packed(buf, Q, T, PARAMS))
+    _check_extend_parity(pairs, Q, T, out)

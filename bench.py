@@ -1,20 +1,28 @@
 #!/usr/bin/env python
 """Round benchmark: end-to-end read mapping throughput on one chip.
 
-Simulates a 1 Mbp genome and 150 bp single-end reads (2% SNPs + indels,
-25% reverse-complemented, 2% unmappable), builds the strobemer index,
-maps through the production two-phase pipeline (TPU batched extension
-when a TPU is present, host SSW otherwise) and reports reads/sec.
+Two configs, mirroring BASELINE.md's staged targets:
+
+* SE (headline): 1 Mbp genome, 48k x 150 bp single-end reads (2% SNPs +
+  indels, 25% reverse-complemented, 2% unmappable) through the
+  production two-phase pipeline (TPU batched extension when a TPU is
+  present, host SSW otherwise). Best of 5 (the host<->device tunnel
+  latency here swings 2-3x between minutes).
+* PE at scale: 40 Mbp genome (chr21-class), 2x150 bp pairs with a
+  N(300, 60) insert distribution, mate rescue and proper-pair flags
+  exercised. Best of 3; reported on stderr and as pe_* keys.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/BASELINE}
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/BASELINE,
+   "pe_value": N, ...}
 
 BASELINE = 100_000 reads/s — an estimate of RabbitSAlign's single-node
 GPU-assisted throughput for short single-end reads (the reference
 publishes no hard numbers; its README claims ~2x strobealign,
 /root/reference/README.md:3, and strobealign maps a few hundred thousand
-reads/s on a full multicore node). Secondary numbers (SW kernel cell
-rate, extension batch stats) go to stderr.
+reads/s on a full multicore node — this box has ONE core and a ~25 ms
+device tunnel). Secondary numbers (phase timers, SW kernel cell rate)
+go to stderr.
 """
 
 import json
@@ -26,12 +34,21 @@ import numpy as np
 
 BASELINE_READS_PER_SEC = 100_000.0
 
-GENOME_MB = 1.0
-N_READS = 48000
+N_SE_READS = 48000
+N_PE_PAIRS = 24000
 READ_LEN = 150
+PE_GENOME_MB = 40.0
 
 
-def simulate(genome: str, n: int, seed: int = 7):
+def np_genome(n: int, seed: int) -> str:
+    """Fast random genome via numpy (Python joins are minutes at 40Mbp)."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 4, n, dtype=np.uint8).tobytes().translate(
+        bytes.maketrans(bytes(range(4)), b"ACGT")
+    ).decode()
+
+
+def simulate_se(genome: str, n: int, seed: int = 7):
     rng = random.Random(seed)
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     reads = []
@@ -58,122 +75,192 @@ def simulate(genome: str, n: int, seed: int = 7):
     return reads
 
 
-def main() -> None:
-    import jax
+def simulate_pe(genome: str, n: int, seed: int = 13):
+    rng = random.Random(seed)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    out1, out2 = [], []
+    for i in range(n):
+        st = rng.randrange(0, len(genome) - 900)
+        insert = max(180, min(800, int(rng.gauss(300, 60))))
+        f1 = genome[st : st + READ_LEN]
+        f2 = "".join(
+            comp[c] for c in reversed(genome[st + insert - READ_LEN : st + insert])
+        )
 
-    from rabbitsalign_tpu.align.aligner import AlignmentParameters
+        def mut(s):
+            ch = list(s)
+            for _ in range(rng.randrange(0, 4)):
+                p = rng.randrange(len(ch))
+                ch[p] = rng.choice("ACGT")
+            return "".join(ch)
+
+        f1, f2 = mut(f1), mut(f2)
+        kind = i % 50
+        if kind == 1:  # unmappable mate -> rescue path
+            f2 = "".join(rng.choice("ACGT") for _ in range(READ_LEN))
+        if kind == 3:  # indel -> gapped device extension
+            cut = rng.randrange(40, 100)
+            g = rng.randrange(1, 6)
+            f1 = genome[st : st + cut] + genome[st + cut + g : st + READ_LEN + g]
+        out1.append(f1)
+        out2.append(f2)
+    return out1, out2
+
+
+def write_fastq(path, reads, prefix):
+    with open(path, "wb") as f:
+        for i, rd in enumerate(reads):
+            f.write(b"@" + f"{prefix}{i}".encode() + b"\n" + rd.encode() +
+                    b"\n+\n" + b"I" * len(rd) + b"\n")
+
+
+def build_index(genome: str, name: str):
     from rabbitsalign_tpu.index.params import IndexParameters
     from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
     from rabbitsalign_tpu.io.fasta import References
-    from rabbitsalign_tpu.io.sam import SamRecord
-    from rabbitsalign_tpu.map.common import MappingParameters
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform not in ("cpu",)
-    print(f"bench: platform={platform} devices={jax.devices()}", file=sys.stderr)
-
-    rng = random.Random(1234)
-    genome = "".join(rng.choice("ACGT") for _ in range(int(GENOME_MB * 1e6)))
     refs = References()
-    refs.add("chr1", genome.encode())
-
+    refs.add(name, genome.encode())
     params = IndexParameters.from_read_length(READ_LEN)
     t0 = time.perf_counter()
     index = StrobemerIndex(refs, params)
     index.populate(0.0002)
     print(f"bench: index build {time.perf_counter() - t0:.2f}s "
-          f"({len(index)} randstrobes)", file=sys.stderr)
+          f"({len(index)} randstrobes, {len(genome)/1e6:.0f} Mbp)",
+          file=sys.stderr)
+    return refs, params, index
 
-    reads = simulate(genome, N_READS)
-    records = [SamRecord(f"r{i}", rd.encode(), b"I" * len(rd)) for i, rd in enumerate(reads)]
+
+def run_config(tag, refs, params, index, on_tpu, path1, path2, n_passes):
+    from rabbitsalign_tpu.align.aligner import AlignmentParameters
+    from rabbitsalign_tpu.map.common import MappingParameters
+    from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
 
     aln_params = AlignmentParameters()
     map_param = MappingParameters(r=READ_LEN)
     map_param.rescue_cutoff = min(map_param.rescue_level * index.filter_cutoff, 1000)
 
-    from rabbitsalign_tpu.pipeline.native_pipeline import (
-        NativePipeline,
-        native_pipeline_available,
-    )
-
-    assert native_pipeline_available(), "native engine must build for bench"
-    chunk_size = 4000
-
-    # drive the production input path: FASTQ file -> native chunked
-    # reader -> engine (zero-copy), like a real CLI run
-    import os
-    import tempfile
-
-    fq = tempfile.NamedTemporaryFile(
-        "wb", suffix=".fq", delete=False, dir="/tmp"
-    )
-    for rec in records:
-        fq.write(b"@" + rec.name.encode() + b"\n" + rec.seq + b"\n+\n" +
-                 rec.qual + b"\n")
-    fq.close()
-
     sink = []
-
-    # warmup (compiles device kernels per bucket shape; excluded from timing)
+    chunk_size = 4000
+    # warmup (compiles device kernels per bucket shape; excluded)
     warm = NativePipeline(index, params, refs, aln_params, map_param,
                           use_device=on_tpu)
-    warm.map_file(fq.name, "", False, chunk_size, sink.append)
+    warm.map_file(path1, path2, False, chunk_size, sink.append)
 
-    # best of 5 passes (the shared host and device link are noisy)
-    reads_per_sec = 0.0
-    for _ in range(5):
+    best = 0.0
+    last = None
+    for _ in range(n_passes):
         pipeline = NativePipeline(index, params, refs, aln_params, map_param,
                                   use_device=on_tpu)
         t0 = time.perf_counter()
-        n_mapped = pipeline.map_file(fq.name, "", False, chunk_size, sink.append)
+        n_mapped = pipeline.map_file(path1, path2, False, chunk_size, sink.append)
         elapsed = time.perf_counter() - t0
-        reads_per_sec = max(reads_per_sec, n_mapped / elapsed)
+        best = max(best, n_mapped / elapsed)
+        last = pipeline
         c = pipeline.counters()
-        print(
-            f"bench: mapped {n_mapped} reads in {elapsed:.2f}s; "
-            f"aligner calls={c['aligner_calls']} fallbacks={c['fallbacks']}",
-            file=sys.stderr,
-        )
-    os.unlink(fq.name)
+        print(f"bench[{tag}]: mapped {n_mapped} reads in {elapsed:.2f}s "
+              f"({n_mapped/elapsed:,.0f} reads/s); aligner calls="
+              f"{c['aligner_calls']} fallbacks={c['fallbacks']}",
+              file=sys.stderr)
+    t = last.engine.timers()
+    print(f"bench[{tag}]: timers seed+nam={t['seed_nam_s']:.2f}s "
+          f"phaseA={t['phase_a_s']:.2f}s hostalign={t['host_align_s']:.2f}s "
+          f"phaseB={t['phase_b_s']:.2f}s (last pass)", file=sys.stderr)
+    return best
 
-    # secondary: device SW kernel cell rate, measured device-resident
-    # (the host<->device tunnel latency is reported separately by the
-    # end-to-end number above, where it overlaps with host seeding)
+
+def kernel_microbench():
+    """Device-resident cell rate of the fused extend program, measured
+    with K chained in-jit iterations (single dispatches over the axon
+    tunnel are link-bound, not compute-bound)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rabbitsalign_tpu.ops.extend_device import (
+        _extend_batch_packed_body,
+        pack_input,
+    )
+    from rabbitsalign_tpu.ops.sw_jax import SwParams
+
+    sw = SwParams(2, 8, 12, 1)
+    B, Q, T = 512, 256, 512
+    K = 16
+    r2 = np.random.RandomState(0)
+    q_t = r2.randint(0, 4, (Q, B)).astype(np.uint8)
+    t_t = r2.randint(0, 4, (T, B)).astype(np.uint8)
+
+    with jax.enable_x64(False):
+        buf = jax.device_put(pack_input(
+            q_t, t_t, np.full(B, 150, np.int32), np.full(B, 250, np.int32)))
+
+        @jax.jit
+        def chain(b0):
+            def it(i, acc):
+                b = b0.at[0, 0].set((i % 4).astype(jnp.uint8))
+                return acc + _extend_batch_packed_body(b, Q, T, sw)[:8].astype(jnp.int32)
+            return jax.lax.fori_loop(0, K, it, jnp.zeros((8, B), jnp.int32))
+
+        np.asarray(chain(buf))
+        t0 = time.perf_counter()
+        np.asarray(chain(buf))
+        dt = (time.perf_counter() - t0) / K
+    padded = B * Q * T / dt
+    print(f"bench: SW extend program {padded/1e9:.1f} Gcells/s padded "
+          f"({B} pairs in {dt*1e3:.2f} ms, fwd+traceback+RLE, "
+          f"device-resident, {K} chained iterations)", file=sys.stderr)
+
+
+def main() -> None:
+    import os
+    import tempfile
+
+    import jax
+
+    from rabbitsalign_tpu.pipeline.native_pipeline import native_pipeline_available
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    print(f"bench: platform={platform} devices={jax.devices()}", file=sys.stderr)
+    assert native_pipeline_available(), "native engine must build for bench"
+
+    tmp = tempfile.mkdtemp(prefix="rsb_", dir="/tmp")
+
+    # --- SE headline: 1 Mbp, 48k reads ---------------------------------
+    genome = np_genome(1_000_000, 1234)
+    refs, params, index = build_index(genome, "chr1")
+    se_path = os.path.join(tmp, "se.fq")
+    write_fastq(se_path, simulate_se(genome, N_SE_READS), "r")
+    se_rps = run_config("SE", refs, params, index, on_tpu, se_path, "", 5)
+
+    # --- PE at scale: 40 Mbp, 24k pairs --------------------------------
+    genome_pe = np_genome(int(PE_GENOME_MB * 1e6), 4321)
+    refs2, params2, index2 = build_index(genome_pe, "chr21")
+    r1, r2 = simulate_pe(genome_pe, N_PE_PAIRS)
+    p1 = os.path.join(tmp, "r1.fq")
+    p2 = os.path.join(tmp, "r2.fq")
+    write_fastq(p1, r1, "p")
+    write_fastq(p2, r2, "q")
+    pe_rps = run_config("PE", refs2, params2, index2, on_tpu, p1, p2, 3)
+
     if on_tpu:
         try:
-            from rabbitsalign_tpu.ops.extend_device import (
-                _extend_batch_packed,
-                pack_input,
-            )
-            from rabbitsalign_tpu.ops.sw_jax import SwParams
-
-            sw = SwParams(2, 8, 12, 1)
-            B, Q, T = 512, 256, 512
-            r2 = np.random.RandomState(0)
-            q_t = r2.randint(0, 4, (Q, B)).astype(np.uint8)
-            t_t = r2.randint(0, 4, (T, B)).astype(np.uint8)
-            buf = jax.device_put(pack_input(
-                q_t, t_t, np.full(B, 150, np.int32), np.full(B, 250, np.int32)))
-            with jax.enable_x64(False):
-                jax.block_until_ready(_extend_batch_packed(buf, Q, T, sw))
-                t0 = time.perf_counter()
-                N = 50
-                for _ in range(N):
-                    out = _extend_batch_packed(buf, Q, T, sw)
-                jax.block_until_ready(out)
-                dt = (time.perf_counter() - t0) / N
-            padded = B * Q * T / dt
-            print(f"bench: SW extend program {padded/1e9:.1f} Gcells/s padded "
-                  f"({B} pairs in {dt*1e3:.2f} ms, fwd+traceback+pack, "
-                  f"device-resident)", file=sys.stderr)
+            kernel_microbench()
         except Exception as e:  # pragma: no cover
             print(f"bench: kernel microbench skipped: {e}", file=sys.stderr)
 
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
     print(json.dumps({
         "metric": "reads/sec/chip (SE 150bp simulated vs 1Mbp ref, end-to-end)",
-        "value": round(reads_per_sec, 1),
+        "value": round(se_rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 4),
+        "vs_baseline": round(se_rps / BASELINE_READS_PER_SEC, 4),
+        "pe_metric": "reads/sec/chip (PE 2x150bp simulated vs 40Mbp ref)",
+        "pe_value": round(pe_rps, 1),
     }))
 
 

@@ -212,7 +212,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     elif args.interleaved:
         opt.is_SE = False
 
-    opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 512
+    opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 1024
     opt.use_tpu = not args.no_tpu
     opt.profile_dir = args.profile
     opt.num_nodes = args.num_nodes

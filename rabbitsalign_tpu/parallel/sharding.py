@@ -9,11 +9,16 @@ distributed backend). The TPU-native scaling design introduced here:
 * **Replicated index** (small genomes): every chip holds the full
   hash-sorted randstrobe arrays, like the reference's per-NUMA-node index
   replicas (src/main.cpp:342-360); lookups are local gathers.
-* **Sharded index** (whole-genome): the hash-sorted array is split into
-  contiguous hash ranges, one per chip. A query hash belongs to exactly
-  one shard; lookups evaluate on every chip against its local shard and
-  combine with a psum (hits are zero off-shard), so candidate routing
-  rides ICI collectives instead of host gathers.
+* **Sharded index** (whole-genome): `ShardedIndex` splits the
+  hash-sorted arrays into contiguous hash ranges — aligned to equal-hash
+  run boundaries, so every run lives on exactly one chip — and evaluates
+  the reference's FULL lookup semantics per shard: first-occurrence
+  position, equal-hash count, the repetitive filter, and the run's
+  (position, packed) records (what `add_to_hits_per_ref` walks,
+  reference src/nam.cpp:68-85, src/index.hpp:57-147). Off-shard results
+  are zero, so a psum over the mesh combines them; candidate routing
+  rides ICI collectives instead of host gathers. `chain/sharded_nams.py`
+  builds NAMs from these prefetched runs, byte-equal to the host path.
 * **Stats reduction**: per-chip AlignmentStatistics psum — the analog of
   summing per-thread stats at exit (src/main.cpp:597-615).
 """
@@ -28,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devices = jax.devices()
@@ -37,53 +44,164 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
 
 
 def shard_index_by_hash(hashes: np.ndarray, positions: np.ndarray, packed: np.ndarray,
-                        n_shards: int):
-    """Split the hash-sorted randstrobe arrays into n contiguous,
-    equal-size (padded) shards. Returns (hashes (n, m), positions (n, m),
-    packed (n, m), shard_starts (n,)) with 0xFF..F hash padding."""
+                        n_shards: int, reachable: Optional[np.ndarray] = None):
+    """Split the hash-sorted randstrobe arrays into n contiguous shards
+    whose cuts are moved DOWN to equal-hash run starts, so no run ever
+    straddles two shards (a query hash then belongs to exactly one shard
+    and per-shard counts/runs are globally correct). Shards are padded to
+    a common width with the 0xFF..F sentinel hash (which, like the
+    reference's guard entry, can shadow a genuine all-ones hash — a
+    ~1/2^64 event the reference accepts too).
+
+    Returns (hashes (n, m), positions (n, m), packed (n, m),
+    reachable (n, m) u8, shard_starts (n,))."""
     n = hashes.shape[0]
-    m = (n + n_shards - 1) // n_shards
-    pad = n_shards * m - n
-    h = np.pad(hashes, (0, pad), constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
-    p = np.pad(positions, (0, pad))
-    k = np.pad(packed, (0, pad))
-    starts = np.arange(n_shards) * m
-    return (
-        h.reshape(n_shards, m),
-        p.reshape(n_shards, m),
-        k.reshape(n_shards, m),
-        starts.astype(np.int64),
-    )
+    if reachable is None:
+        reachable = np.ones(n, dtype=np.uint8)
+    ideal = (np.arange(1, n_shards) * n) // n_shards
+    # move each cut down to the first entry of its run
+    cuts = np.searchsorted(hashes, hashes[np.minimum(ideal, n - 1)], side="left")
+    bounds = np.concatenate([[0], cuts, [n]])
+    m = int(np.max(np.diff(bounds))) if n else 1
+    h = np.full((n_shards, m), SENTINEL, dtype=np.uint64)
+    p = np.zeros((n_shards, m), dtype=positions.dtype)
+    k = np.zeros((n_shards, m), dtype=packed.dtype)
+    r = np.zeros((n_shards, m), dtype=np.uint8)
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        h[s, : hi - lo] = hashes[lo:hi]
+        p[s, : hi - lo] = positions[lo:hi]
+        k[s, : hi - lo] = packed[lo:hi]
+        r[s, : hi - lo] = reachable[lo:hi]
+    return h, p, k, r, bounds[:-1].astype(np.int64)
 
 
-def sharded_find(mesh: Mesh, hash_shards, shard_starts, queries):
-    """Distributed index lookup: every chip searches its hash-range shard
-    for the (replicated) query hashes; exactly one shard can contain each
-    hash, so a psum combines the per-shard answers.
+def _bucket_reachable(index) -> np.ndarray:
+    """Per-entry flag: would StrobemerIndex.find locate this entry's run?
 
-    Returns global first-occurrence positions (int64, -1 if absent).
-    """
-    axis = mesh.axis_names[0]
+    The reference's bucket table has a quirk (its first bucket does not
+    cover the run of the globally smallest hash; see
+    StrobemerIndex.find/_build_buckets), so exact-parity lookups must
+    reject entries whose run start falls outside its bucket's range."""
+    hashes = index.hashes
+    n = hashes.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    first = np.searchsorted(hashes, hashes, side="left")
+    tops = (hashes >> np.uint64(64 - index.bits)).astype(np.int64)
+    lo = index.randstrobe_start_indices[tops].astype(np.int64)
+    hi = index.randstrobe_start_indices[tops + 1].astype(np.int64)
+    return ((first >= lo) & (first < hi)).astype(np.uint8)
 
-    def local_find(h_shard, start, q):
-        # h_shard arrives as (1, m) (local block of the sharded axis)
-        h_shard = h_shard[0]
-        pos = jnp.searchsorted(h_shard, q)
-        in_range = pos < h_shard.shape[0]
-        safe = jnp.where(in_range, pos, 0)
-        found = in_range & (h_shard[safe] == q)
-        local = jnp.where(found, pos + start[0], 0)
-        hit = jnp.where(found, 1, 0)
-        total = jax.lax.psum(local, axis)
-        nhit = jax.lax.psum(hit, axis)
-        return jnp.where(nhit > 0, total, -1)
 
-    return jax.shard_map(
-        local_find,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P()),
-        out_specs=P(),
-    )(hash_shards, shard_starts, queries)
+class ShardedIndex:
+    """The strobemer index hash-sharded across a device mesh with the
+    full `StrobemerIndex::find` lookup semantics evaluated on-device.
+
+    This is the whole-genome scale-out design the reference lacks: each
+    chip stores 1/n of the hash-sorted arrays; a lookup batch is
+    replicated to all chips, each searches its shard (binary search +
+    run gather, zeros off-shard), and a psum combines the answers."""
+
+    def __init__(self, mesh: Mesh, index, n_shards: Optional[int] = None):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        n_shards = n_shards or mesh.devices.size
+        h, p, k, r, starts = shard_index_by_hash(
+            index.hashes, index.positions, index.packed, n_shards,
+            _bucket_reachable(index),
+        )
+        sh2 = NamedSharding(mesh, P(self.axis, None))
+        sh1 = NamedSharding(mesh, P(self.axis))
+        self.hashes = jax.device_put(h, sh2)
+        self.positions = jax.device_put(p, sh2)
+        self.packed = jax.device_put(k, sh2)
+        self.reachable = jax.device_put(r, sh2)
+        self.starts = jax.device_put(starts, sh1)
+        self.filter_cutoff = int(index.filter_cutoff)
+        self._k = index.k()
+        self._find = None
+
+    def k(self) -> int:
+        return self._k
+
+    def find_runs(self, keys: np.ndarray, cap: int):
+        """Full distributed lookup for a batch of query hashes.
+
+        Returns a dict of numpy arrays:
+          position  (NQ,)  int64  — global first-occurrence index, -1 if
+                                    absent (== StrobemerIndex.find)
+          count     (NQ,)  int64  — equal-hash run length
+                                    (== get_count at that position)
+          filtered  (NQ,)  bool   — count > filter_cutoff
+                                    (== is_filtered at that position)
+          run_positions (NQ, cap) uint32 — the run's strobe1 positions
+          run_packed    (NQ, cap) uint32 — the run's (ref_id<<8|offset)
+        Run rows beyond min(count, cap) are zero; callers that may walk
+        runs longer than `cap` must re-fetch with a larger cap (find_nams
+        only walks unfiltered runs, so cap=filter_cutoff is exact)."""
+        if self._find is None or self._find[0] != cap:
+            self._find = (cap, self._build(cap))
+        keys = np.ascontiguousarray(np.asarray(keys, dtype=np.uint64))
+        found_n, gpos, count, runp, runk = self._find[1](
+            self.hashes, self.positions, self.packed, self.reachable,
+            self.starts, keys,
+        )
+        found = np.asarray(found_n) > 0
+        return {
+            "position": np.where(found, np.asarray(gpos), -1).astype(np.int64),
+            "count": np.asarray(count).astype(np.int64),
+            "filtered": np.asarray(count).astype(np.int64) > self.filter_cutoff,
+            "run_positions": np.asarray(runp),
+            "run_packed": np.asarray(runk),
+        }
+
+    def _build(self, cap: int):
+        axis = self.axis
+
+        def local(h_sh, p_sh, k_sh, r_sh, start, q):
+            h = h_sh[0]
+            pos_arr = p_sh[0]
+            pk_arr = k_sh[0]
+            reach = r_sh[0]
+            m = h.shape[0]
+            lo = jnp.searchsorted(h, q, side="left")
+            hi = jnp.searchsorted(h, q, side="right")
+            in_r = lo < m
+            safe = jnp.where(in_r, lo, 0)
+            found = in_r & (h[safe] == q) & (reach[safe] > 0)
+            count = jnp.where(found, hi - lo, 0)
+            rows = jnp.arange(cap)
+            idx = jnp.minimum(safe[:, None] + rows[None, :], m - 1)
+            valid = found[:, None] & (rows[None, :] < count[:, None])
+            runp = jnp.where(valid, pos_arr[idx], 0)
+            runk = jnp.where(valid, pk_arr[idx], 0)
+            gpos = jnp.where(found, lo + start[0], 0)
+            return (
+                jax.lax.psum(found.astype(jnp.int32), axis),
+                jax.lax.psum(gpos.astype(jnp.int64), axis),
+                jax.lax.psum(count.astype(jnp.int64), axis),
+                jax.lax.psum(runp, axis),
+                jax.lax.psum(runk, axis),
+            )
+
+        return jax.jit(jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(self.axis, None), P(self.axis, None),
+                      P(self.axis, None), P(self.axis, None),
+                      P(self.axis), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+        ))
+
+
+def sharded_find(mesh: Mesh, index, queries, cap: Optional[int] = None):
+    """Distributed StrobemerIndex.find over a mesh (convenience wrapper
+    around ShardedIndex for one-off lookups): returns global
+    first-occurrence positions (int64, -1 if absent), matching
+    StrobemerIndex.find including the bucket-table quirk."""
+    si = ShardedIndex(mesh, index)
+    return si.find_runs(queries, cap or max(1, si.filter_cutoff))["position"]
 
 
 def data_parallel_extend(mesh: Mesh, params, q_codes, t_codes, qlen, tlen):

@@ -78,7 +78,7 @@ class NativePipeline:
         map_param,
         read_group_id: str = "",
         use_device: bool = True,
-        batch_size: int = 512,
+        batch_size: int = 1024,
         kernel: str = "auto",
     ):
         self.engine = NativeEngine(
@@ -210,7 +210,7 @@ def native_pipeline_available() -> bool:
     return engine_available()
 
 
-def prewarm_extend_programs(aln_params, batch_size: int = 512,
+def prewarm_extend_programs(aln_params, batch_size: int = 1024,
                             ref_codes=None):
     """Compile (or cache-load) the device extend programs for every
     bucket shape in a daemon thread, so the work overlaps reference
@@ -348,7 +348,7 @@ class ThreadedNativePipeline:
         map_param,
         read_group_id: str = "",
         use_device: bool = True,
-        batch_size: int = 512,
+        batch_size: int = 1024,
         n_workers: int = 3,
         queue_depth: int = 8,
         kernel: str = "auto",

@@ -76,31 +76,25 @@ def test_dryrun_multichip_cpu():
     g.dryrun_multichip(8)
 
 
-def test_sharded_find_matches_numpy():
-    import jax
+def test_shard_index_by_hash_run_alignment():
+    """Shard cuts must move to equal-hash run starts so no run straddles
+    two shards (what makes per-shard counts/runs globally exact)."""
+    from rabbitsalign_tpu.parallel.sharding import SENTINEL, shard_index_by_hash
 
-    from rabbitsalign_tpu.parallel.sharding import (
-        make_mesh,
-        shard_index_by_hash,
-        sharded_find,
-    )
-
-    if len(jax.devices()) < 4:
-        pytest.skip("needs >=4 devices")
     rng = np.random.RandomState(3)
-    n = 256
-    hashes = np.sort(rng.randint(0, 2**62, n).astype(np.uint64))
-    mesh = make_mesh(4)
-    h_sh, _, _, starts = shard_index_by_hash(
-        hashes, np.arange(n, dtype=np.uint32), np.zeros(n, np.uint32), 4
+    # heavy duplication so naive equal-size cuts would split runs
+    base = np.sort(rng.randint(0, 50, 997).astype(np.uint64))
+    h, p, k, r, starts = shard_index_by_hash(
+        base, np.arange(997, dtype=np.uint32), np.zeros(997, np.uint32), 4
     )
-    queries = np.concatenate([hashes[::5], np.array([7, 2**61], dtype=np.uint64)])
-    got = np.asarray(sharded_find(mesh, h_sh, starts, queries))
-    want_pos = np.searchsorted(hashes, queries)
-    for i, q in enumerate(queries):
-        w = int(want_pos[i])
-        expected = w if w < n and hashes[w] == q else -1
-        assert got[i] == expected
+    flat = []
+    for s_ in range(4):
+        row = h[s_][h[s_] != SENTINEL]
+        if len(flat) and row.size:
+            assert flat[-1] != row[0], "run split across shards"
+        flat.extend(row.tolist())
+    assert np.array_equal(np.array(flat, dtype=np.uint64), base)
+    assert starts[0] == 0 and np.all(np.diff(starts) >= 0)
 
 
 def test_dumpstrobes_tool(tmp_path):

@@ -131,6 +131,9 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     p.add_argument("-R", dest="R", type=int, default=None,
                    help="Rescue level [2]")
     # TPU-specific extensions
+    p.add_argument("--deterministic", action="store_true",
+                   help="Round-robin chunk handout to worker threads so "
+                        "N-thread PE output is reproducible run to run")
     p.add_argument("--tpu-batch", type=int, default=None, metavar="INT",
                    help="TPU extension batch size [512]")
     p.add_argument("--no-tpu", action="store_true",
@@ -213,6 +216,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
         opt.is_SE = False
 
     opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 1024
+    opt.deterministic = args.deterministic
     opt.use_tpu = not args.no_tpu
     opt.profile_dir = args.profile
     opt.num_nodes = args.num_nodes

@@ -2770,8 +2770,8 @@ void chunk_fill_batch_q2(void* e, void* c, const i64* idxs, i64 n_idx, i64 B,
 }
 
 // Ingest a device output buffer (ops/extend_device.py packed output):
-// RLE_M run-op rows + RLE_M length lo + RLE_M length hi, then u16 rows
-// (score, t_end, q_end, t_begin, q_begin, edits, n_runs). Decodes
+// RLE_M length-lo rows + RLE_M (op << 5 | length >> 8) rows, then u16
+// rows (score, t_end, q_end, t_begin, q_begin, edits, n_runs). Decodes
 // cigars, validates, and runs the end-bonus post-processing; jobs that
 // fail validation stay unresolved and fall back to the host aligner in
 // phase B.
@@ -2783,7 +2783,7 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
     // device-RLE layout (ops/extend_device.py): M run op codes, M length
     // lo bytes, M length hi bytes, then score/t_end/q_end/t_begin/
     // q_begin/edits/n_runs as u16 (lo,hi) row pairs
-    const i64 M = 64;  // = extend_device.RLE_M
+    const i64 M = 64;  // = extend_device.RLE_M (2-byte runs)
     // device op code -> cigar op
     static const int OPMAP[5] = {-1, engine::OP_EQ, engine::OP_X, engine::OP_I,
                                  engine::OP_D};
@@ -2792,8 +2792,8 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
         i64 j = idxs[b];
         const engine::JobC& job = ch->jobs[j];
         auto u16row = [&](i64 i) -> i64 {
-            return (i64)dev[(3 * M + 2 * i) * B + b] |
-                   ((i64)dev[(3 * M + 2 * i + 1) * B + b] << 8);
+            return (i64)dev[(2 * M + 2 * i) * B + b] |
+                   ((i64)dev[(2 * M + 2 * i + 1) * B + b] << 8);
         };
         i64 score = u16row(0), t_end = u16row(1), q_end = u16row(2);
         i64 t_begin = u16row(3), q_begin = u16row(4), edits = u16row(5);
@@ -2820,9 +2820,9 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
         // the cigar back-to-front, ops/tb_pallas.py)
         i64 off = M - n_runs;
         for (i64 r = off; r < off + n_runs; ++r) {
-            u8 v = dev[r * B + b];
-            i64 len = (i64)dev[(M + r) * B + b] |
-                      ((i64)dev[(2 * M + r) * B + b] << 8);
+            u8 hi = dev[(M + r) * B + b];
+            u8 v = (u8)(hi >> 5);
+            i64 len = (i64)dev[r * B + b] | ((i64)(hi & 0x1F) << 8);
             if (!v || v > 4 || len <= 0) {
                 ok = false;
                 break;

@@ -58,15 +58,18 @@ def _extend_batch_device(q_t, t_t, qlen, tlen, params: SwParams):
 # (~10-20x fewer bytes than raw ops; raw op-stream download dominated the
 # single-core grpc serialization cost):
 #   input  (Q + T + 4, B):    q codes / t codes / qlen lo,hi / tlen lo,hi
-#   output (3*RLE_M + 14, B): run op codes [0,M), run length lo [M,2M),
-#                             run length hi [2M,3M), then score, t_end,
-#                             q_end, t_begin, q_begin, edits as u16
-#                             (lo,hi) row pairs, then n_runs u16
-#                             (0xFFFF = >M runs -> host fallback).
+#   output (2*RLE_M + 14, B): 2-byte runs — rows [0,M) length lo byte,
+#                             rows [M,2M) (op << 5) | (length >> 8)
+#                             (op 3 bits, length 13 bits; lengths cap at
+#                             T <= 2048 so 13 bits always fit) — then
+#                             score, t_end, q_end, t_begin, q_begin,
+#                             edits as u16 (lo,hi) row pairs, then
+#                             n_runs u16 (0xFFFF = >M runs -> host
+#                             fallback).
 # Runs sit at slots [M - n_runs, M) in forward cigar order (the walker
 # discovers them back-to-front and fills slots descending from M-1).
 
-OUT_ROWS = 3 * RLE_M + 14
+OUT_ROWS = 2 * RLE_M + 14
 
 REF_PAGE_BITS = 30  # 1 GiB resident-reference pages (int32-safe offsets)
 REF_PAGE_SIZE = 1 << REF_PAGE_BITS
@@ -110,14 +113,13 @@ def unpack_output(out: np.ndarray, D: int = 0):
     stability); n_runs == 0xFFFF marks an overflowed (>M-run) pair that
     the caller must re-align on the host."""
     M = RLE_M
-    op_runs = out[:M]
-    len_runs = out[M : 2 * M].astype(np.int32) | (
-        out[2 * M : 3 * M].astype(np.int32) << 8
-    )
+    hi = out[M : 2 * M].astype(np.int32)
+    op_runs = (hi >> 5).astype(np.uint8)
+    len_runs = out[:M].astype(np.int32) | ((hi & 0x1F) << 8)
     vals = []
     for i in range(7):
-        lo = out[3 * M + 2 * i].astype(np.int32)
-        hi = out[3 * M + 2 * i + 1].astype(np.int32)
+        lo = out[2 * M + 2 * i].astype(np.int32)
+        hi = out[2 * M + 2 * i + 1].astype(np.int32)
         vals.append(lo | (hi << 8))
     score, t_end, q_end, t_begin, q_begin, edits, n_runs = vals
     return (op_runs, len_runs, n_runs, score, t_end, q_end, t_begin,
@@ -142,9 +144,8 @@ def _pack_rle_output(runs_op, runs_len, score, t_end, q_end, meta):
     nr = jnp.where(n_runs > RLE_M, 0xFFFF, n_runs)
     return jnp.concatenate(
         [
-            runs_op.astype(jnp.uint8),
             (runs_len & 0xFF).astype(jnp.uint8),
-            ((runs_len >> 8) & 0xFF).astype(jnp.uint8),
+            ((runs_op << 5) | ((runs_len >> 8) & 0x1F)).astype(jnp.uint8),
             u16rows(score),
             u16rows(t_end),
             u16rows(q_end),

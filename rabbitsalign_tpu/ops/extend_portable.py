@@ -2,7 +2,7 @@
 
 Produces byte-identical packed outputs to ops/extend_device.py —
 same forward recurrence (sw_jax), same traceback walk with in-walk
-run-length encoding, same (3*RLE_M + 14, B) transfer buffer — but built
+run-length encoding, same (2*RLE_M + 14, B) transfer buffer — but built
 from `lax.scan` + vector ops only, so it runs on ANY jax backend:
 
 * CPU test meshes (the Pallas kernels need a real TPU), which is what
@@ -152,7 +152,7 @@ def traceback_rle(dirs, score, t_end, q_end):
 
 
 def _extend_portable_body(q_t, t_t, qlen, tlen, params: SwParams):
-    """(Q, B)/(T, B) u8 codes -> packed (3*RLE_M + 14, B) u8 output,
+    """(Q, B)/(T, B) u8 codes -> packed (2*RLE_M + 14, B) u8 output,
     identical to the Pallas fused path."""
     q_bq = q_t.T  # sw_forward wants (B, Q)
     t_bt = t_t.T

@@ -336,7 +336,14 @@ class ThreadedNativePipeline:
 
     Like the reference, PE output depends on which worker handled which
     chunk (insert-size history); SE output is identical for any worker
-    count.
+    count. With ``deterministic=True`` chunks are handed out round-robin
+    (worker w gets chunk indices w, w+N, w+2N, ...) instead of
+    first-free-worker, which makes PE output a pure function of
+    (input, n_workers) — repeat runs are byte-identical, at the cost of
+    head-of-line blocking when chunk costs are skewed. The reference has
+    no such mode (its assignment is scheduler-dependent,
+    /root/reference/src/pc.cpp InputBuffer); it exists here so the
+    N-worker PE path is regression-testable.
     """
 
     def __init__(
@@ -352,6 +359,7 @@ class ThreadedNativePipeline:
         n_workers: int = 3,
         queue_depth: int = 8,
         kernel: str = "auto",
+        deterministic: bool = False,
     ):
         self._mk = lambda: NativePipeline(
             index, index_parameters, references, aln_params, map_param,
@@ -360,6 +368,7 @@ class ThreadedNativePipeline:
         )
         self.n_workers = max(1, n_workers)
         self.queue_depth = queue_depth
+        self.deterministic = deterministic
         self._counters = []
         self._timers = []
 
@@ -369,7 +378,13 @@ class ThreadedNativePipeline:
 
         from ..native.engine import NativeReader
 
-        in_q: "queue.Queue" = queue.Queue(maxsize=self.queue_depth)
+        # deterministic mode: one queue per worker, chunks routed by
+        # index % n_workers; default: one shared queue, first free worker
+        if self.deterministic:
+            in_qs = [queue.Queue(maxsize=max(2, self.queue_depth // self.n_workers))
+                     for _ in range(self.n_workers)]
+        else:
+            in_qs = [queue.Queue(maxsize=self.queue_depth)]
         out_lock = threading.Condition()
         out_buf = {}
         next_out = [0]
@@ -384,7 +399,8 @@ class ThreadedNativePipeline:
                     next_out[0] += 1
                 out_lock.notify_all()
 
-        def worker():
+        def worker(wid):
+            in_q = in_qs[wid % len(in_qs)]
             pipe = self._mk()
             prev = None  # (ci, state): per-worker double buffering — the
             # device extends this worker's chunk i while it seeds i+1
@@ -427,35 +443,36 @@ class ThreadedNativePipeline:
 
         reader = NativeReader(path1, path2, interleaved, chunk_size)
         threads = [
-            threading.Thread(target=worker, daemon=True)
-            for _ in range(self.n_workers)
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.n_workers)
         ]
         for t in threads:
             t.start()
         try:
             for ci, fx, np_, ns in reader:
                 n_reads[0] += 2 * np_ + ns
+                q_i = ci % len(in_qs)
                 # bounded put that cannot deadlock if all workers died
                 while True:
                     if errors:
                         reader.free_chunk(fx)
                         break
                     try:
-                        in_q.put((ci, fx, np_, ns), timeout=1.0)
+                        in_qs[q_i].put((ci, fx, np_, ns), timeout=1.0)
                         break
                     except queue.Full:
                         continue
                 if errors:
                     break
         finally:
-            alive = [t for t in threads if t.is_alive()]
-            for _ in alive:
-                while True:
+            for w in range(self.n_workers):
+                q_i = w % len(in_qs)
+                while threads[w].is_alive():
                     try:
-                        in_q.put(None, timeout=1.0)
+                        in_qs[q_i].put(None, timeout=1.0)
                         break
                     except queue.Full:
-                        if not any(t.is_alive() for t in threads):
+                        if not threads[w].is_alive():
                             break
             for t in threads:
                 t.join(timeout=60.0)

@@ -228,7 +228,7 @@ def _map_reads(
         pipeline = NativePipeline(
             index, index_parameters, references, aln_params, map_param,
             opt.read_group_id, use_device=use_tpu,
-            batch_size=getattr(opt, "tpu_batch", 512),
+            batch_size=getattr(opt, "tpu_batch", 1024),
         )
         writer = ShardWriter(opt.output_file_name, pid, pcount)
         t0 = time.perf_counter()
@@ -262,8 +262,9 @@ def _map_reads(
             pipeline = ThreadedNativePipeline(
                 index, index_parameters, references, aln_params, map_param,
                 opt.read_group_id, use_device=use_tpu,
-                batch_size=getattr(opt, "tpu_batch", 512),
+                batch_size=getattr(opt, "tpu_batch", 1024),
                 n_workers=opt.n_threads,
+                deterministic=getattr(opt, "deterministic", False),
             )
             t0 = time.perf_counter()
             n_reads = pipeline.map_file(
@@ -275,7 +276,7 @@ def _map_reads(
             pipeline = NativePipeline(
                 index, index_parameters, references, aln_params, map_param,
                 opt.read_group_id, use_device=use_tpu,
-                batch_size=getattr(opt, "tpu_batch", 512),
+                batch_size=getattr(opt, "tpu_batch", 1024),
             )
             t0 = time.perf_counter()
             progress = _make_progress(opt, t0)

@@ -241,7 +241,7 @@ def test_engine_synthetic_device_results(world):
         for idxs, Q, T, B, sub in eng.plan_batches(ch, 64):
             buf = eng.fill_batch(ch, idxs, B, Q, T)
             D = Q + T - 1
-            out = np.zeros((3 * RLE_M + 14, B), dtype=np.uint8)
+            out = np.zeros((2 * RLE_M + 14, B), dtype=np.uint8)
             for col, j in enumerate(idxs):
                 qn = int(ch.qlens[j])
                 tn = int(ch.tlens[j])
@@ -281,24 +281,24 @@ def test_engine_synthetic_device_results(world):
                     else:
                         runs.append([v, 1])
                 # runs live at slots [M - n_runs, M) in forward order
-                # (tb_pallas descending-slot layout)
+                # (tb_pallas descending-slot layout), 2 bytes per run:
+                # length lo, then (op << 5) | (length >> 8)
                 off = RLE_M - min(len(runs), RLE_M)
                 for r, (v, ln) in enumerate(runs[:RLE_M]):
-                    out[off + r, col] = v
-                    out[RLE_M + off + r, col] = ln & 0xFF
-                    out[2 * RLE_M + off + r, col] = (ln >> 8) & 0xFF
+                    out[off + r, col] = ln & 0xFF
+                    out[RLE_M + off + r, col] = (v << 5) | ((ln >> 8) & 0x1F)
                 n_runs = len(runs) if len(runs) <= RLE_M else 0xFFFF
                 vals = [
                     res.score1, res.ref_end, res.read_end,
                     res.ref_begin, res.read_begin, edits, n_runs,
                 ]
                 for vi, v in enumerate(vals):
-                    out[3 * RLE_M + 2 * vi, col] = v & 0xFF
-                    out[3 * RLE_M + 2 * vi + 1, col] = (v >> 8) & 0xFF
+                    out[2 * RLE_M + 2 * vi, col] = v & 0xFF
+                    out[2 * RLE_M + 2 * vi + 1, col] = (v >> 8) & 0xFF
                 if col % 7 == 3:
-                    # corrupt the stream: must trigger host fallback
-                    out[:RLE_M, col] = 0
-                    out[0, col] = 1
+                    # corrupt the stream (op bits zeroed): must trigger
+                    # host fallback
+                    out[RLE_M : 2 * RLE_M, col] = 0
             eng.set_device_results(ch, out, D, np.asarray(idxs))
         texts.append(eng.chunk_b(ch))
     assert "".join(texts) == golden
@@ -516,6 +516,53 @@ def test_threaded_pipeline_pe_runs(world, tmp_path):
     # ordered by chunk: read names must appear in input order
     names = [l.split("\t")[0] for l in lines if not (int(l.split("\t")[1]) & 0x100)]
     assert names == [f"p{i}" for i in range(300) for _ in (0, 1)]
+
+
+def test_threaded_pipeline_pe_deterministic(world, tmp_path):
+    """With deterministic round-robin chunk handout, the N-worker PE
+    output is a pure function of (input, n_workers): repeat runs must be
+    byte-identical (the per-worker insert-size history is fixed by the
+    chunk routing), and 1 deterministic worker equals the sequential
+    pipeline exactly."""
+    from rabbitsalign_tpu.pipeline.native_pipeline import (
+        NativePipeline,
+        ThreadedNativePipeline,
+    )
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    r1, r2 = simulate_pe(genome, 300)
+
+    def fq(recs):
+        return b"".join(
+            f"@{r.name}\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n" for r in recs
+        )
+
+    p1 = tmp_path / "d1.fq"
+    p1.write_bytes(fq(r1))
+    p2 = tmp_path / "d2.fq"
+    p2.write_bytes(fq(r2))
+
+    def run(workers):
+        out = []
+        pipe = ThreadedNativePipeline(index, params, refs, ap, mp,
+                                      use_device=False, n_workers=workers,
+                                      deterministic=True)
+        n = pipe.map_file(str(p1), str(p2), False, 50, out.append)
+        assert n == 600
+        return b"".join(out)
+
+    a = run(3)
+    b = run(3)
+    assert a == b, "deterministic 3-worker PE runs must be byte-identical"
+
+    out_seq = []
+    pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
+    pipe.map_file(str(p1), str(p2), False, 50, out_seq.append)
+    assert run(1) == b"".join(out_seq)
 
 
 def test_multihost_shard_merge(world, tmp_path):

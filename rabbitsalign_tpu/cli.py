@@ -131,6 +131,11 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     p.add_argument("-R", dest="R", type=int, default=None,
                    help="Rescue level [2]")
     # TPU-specific extensions
+    p.add_argument("--pe-ref-async", action="store_true",
+                   help="Replicate the reference binary's async PE "
+                        "insert-size semantics exactly (per-chunk "
+                        "estimator, gather-time rescue windows) instead "
+                        "of the monolithic semantics")
     p.add_argument("--deterministic", action="store_true",
                    help="Round-robin chunk handout to worker threads so "
                         "N-thread PE output is reproducible run to run")
@@ -217,6 +222,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
 
     opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 1024
     opt.deterministic = args.deterministic
+    opt.pe_ref_async = args.pe_ref_async
     opt.use_tpu = not args.no_tpu
     opt.profile_dir = args.profile
     opt.num_nodes = args.num_nodes

@@ -31,6 +31,12 @@ class MappingParameters:
     cigar_eqx: bool = False
     output_unmapped: bool = True
     details: bool = False
+    # PE insert-size semantics: False = monolithic (cumulative estimator,
+    # windows fixed at decision time — the reference's align_PE_read and
+    # this repo's default); True = replicate the reference BINARY's async
+    # production path exactly (per-chunk estimator reset + rescue windows
+    # recomputed at gather time, /root/reference/src/pc.cpp:1100-1519)
+    pe_ref_async: bool = False
 
     def verify(self) -> None:
         if self.max_tries < 1:

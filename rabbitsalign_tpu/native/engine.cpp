@@ -1572,11 +1572,25 @@ struct EngineC {
     bool output_unmapped = true;
     bool show_details = false;
     std::string rg_tail = "\n";
+    // PE insert-size semantics: 0 = monolithic (cumulative estimator,
+    // rescue windows fixed at decision time — matches the reference's
+    // align_PE_read and this repo's Python layer); 1 = the reference
+    // binary's PRODUCTION async path (per-chunk estimator reset,
+    // windows recomputed at gather time with the end-of-phase-A
+    // estimate — see /root/reference/src/pc.cpp:1100-1519 and the
+    // pe_split golden). cur_isize points at the active estimator.
+    int pe_ref_async = 0;
+    InsertSizeC* cur_isize = nullptr;
     i64 fallbacks = 0;  // device results rejected by validation
     // phase wall-clock aggregates (reference AlignmentStatistics timers,
     // src/aln.hpp:13-56, dumped at exit src/main.cpp:602-615)
     double t_seed_nam = 0, t_phase_a = 0, t_host_align = 0, t_phase_b = 0;
 };
+
+// active insert-size estimator (per-chunk in pe_ref_async mode)
+static inline InsertSizeC& isz(EngineC& e) {
+    return e.cur_isize ? *e.cur_isize : e.isize;
+}
 
 struct JobC {
     const u8* q;
@@ -1618,6 +1632,12 @@ struct ChunkC {
     std::vector<WorkItem> work;
     std::string out;
     i64 n_pairs = 0, n_singles = 0;
+    // pe_ref_async mode: per-chunk estimator + rescue jobs whose target
+    // windows are recomputed after phase A with the final mu/sigma (the
+    // reference's E1 gather, pc.cpp:1228-1229 + part2_rescue_mate_get_str)
+    InsertSizeC isize;
+    struct PendRescueC { i64 work_idx; size_t j; const ReadC* read; };
+    std::vector<PendRescueC> pend_rescue;
 
     const ReadC& read(i64 i) {
         if (!read_ready[i]) {
@@ -1793,6 +1813,12 @@ static bool rescue_mate_part(EngineC& eng, ChunkC& ch, TmpResC& tmp,
     tmp.job_ref_start.push_back(ref_start);
     tmp.job_qlen.push_back(read_len);
     tmp.align_res.emplace_back();
+    if (eng.pe_ref_async) {
+        // gate ran with the decision-time estimate (above); the window
+        // is recomputed after phase A with the end-of-chunk estimate
+        ch.pend_rescue.push_back(
+            {(i64)ch.work.size() - 1, tmp.todo_nams.size() - 1, &read});
+    }
     return false;
 }
 
@@ -1848,7 +1874,7 @@ static void align_PE_part(EngineC& eng, ChunkC& ch, WorkItem& w,
                           std::vector<NamT>& nams1, std::vector<NamT>& nams2,
                           const ReadC& read1, const ReadC& read2) {
     TmpResC& tmp = w.tmp;
-    double mu = eng.isize.mu, sigma = eng.isize.sigma;
+    double mu = isz(eng).mu, sigma = isz(eng).sigma;
     int k = eng.sp.k;
 
     if (nams1.empty() && nams2.empty()) {
@@ -1896,9 +1922,9 @@ static void align_PE_part(EngineC& eng, ChunkC& ch, WorkItem& w,
             const AlignmentC& a1 = tmp.align_res[tmp.align_res.size() - 2];
             const AlignmentC& a2 = tmp.align_res[tmp.align_res.size() - 1];
             bool is_proper = is_proper_pair_c(a1, a2, mu, sigma);
-            if (eng.isize.sample_size < 400 &&
+            if (isz(eng).sample_size < 400 &&
                 a1.edit_distance + a2.edit_distance < 3 && is_proper)
-                eng.isize.update(std::abs((i64)a1.ref_start - a2.ref_start));
+                isz(eng).update(std::abs((i64)a1.ref_start - a2.ref_start));
         }
         return;
     }
@@ -2219,7 +2245,7 @@ static void sort_alignment_ptrs(std::vector<const AlignmentC*>& v) {
 static void rescue_read_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam,
                              bool swap_r1r2) {
     TmpResC& tmp = w.tmp;
-    double mu = eng.isize.mu, sigma = eng.isize.sigma;
+    double mu = isz(eng).mu, sigma = isz(eng).sigma;
     // record/read roles: read1 = the read that had NAMs
     i64 rec1i = swap_r1r2 ? w.rec2 : w.rec1;
     i64 rec2i = swap_r1r2 ? w.rec1 : w.rec2;
@@ -2296,7 +2322,7 @@ static void rescue_read_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam,
 // pipeline/batched.py align_PE_last (reference src/aln.cpp:2083-2306)
 static void align_PE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
     TmpResC& tmp = w.tmp;
-    double mu = eng.isize.mu, sigma = eng.isize.sigma;
+    double mu = isz(eng).mu, sigma = isz(eng).sigma;
     double secondary_dropoff = 2.0 * eng.ap.mismatch + eng.ap.gap_open;
     i64 max_secondary = eng.mp.max_secondary;
     const RecordView& record1 = ch.records[w.rec1];
@@ -2475,7 +2501,7 @@ static void get_best_map_location(EngineC& eng, std::vector<NamT>& nams1,
                                   NamT& best2) {
     std::deque<NamT> dummy_pool;
     std::vector<NamPairC> joint;
-    get_best_scoring_nam_pairs(nams1, nams2, eng.isize.mu, eng.isize.sigma,
+    get_best_scoring_nam_pairs(nams1, nams2, isz(eng).mu, isz(eng).sigma,
                                joint, dummy_pool);
     best1 = NamT{};
     best1.ref_start = -1;
@@ -2506,8 +2532,8 @@ static void get_best_map_location(EngineC& eng, std::vector<NamT>& nams1,
         best1 = *n1_joint_max;
         best2 = *n2_joint_max;
     }
-    if (eng.isize.sample_size < 400 && score_joint > score_indiv)
-        eng.isize.update(
+    if (isz(eng).sample_size < 400 && score_joint > score_indiv)
+        isz(eng).update(
             std::abs((i64)n1_joint_max->ref_start - n2_joint_max->ref_start));
 }
 
@@ -2533,7 +2559,9 @@ void* engine_create(
     // mapping params
     double dropoff, i64 max_tries, i64 max_secondary, int is_sam_out,
     // output options
-    int cigar_eqx, int output_unmapped, int show_details, const char* rg_tail) {
+    int cigar_eqx, int output_unmapped, int show_details, const char* rg_tail,
+    // PE insert-size semantics (see EngineC::pe_ref_async)
+    int pe_ref_async) {
     auto* eng = new engine::EngineC();
     eng->ix = IndexView{hashes, positions, packed, buckets,
                         n_index, bits,      filter_cutoff, k};
@@ -2557,6 +2585,7 @@ void* engine_create(
     eng->output_unmapped = output_unmapped != 0;
     eng->show_details = show_details != 0;
     eng->rg_tail = rg_tail;
+    eng->pe_ref_async = pe_ref_async;
     return eng;
 }
 
@@ -2624,6 +2653,11 @@ void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
     engine::SeedScratch ss;
     std::vector<Nam> nams1, nams2;
     ch->work.reserve(n_pairs + n_singles);
+    // pe_ref_async: the reference's async PE workers reset the
+    // insert-size estimator for EVERY chunk (pc.cpp:1343 declares it
+    // inside the loop; the :1505-1510 copy discards align_PE_read_last's
+    // updates), so phase A runs against a fresh per-chunk estimator
+    if (eng->pe_ref_async) eng->cur_isize = &ch->isize;
     for (i64 p = 0; p < n_pairs; ++p) {
         i64 i1 = 2 * p, i2 = 2 * p + 1;
         ch->work.emplace_back();
@@ -2663,6 +2697,41 @@ void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
         } else {
             w.kind = 1;
             engine::align_SE_part(*eng, *ch, w, nams1, ch->read(i));
+        }
+    }
+    if (eng->pe_ref_async && !ch->pend_rescue.empty()) {
+        // E1 gather semantics (pc.cpp:1228-1229 + part2_rescue_mate_get_str,
+        // :333-368): rescue windows are recomputed with the END-of-phase-A
+        // mu/sigma; the store step (:291-331) uses the same values, so one
+        // recompute here fixes both. The phase-A gate (short window /
+        // has_shared_substring) already ran with the decision-time values
+        // and is NOT re-evaluated — faithfully including the case where
+        // gate and job windows disagree.
+        double mu = ch->isize.mu, sigma = ch->isize.sigma;
+        for (const auto& pr : ch->pend_rescue) {
+            engine::TmpResC& tmp = ch->work[pr.work_idx].tmp;
+            const engine::NamT& nam = tmp.todo_nams[pr.j];
+            const engine::ReadC& read = *pr.read;
+            i64 read_len = read.n;
+            i64 a, b;
+            if (nam.is_rc) {
+                a = (i64)((double)(nam.ref_start - nam.query_start) -
+                          (mu + 5.0 * sigma));
+                b = (i64)nam.ref_start - nam.query_start + read_len / 2;
+            } else {
+                a = (i64)nam.ref_end + (read_len - nam.query_end) -
+                    read_len / 2;
+                b = (i64)((double)(nam.ref_end +
+                                   (read_len - nam.query_end)) +
+                          (mu + 5.0 * sigma));
+            }
+            i64 ref_len = eng->refs.len(nam.ref_id);
+            i64 ref_start = std::max((i64)0, std::min(a, ref_len));
+            i64 ref_end = std::min(ref_len, std::max((i64)0, b));
+            i64 jid = tmp.job_ids[pr.j];
+            ch->jobs[jid].t = eng->refs.seq(nam.ref_id) + ref_start;
+            ch->jobs[jid].tn = ref_end - ref_start;
+            tmp.job_ref_start[pr.j] = ref_start;
         }
     }
     ch->job_results.resize(ch->jobs.size());
@@ -2847,6 +2916,10 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
 void engine_chunk_b(void* e, void* c) {
     auto* eng = (engine::EngineC*)e;
     auto* ch = (engine::ChunkC*)c;
+    // pe_ref_async: phase B (align_PE_last) reads/updates this chunk's
+    // estimator (the reference's pre_isize_est; its updates are
+    // discarded when the chunk retires, pc.cpp:1505-1510)
+    if (eng->pe_ref_async) eng->cur_isize = &ch->isize;
     auto t_start = std::chrono::steady_clock::now();
     engine::resolve_host_jobs(*eng, *ch);
     auto t_mid = std::chrono::steady_clock::now();

@@ -58,6 +58,7 @@ def _lib():
             c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,     # A B O E L
             c.c_double, c.c_int64, c.c_int64, c.c_int,       # dropoff tries sec sam
             c.c_int, c.c_int, c.c_int, c.c_char_p,           # eqx unmapped det rg
+            c.c_int,                                         # pe_ref_async
         ]
         lib.engine_free.argtypes = [c.c_void_p]
         lib.engine_counters.argtypes = [c.c_void_p, c.c_void_p]
@@ -191,6 +192,7 @@ class NativeEngine:
             map_param.max_secondary, int(map_param.is_sam_out),
             int(map_param.cigar_eqx), int(map_param.output_unmapped),
             int(map_param.details), rg_tail,
+            int(getattr(map_param, "pe_ref_async", False)),
         )
 
     def close(self) -> None:

@@ -46,7 +46,13 @@ gcc -O2 -c /root/reference/ext/ssw/ssw.c -o ssw.o
 g++ -O2 -std=c++17 ssw_golden.cpp ssw.o -o ssw_golden
 echo built ssw_golden
 
-# End-to-end golden mapper: the reference's monolithic CPU mapping path.
+# End-to-end golden mapper: the reference's monolithic CPU mapping path
+# plus its split-phase (async) SE and PE production paths. The async-PE
+# gather/store helpers live as inline functions inside the reference's
+# pc.cpp (which cannot be compiled whole: RabbitFX + CUDA deps), so the
+# exact function bodies are extracted at build time — fixture generation
+# against the read-only reference, like every other golden here.
+sed -n '177,368p' /root/reference/src/pc.cpp > pc_part2.inc
 # gasal2_ssw.h is neutralized by pre-defining its header guard and
 # forward-declaring the one type used as an opaque pointer.
 cat > gasal_stub.h <<'HDR'

@@ -19,11 +19,17 @@
 #include <vector>
 
 #include "aln.hpp"
+#include "aligner.hpp"
 #include "revcomp.hpp"
 #include "index.hpp"
 #include "indexparameters.hpp"
 #include "refs.hpp"
 #include "sam.hpp"
+
+// The reference's async-PE gather/store helpers (inline in src/pc.cpp,
+// extracted verbatim at build time by build.sh — pc.cpp itself cannot be
+// compiled: RabbitFX + CUDA dependencies).
+#include "pc_part2.inc"
 
 static bool read_fastq(std::istream& in, klibpp::KSeq& rec) {
     std::string header, seq, plus, qual;
@@ -152,6 +158,148 @@ int main(int argc, char** argv) {
             align_SE_read_part(tmps.back(), records.back(), stats, aligner,
                                mp, ip, references, index, engine);
             n_in_chunk++;
+            if (n_in_chunk >= chunk_size) {
+                flush_chunk();
+                n_in_chunk = 0;
+                chunk_index++;
+            }
+        }
+        flush_chunk();
+        fwrite(sam_out.data(), 1, sam_out.size(), stdout);
+        return 0;
+    }
+
+    if (mode == "pe_split" && paired) {
+        // The reference's PRODUCTION async-PE path, sequentialized
+        // (perform_task_async_pe_fx, src/pc.cpp:1100-1519). Key
+        // semantics replicated exactly:
+        //  * the insert-size estimator is created FRESH for every chunk
+        //    (pc.cpp:1343 `InsertSizeDistribution isize_est;` inside the
+        //    loop; the `pre_isize_est.* = isize_est.*` copy at :1505-1510
+        //    discards align_PE_read_last's updates), so phase A of each
+        //    chunk starts from the default (mu 300, sigma 100) and
+        //    accumulates only within the chunk;
+        //  * rescue-mate windows for the GPU jobs are computed at GATHER
+        //    time with the END-of-phase-A mu/sigma (pc.cpp:1228-1229
+        //    reads pre_isize_est after the whole chunk's
+        //    align_PE_read_part calls), not with the running values each
+        //    read saw at decision time — the gate (short window /
+        //    has_shared_substring, aln.cpp:1015-1078) used the running
+        //    values, so gate and job windows can disagree;
+        //  * store (E2) recomputes with the same end-of-phase-A values
+        //    (pre_isize_est is not touched between gather and store:
+        //    phase A of chunk i+1 updates its own fresh estimator);
+        //  * the GPU is replaced by the CPU aligner exactly as the
+        //    gasal_fail fallback does (pc.cpp:1405-1414).
+        // The interleaved rotation (phase A of i+1 between E1(i) and
+        // E2(i)) therefore has NO effect on output and a sequential
+        // per-chunk schedule reproduces the async binary byte for byte.
+        std::vector<klibpp::KSeq> recs1, recs2;
+        std::vector<AlignTmpRes> tmps;
+        InsertSizeDistribution chunk_isize;
+        auto flush_chunk = [&]() {
+            if (recs1.empty()) return;
+            const float mu = chunk_isize.mu;
+            const float sigma = chunk_isize.sigma;
+            // E1 gather + CPU fill + E2 store, fused per job (mu/sigma
+            // are identical at gather and store, see above)
+            for (size_t i = 0; i < recs1.size(); ++i) {
+                auto record1 = recs1[i];
+                auto record2 = recs2[i];
+                to_uppercase(record1.seq);
+                to_uppercase(record2.seq);
+                Read read1(record1.seq);
+                Read read2(record2.seq);
+                auto& tmp = tmps[i];
+                std::vector<std::string> todo_querys, todo_refs;
+                std::vector<size_t> todo_j;
+                size_t todo_size = tmp.todo_nams.size();
+                if (tmp.type == 1 || tmp.type == 2) {
+                    for (size_t j = 0; j < todo_size; j += 2) {
+                        if (!tmp.done_align[j]) {
+                            part2_extend_seed_get_str(
+                                todo_querys, todo_refs, tmp, j, read1, read2,
+                                references, aligner);
+                            todo_j.push_back(j);
+                        }
+                        if (!tmp.done_align[j + 1]) {
+                            part2_rescue_mate_get_str(
+                                todo_querys, todo_refs, tmp, j + 1, read1,
+                                read2, references, aligner, mu, sigma);
+                            todo_j.push_back(j + 1);
+                        }
+                    }
+                } else if (tmp.type == 3) {
+                    for (size_t j = 0; j < 2; ++j) {
+                        if (!tmp.done_align[j]) {
+                            part2_extend_seed_get_str(
+                                todo_querys, todo_refs, tmp, j, read1, read2,
+                                references, aligner);
+                            todo_j.push_back(j);
+                        }
+                    }
+                } else if (tmp.type == 4) {
+                    for (size_t j = 0; j < todo_size; ++j) {
+                        if (!tmp.done_align[j]) {
+                            if (tmp.is_extend_seed[j]) {
+                                part2_extend_seed_get_str(
+                                    todo_querys, todo_refs, tmp, j, read1,
+                                    read2, references, aligner);
+                            } else {
+                                part2_rescue_mate_get_str(
+                                    todo_querys, todo_refs, tmp, j, read1,
+                                    read2, references, aligner, mu, sigma);
+                            }
+                            todo_j.push_back(j);
+                        }
+                    }
+                }
+                for (size_t t = 0; t < todo_j.size(); ++t) {
+                    auto info = aligner.align(todo_querys[t], todo_refs[t]);
+                    size_t j = todo_j[t];
+                    if (tmp.is_extend_seed[j]) {
+                        part2_extend_seed_store_res(tmp, j, read1, read2,
+                                                    references, info);
+                    } else {
+                        part2_rescue_mate_store_res(tmp, j, read1, read2,
+                                                    references, info, mu,
+                                                    sigma);
+                    }
+                }
+            }
+            for (size_t i = 0; i < recs1.size(); ++i) {
+                auto record1 = recs1[i];
+                auto record2 = recs2[i];
+                to_uppercase(record1.seq);
+                to_uppercase(record2.seq);
+                align_PE_read_last(tmps[i], record1, record2, sam, outstring,
+                                   stats, chunk_isize, aligner, mp, ip,
+                                   references, index, engine);
+            }
+            recs1.clear();
+            recs2.clear();
+            tmps.clear();
+        };
+        while (read_fastq(f1, rec1)) {
+            if (!read_fastq(f2, rec2)) {
+                fprintf(stderr, "r2 shorter than r1\n");
+                return 1;
+            }
+            if (n_in_chunk == 0) {
+                engine.seed((unsigned)chunk_index);
+                chunk_isize = InsertSizeDistribution();  // per-chunk reset
+            }
+            recs1.push_back(rec1);
+            recs2.push_back(rec2);
+            auto record1 = rec1;
+            auto record2 = rec2;
+            to_uppercase(record1.seq);
+            to_uppercase(record2.seq);
+            tmps.emplace_back();
+            align_PE_read_part(tmps.back(), record1, record2, stats,
+                               chunk_isize, aligner, mp, ip, references,
+                               index, engine);
+            n_in_chunk += 2;
             if (n_in_chunk >= chunk_size) {
                 flush_chunk();
                 n_in_chunk = 0;

@@ -352,3 +352,84 @@ def test_multicontig_repetitive_concordance(tmp_path):
     golden = run_golden(str(ref), fq1, fq2, "sam")
     ours = run_python_pe(world, pairs, "sam")
     assert golden == ours, diff_head(golden, ours)
+
+
+def simulate_pe_regimes(genome, n, seed=21):
+    """PE pairs whose insert-size regime alternates per 50-pair chunk
+    (tight ~190 vs wide ~850) with rescue-needing pairs at chunk starts:
+    the dataset where the reference's async-PE per-chunk estimator and
+    gather-time rescue windows visibly diverge from the monolithic
+    path's cumulative estimator."""
+    r = random.Random(seed)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    pairs = []
+    for i in range(n):
+        chunk = i // 50
+        st = r.randrange(0, len(genome) - 2500)
+        if chunk % 2 == 1:
+            ins = max(700, min(1000, int(r.gauss(850, 40))))
+        else:
+            ins = max(160, min(240, int(r.gauss(190, 12))))
+        rescue = (i % 50) < 4 and i >= 50
+        if rescue:
+            ins = r.randrange(420, 620)
+        a = list(genome[st : st + 150])
+        for _ in range(r.randrange(0, 4)):
+            a[r.randrange(150)] = r.choice("ACGT")
+        b = "".join(comp[c] for c in reversed(genome[st + ins - 150 : st + ins]))
+        if rescue:
+            # destroy the mate's seeds but keep it alignable by SW
+            bb = list(b)
+            for p_ in range(0, 150, 11):
+                bb[p_] = comp[bb[p_]]
+            b = "".join(bb)
+        pairs.append((f"p{i}", "".join(a), b))
+    return pairs
+
+
+def test_pe_async_concordance_engine(world):
+    """The engine's --pe-ref-async mode vs the reference binary's
+    PRODUCTION async-PE path (pe_split golden: per-chunk insert-size
+    estimator + rescue windows recomputed at gather time with the
+    end-of-phase-A estimate, /root/reference/src/pc.cpp:1100-1519):
+    byte-identical SAM on a dataset engineered to expose the semantics
+    (alternating insert regimes + chunk-start rescues), where the async
+    and monolithic paths measurably differ."""
+    from rabbitsalign_tpu.native.engine import NativeEngine, engine_available
+
+    if not engine_available():
+        pytest.skip("native engine unavailable")
+
+    tmp, genome, ref, refs, params, index = world
+    pairs = simulate_pe_regimes(genome, 300)
+    fq1 = tmp / "async.1.fq"
+    fq2 = tmp / "async.2.fq"
+    write_fq(fq1, [(n + "/1", a) for n, a, _ in pairs])
+    write_fq(fq2, [(n + "/2", b) for n, _, b in pairs])
+    golden_async = run_golden(ref, fq1, fq2, "pe_split")
+    golden_mono = run_golden(ref, fq1, fq2, "sam")
+    n_diff = sum(
+        1 for x, y in zip(golden_async.splitlines(), golden_mono.splitlines())
+        if x != y
+    )
+    assert n_diff > 0, "dataset must expose the async/mono divergence"
+
+    def run_engine(pe_ref_async):
+        mp = MappingParameters(r=150)
+        mp.rescue_cutoff = 2 * index.filter_cutoff
+        mp.pe_ref_async = pe_ref_async
+        eng = NativeEngine(index, params, refs, AlignmentParameters(), mp, "")
+        texts = []
+        for ci in range(0, len(pairs), 50):
+            part = pairs[ci : ci + 50]
+            r1 = [SamRecord(n + "/1", a.encode(), b"I" * len(a))
+                  for n, a, _ in part]
+            r2 = [SamRecord(n + "/2", b.encode(), b"I" * len(b))
+                  for n, _, b in part]
+            texts.append(eng.chunk_b(eng.chunk_a(r1, r2, [], ci // 50)))
+        return "".join(texts)
+
+    ours_async = run_engine(True)
+    assert golden_async == ours_async, diff_head(golden_async, ours_async)
+    ours_mono = run_engine(False)
+    assert golden_mono == ours_mono, diff_head(golden_mono, ours_mono)

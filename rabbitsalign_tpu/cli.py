@@ -131,6 +131,10 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     p.add_argument("-R", dest="R", type=int, default=None,
                    help="Rescue level [2]")
     # TPU-specific extensions
+    p.add_argument("--device-seed", action="store_true",
+                   help="Run seeding + index lookup on the accelerator "
+                        "(vectorized randstrobes + batched find); pays "
+                        "off on high-bandwidth host<->device links")
     p.add_argument("--pe-ref-async", action="store_true",
                    help="Replicate the reference binary's async PE "
                         "insert-size semantics exactly (per-chunk "
@@ -223,6 +227,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 1024
     opt.deterministic = args.deterministic
     opt.pe_ref_async = args.pe_ref_async
+    opt.device_seed = args.device_seed
     opt.use_tpu = not args.no_tpu
     opt.profile_dir = args.profile
     opt.num_nodes = args.num_nodes

@@ -1659,6 +1659,57 @@ struct SeedScratch {
     ReadResult rr;
 };
 
+// Preseeded strobe batch for one chunk (--device-seed): per-read counts
+// (-1 = fall back to host seeding for that read) + flat per-strobe
+// arrays in the exact host emission order (forward then reverse), plus
+// the index-find result for each strobe.
+struct PreSeed {
+    const int32_t* counts = nullptr;  // per record
+    const i64* offsets = nullptr;     // per record, into the flat arrays
+    const u64* hashes = nullptr;
+    const int32_t* starts = nullptr;
+    const int32_t* ends = nullptr;
+    const u8* is_rev = nullptr;
+    const i64* positions = nullptr;   // ix_find result, -1 = absent
+};
+
+// nams_for_read with device-precomputed seeding + lookups: identical
+// RNG/detail/ordering semantics, but phase 1 (syncmers, randstrobes,
+// index find) is replaced by the preseed arrays; NAM rescue re-runs its
+// own host lookups (it needs counts and full runs, and fires rarely).
+static void nams_for_read_pre(EngineC& eng, const PreSeed& pre, i64 rec,
+                              SeedScratch& ss, MinstdRand& rng,
+                              DetailsC& details, std::vector<NamT>& nams) {
+    auto t0 = std::chrono::steady_clock::now();
+    i64 n = pre.counts[rec];
+    i64 off = pre.offsets[rec];
+    ss.qrs.clear();
+    ss.nsc.found.resize((size_t)n);
+    for (i64 i = 0; i < n; ++i) {
+        ss.qrs.push_back({pre.hashes[off + i], (int)pre.starts[off + i],
+                          (int)pre.ends[off + i], pre.is_rev[off + i] != 0});
+        ss.nsc.found[(size_t)i] = pre.positions[off + i];
+    }
+    ReadResult& rr = ss.rr;
+    rr.nams.clear();
+    rr.nonrep_frac = 1.0f;
+    rr.used_rescue = 0;
+    find_nams_phase2(eng.ix, ss.qrs, ss.nsc.found, rr, ss.nsc);
+    if (eng.mp.rescue_level > 1 && (rr.nams.empty() || rr.nonrep_frac < 0.7f)) {
+        find_nams_rescue_one(eng.ix, ss.qrs, eng.mp.rescue_cutoff, rr, ss.nsc);
+        details.nam_rescue = true;
+    }
+    details.nams = (i64)rr.nams.size();
+    nams.clear();
+    std::swap(nams, rr.nams);
+    std::sort(nams.begin(), nams.end(),
+              [](const NamT& a, const NamT& b) { return a.score > b.score; });
+    shuffle_top_nams(nams, rng);
+    eng.t_seed_nam +=
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
+}
+
 static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
                           SeedScratch& ss, MinstdRand& rng, DetailsC& details,
                           std::vector<NamT>& nams) {
@@ -2618,10 +2669,11 @@ void engine_isize(void* e, double* out) {
     out[2] = eng->isize.sample_size;
 }
 
-void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
-                     const u8* names, const i64* name_off, const u8* quals,
-                     const i64* qual_off, i64 n_pairs, i64 n_singles,
-                     u64 chunk_seed) {
+static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
+                                 const u8* names, const i64* name_off,
+                                 const u8* quals, const i64* qual_off,
+                                 i64 n_pairs, i64 n_singles, u64 chunk_seed,
+                                 const engine::PreSeed* pre) {
     auto* eng = (engine::EngineC*)e;
     auto t_start = std::chrono::steady_clock::now();
     auto* ch = new engine::ChunkC();
@@ -2664,10 +2716,20 @@ void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
         engine::WorkItem& w = ch->work.back();
         w.rec1 = i1;
         w.rec2 = i2;
-        engine::nams_for_read(*eng, ch->records[i1].seq, ch->records[i1].seq_len,
-                              ss, ch->rng, w.det1, nams1);
-        engine::nams_for_read(*eng, ch->records[i2].seq, ch->records[i2].seq_len,
-                              ss, ch->rng, w.det2, nams2);
+        if (pre && pre->counts[i1] >= 0)
+            engine::nams_for_read_pre(*eng, *pre, i1, ss, ch->rng, w.det1,
+                                      nams1);
+        else
+            engine::nams_for_read(*eng, ch->records[i1].seq,
+                                  ch->records[i1].seq_len, ss, ch->rng,
+                                  w.det1, nams1);
+        if (pre && pre->counts[i2] >= 0)
+            engine::nams_for_read_pre(*eng, *pre, i2, ss, ch->rng, w.det2,
+                                      nams2);
+        else
+            engine::nams_for_read(*eng, ch->records[i2].seq,
+                                  ch->records[i2].seq_len, ss, ch->rng,
+                                  w.det2, nams2);
         if (!eng->mp.is_sam_out) {
             w.kind = 0;
             Nam b1, b2;
@@ -2687,8 +2749,13 @@ void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
         ch->work.emplace_back();
         engine::WorkItem& w = ch->work.back();
         w.rec1 = i;
-        engine::nams_for_read(*eng, ch->records[i].seq, ch->records[i].seq_len,
-                              ss, ch->rng, w.det1, nams1);
+        if (pre && pre->counts[i] >= 0)
+            engine::nams_for_read_pre(*eng, *pre, i, ss, ch->rng, w.det1,
+                                      nams1);
+        else
+            engine::nams_for_read(*eng, ch->records[i].seq,
+                                  ch->records[i].seq_len, ss, ch->rng,
+                                  w.det1, nams1);
         if (!eng->mp.is_sam_out) {
             w.kind = 0;
             if (!nams1.empty())
@@ -2740,6 +2807,15 @@ void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
                           std::chrono::steady_clock::now() - t_start)
                           .count();
     return ch;
+}
+
+void* engine_chunk_a(void* e, const u8* seqs, const i64* seq_off,
+                     const u8* names, const i64* name_off, const u8* quals,
+                     const i64* qual_off, i64 n_pairs, i64 n_singles,
+                     u64 chunk_seed) {
+    return engine_chunk_a_impl(e, seqs, seq_off, names, name_off, quals,
+                               qual_off, n_pairs, n_singles, chunk_seed,
+                               nullptr);
 }
 
 i64 chunk_n_jobs(void* c) { return (i64)((engine::ChunkC*)c)->jobs.size(); }
@@ -3396,6 +3472,49 @@ void* engine_chunk_a_fx(void* e, void* c_, u64 chunk_seed) {
         (const u8*)c->names.data(), c->name_off.data(),
         (const u8*)c->quals.data(), c->qual_off.data(), c->n_pairs,
         c->n_singles, chunk_seed);
+}
+
+// Export a reader chunk's sequences as an (N, L) nt4 code batch for the
+// device seeding kernel (--device-seed). Rows are record order (the same
+// order chunk_a maps); reads longer than L get length -1 (caller marks
+// them for host-side seeding).
+void fx_chunk_codes(void* c_, i64 L, u8* codes, int32_t* lens) {
+    auto* c = (engine::FxChunk*)c_;
+    i64 n = (i64)c->seq_off.size() - 1;
+    memset(codes, 4, (size_t)(n * L));
+    for (i64 i = 0; i < n; ++i) {
+        const u8* seq = (const u8*)c->seqs.data() + c->seq_off[i];
+        i64 len = c->seq_off[i + 1] - c->seq_off[i];
+        if (len > L) {
+            lens[i] = -1;
+            continue;
+        }
+        lens[i] = (int32_t)len;
+        for (i64 j = 0; j < len; ++j) codes[i * L + j] = (u8)nt4(seq[j]);
+    }
+}
+
+// Phase A from a reader chunk with device-precomputed seeding + index
+// lookups (see engine::PreSeed). counts[i] < 0 = host seeding for read i.
+void* engine_chunk_a_fx_pre(void* e, void* c_, u64 chunk_seed,
+                            const int32_t* counts, const i64* offsets,
+                            const u64* hashes, const int32_t* starts,
+                            const int32_t* ends, const u8* is_rev,
+                            const i64* positions) {
+    auto* c = (engine::FxChunk*)c_;
+    engine::PreSeed pre;
+    pre.counts = counts;
+    pre.offsets = offsets;
+    pre.hashes = hashes;
+    pre.starts = starts;
+    pre.ends = ends;
+    pre.is_rev = is_rev;
+    pre.positions = positions;
+    return engine_chunk_a_impl(
+        e, (const u8*)c->seqs.data(), c->seq_off.data(),
+        (const u8*)c->names.data(), c->name_off.data(),
+        (const u8*)c->quals.data(), c->qual_off.data(), c->n_pairs,
+        c->n_singles, chunk_seed, &pre);
 }
 
 }  // extern "C"

@@ -106,6 +106,14 @@ def _lib():
         lib.fastx_close.argtypes = [c.c_void_p]
         lib.engine_chunk_a_fx.restype = c.c_void_p
         lib.engine_chunk_a_fx.argtypes = [c.c_void_p, c.c_void_p, c.c_uint64]
+        lib.fx_chunk_codes.argtypes = [c.c_void_p, c.c_int64, c.c_void_p,
+                                       c.c_void_p]
+        lib.engine_chunk_a_fx_pre.restype = c.c_void_p
+        lib.engine_chunk_a_fx_pre.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_uint64,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p,
+        ]
         lib._engine_configured = True
     return lib
 
@@ -213,6 +221,32 @@ class NativeEngine:
         the record blobs never surface to Python)."""
         handle = self.lib.engine_chunk_a_fx(
             self.handle, fx_chunk, ctypes.c_uint64(chunk_seed)
+        )
+        return NativeChunk(self.lib, handle)
+
+    def fx_codes(self, fx_chunk: int, n_records: int, L: int):
+        """Export a reader chunk's sequences as an (N, L) nt4 code batch
+        + lengths (len -1 = longer than L, host seeding) for the device
+        seeding kernel (--device-seed)."""
+        codes = np.empty((n_records, L), dtype=np.uint8)
+        lens = np.empty(n_records, dtype=np.int32)
+        self.lib.fx_chunk_codes(fx_chunk, L, codes.ctypes.data,
+                                lens.ctypes.data)
+        return codes, lens
+
+    def chunk_a_fx_pre(self, fx_chunk: int, chunk_seed: int,
+                       counts: np.ndarray, offsets: np.ndarray,
+                       hashes: np.ndarray, starts: np.ndarray,
+                       ends: np.ndarray, is_rev: np.ndarray,
+                       positions: np.ndarray) -> NativeChunk:
+        """Phase A with device-precomputed seeding + index lookups
+        (counts[i] < 0 = host seeding for record i); flat strobe arrays
+        in host emission order (forward then reverse per read)."""
+        handle = self.lib.engine_chunk_a_fx_pre(
+            self.handle, fx_chunk, ctypes.c_uint64(chunk_seed),
+            counts.ctypes.data, offsets.ctypes.data, hashes.ctypes.data,
+            starts.ctypes.data, ends.ctypes.data, is_rev.ctypes.data,
+            positions.ctypes.data,
         )
         return NativeChunk(self.lib, handle)
 

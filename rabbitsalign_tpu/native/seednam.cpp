@@ -709,13 +709,37 @@ struct NamScratch {
     std::vector<i64> found;
 };
 
-static void find_nams_one(const IndexView& ix,
-                          const std::vector<QueryRandstrobe>& qrs,
-                          ReadResult& rr, NamScratch& scratch) {
+// Phase 2 of find_nams_one: insertion-ordered hit collection from
+// precomputed lookup positions (`found`, -1 = absent). Split out so a
+// device-seeded pipeline (--device-seed: vectorized seeding + batched
+// index find on the accelerator) can feed it directly.
+static void find_nams_phase2(const IndexView& ix,
+                             const std::vector<QueryRandstrobe>& qrs,
+                             const std::vector<i64>& found, ReadResult& rr,
+                             NamScratch& scratch) {
     HitsPerRef* hpr = scratch.hpr;
     hpr[0].clear();
     hpr[1].clear();
     int total_hits = 0, good_hits = 0;
+    const i64 nq = (i64)qrs.size();
+    for (i64 qi = 0; qi < nq; ++qi) {
+        i64 pos = found[qi];
+        if (pos < 0) continue;
+        const auto& q = qrs[qi];
+        total_hits++;
+        if (hash_at(ix, (u64)pos) == hash_at(ix, (u64)pos + ix.filter_cutoff))
+            continue;  // repetitive
+        good_hits++;
+        add_to_hits_per_ref(hpr[q.is_reverse ? 1 : 0], q.start, q.end, ix, (u64)pos);
+    }
+    rr.nonrep_frac = total_hits > 0 ? (float)good_hits / (float)total_hits : 1.0f;
+    for (int rc = 0; rc < 2; ++rc)
+        merge_hits(hpr[rc], ix.k, true, rc != 0, rr.nams);
+}
+
+static void find_nams_one(const IndexView& ix,
+                          const std::vector<QueryRandstrobe>& qrs,
+                          ReadResult& rr, NamScratch& scratch) {
     const i64 nq = (i64)qrs.size();
     // Phase 1: all index lookups with two-stage software prefetch (the
     // bucket-table load and the hash-array probe each miss DRAM on
@@ -740,20 +764,7 @@ static void find_nams_one(const IndexView& ix,
             __builtin_prefetch(&ix.packed[pos]);
         }
     }
-    // Phase 2: insertion-ordered hit collection (identical semantics)
-    for (i64 qi = 0; qi < nq; ++qi) {
-        i64 pos = scratch.found[qi];
-        if (pos < 0) continue;
-        const auto& q = qrs[qi];
-        total_hits++;
-        if (hash_at(ix, (u64)pos) == hash_at(ix, (u64)pos + ix.filter_cutoff))
-            continue;  // repetitive
-        good_hits++;
-        add_to_hits_per_ref(hpr[q.is_reverse ? 1 : 0], q.start, q.end, ix, (u64)pos);
-    }
-    rr.nonrep_frac = total_hits > 0 ? (float)good_hits / (float)total_hits : 1.0f;
-    for (int rc = 0; rc < 2; ++rc)
-        merge_hits(hpr[rc], ix.k, true, rc != 0, rr.nams);
+    find_nams_phase2(ix, qrs, scratch.found, rr, scratch);
 }
 
 static void find_nams_rescue_one(const IndexView& ix,

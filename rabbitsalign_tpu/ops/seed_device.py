@@ -379,3 +379,29 @@ def randstrobes_query_vec(codes, lengths, k: int, s: int, t: int,
         n_rc,
         tie,
     )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "s", "t", "w_min", "w_max", "q",
+                                    "max_dist", "M", "bits"))
+def seed_and_find(codes, lengths, index_hashes, bucket_starts,
+                  k: int, s: int, t: int, w_min: int, w_max: int, q: int,
+                  max_dist: int, M: int, bits: int):
+    """One-dispatch device seeding + index lookup (--device-seed):
+    vectorized randstrobes for both strands followed by the batched
+    bucket-bound index find against the device-resident hash arrays.
+
+    Returns (hash (B, 2M) u64, start (B, 2M) i32, end (B, 2M) i32,
+    n_fwd (B,), n_rc (B,), tie (B,) bool, pos (B, 2M) i64). Valid slots
+    are [0, n_fwd) and [M, M + n_rc); `tie` rows need the host path.
+
+    This is the production seeding offload for deployments whose
+    host<->device link can carry the results back cheaply (PCIe/ICI);
+    on a thin link host seeding wins — see docs/PERF.md."""
+    h, st, en, nf, nr, tie = randstrobes_query_vec(
+        codes, lengths, k, s, t, w_min, w_max, q, max_dist, M
+    )
+    pos = index_find_device(
+        index_hashes, bucket_starts, jnp.uint64(bits), h
+    )
+    return h, st, en, nf, nr, tie, pos

@@ -80,6 +80,7 @@ class NativePipeline:
         use_device: bool = True,
         batch_size: int = 1024,
         kernel: str = "auto",
+        device_seed: bool = False,
     ):
         self.engine = NativeEngine(
             index, index_parameters, references, aln_params, map_param,
@@ -87,6 +88,14 @@ class NativePipeline:
         )
         self.batch_size = batch_size
         self.use_device = use_device
+        # --device-seed: seeding + index find run on the accelerator
+        # (ops/seed_device.seed_and_find); phase A consumes the preseed.
+        # Off by default: worth it only when the host<->device link can
+        # carry the per-strobe results back cheaply (see docs/PERF.md)
+        self.device_seed = device_seed and use_device
+        self._seed_ix = None
+        self._params = index_parameters
+        self._index = index
         self._sw = None
         self._devices = None
         self._next_dev = 0
@@ -124,6 +133,72 @@ class NativePipeline:
 
     def _fill(self, chunk, idxs, B, Q, T):
         return self.engine.fill_batch_q2(chunk, idxs, B, Q)
+
+    SEED_L = 256  # max read length seeded on device (longer -> host)
+
+    def _preseed(self, fx, n_records, chunk_index):
+        """Device seeding + index find for one reader chunk: returns the
+        flat preseed arrays chunk_a_fx_pre consumes (counts[i] = -1 for
+        reads the device path cannot do bit-exactly: too long, or a
+        min-queue tie the closed-form kernel cannot break)."""
+        import jax
+        import numpy as np
+
+        from ..ops.seed_device import seed_and_find
+
+        if self._seed_ix is None:
+            dev = self._devices[0]
+            self._seed_ix = (
+                jax.device_put(self._index.hashes, dev),
+                jax.device_put(self._index.randstrobe_start_indices, dev),
+            )
+        codes, lens = self.engine.fx_codes(fx, n_records, self.SEED_L)
+        sp = self._params.syncmer
+        rp = self._params.randstrobe
+        h, st, en, nf, nr, tie, pos = seed_and_find(
+            codes,
+            np.maximum(lens, 0).astype(np.int32),
+            self._seed_ix[0], self._seed_ix[1],
+            sp.k, sp.s, sp.t_syncmer, rp.w_min, rp.w_max, rp.q,
+            rp.max_dist, self.SEED_L, self._index.bits,
+        )
+        h = np.asarray(h)
+        st = np.asarray(st)
+        en = np.asarray(en)
+        nf = np.asarray(nf)
+        nr = np.asarray(nr)
+        tie = np.asarray(tie)
+        pos = np.asarray(pos)
+        M = self.SEED_L
+        n_strobes = nf + nr
+        counts = np.where(tie | (lens < 0), -1, n_strobes).astype(np.int32)
+        # reads below the window size emit nothing on either path; keep
+        # them on the device path with zero strobes
+        valid = counts >= 0
+        offsets = np.zeros(n_records + 1, dtype=np.int64)
+        offsets[1:] = np.cumsum(np.where(valid, n_strobes, 0))
+        total = int(offsets[-1])
+        fh = np.empty(total, dtype=np.uint64)
+        fs = np.empty(total, dtype=np.int32)
+        fe = np.empty(total, dtype=np.int32)
+        fr = np.empty(total, dtype=np.uint8)
+        fp = np.empty(total, dtype=np.int64)
+        for i in np.flatnonzero(valid & (n_strobes > 0)):
+            o = offsets[i]
+            a, b = int(nf[i]), int(nr[i])
+            fh[o : o + a] = h[i, :a]
+            fs[o : o + a] = st[i, :a]
+            fe[o : o + a] = en[i, :a]
+            fr[o : o + a] = 0
+            fp[o : o + a] = pos[i, :a]
+            fh[o + a : o + a + b] = h[i, M : M + b]
+            fs[o + a : o + a + b] = st[i, M : M + b]
+            fe[o + a : o + a + b] = en[i, M : M + b]
+            fr[o + a : o + a + b] = 1
+            fp[o + a : o + a + b] = pos[i, M : M + b]
+        return self.engine.chunk_a_fx_pre(
+            fx, chunk_index, counts, offsets[:-1].copy(), fh, fs, fe, fr, fp
+        )
 
     def _dispatch(self, buf, Q, T, sub):
         """Launch one extend dispatch on the next device (round-robin);
@@ -297,7 +372,11 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
             n_reads += 2 * n_pairs + n_singles
             if progress is not None:
                 progress(n_reads)
-            chunk = self.engine.chunk_a_fx(fx, chunk_index)
+            if self.device_seed:
+                chunk = self._preseed(fx, 2 * n_pairs + n_singles,
+                                      chunk_index)
+            else:
+                chunk = self.engine.chunk_a_fx(fx, chunk_index)
             reader.free_chunk(fx)
             pending = []
             if self.use_device and chunk.n_jobs:

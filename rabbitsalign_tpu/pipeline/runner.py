@@ -277,6 +277,7 @@ def _map_reads(
                 index, index_parameters, references, aln_params, map_param,
                 opt.read_group_id, use_device=use_tpu,
                 batch_size=getattr(opt, "tpu_batch", 1024),
+                device_seed=getattr(opt, "device_seed", False),
             )
             t0 = time.perf_counter()
             progress = _make_progress(opt, t0)

@@ -701,3 +701,50 @@ def test_engine_nondefault_parameters(world, cfg):
     py, _, _ = run_python(w, chunks, mp, ap)
     na, _ = run_native(w, chunks, mp, ap)
     assert py == na
+
+
+def test_device_seed_mode_identical(world, tmp_path):
+    """--device-seed: vectorized seeding + batched index find on the
+    accelerator (CPU jax here — the ops are pure jnp), preseeded phase A
+    in the engine. Output must be byte-identical to the host-seeded
+    pipeline for SE and PE (tie rows and long reads fall back to host
+    seeding per read)."""
+    from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    se = simulate_se(genome, 400)
+    p_se = tmp_path / "ds.fq"
+    p_se.write_bytes(b"".join(
+        f"@{r.name}\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n" for r in se
+    ))
+    r1, r2 = simulate_pe(genome, 200)
+    p1 = tmp_path / "ds1.fq"
+    p2 = tmp_path / "ds2.fq"
+    p1.write_bytes(b"".join(
+        f"@{r.name}\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n" for r in r1
+    ))
+    p2.write_bytes(b"".join(
+        f"@{r.name}\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n" for r in r2
+    ))
+
+    def run(path1, path2, device_seed):
+        pipe = NativePipeline(index, params, refs, ap, mp,
+                              use_device=True, device_seed=device_seed)
+        out = []
+        n = pipe.map_file(str(path1), str(path2) if path2 else "", False,
+                          64, out.append)
+        return n, b"".join(out)
+
+    n0, host_se = run(p_se, None, False)
+    n1, dev_se = run(p_se, None, True)
+    assert (n0, n1) == (400, 400)
+    assert dev_se == host_se
+
+    n0, host_pe = run(p1, p2, False)
+    n1, dev_pe = run(p1, p2, True)
+    assert (n0, n1) == (400, 400)
+    assert dev_pe == host_pe

@@ -153,6 +153,17 @@ class NativePipeline:
                 jax.device_put(self._index.randstrobe_start_indices, dev),
             )
         codes, lens = self.engine.fx_codes(fx, n_records, self.SEED_L)
+        # pad the batch rows to a power-of-two floor so chunk-size
+        # variations reuse a handful of compiled programs (every distinct
+        # N is a fresh XLA compile)
+        n_pad = max(256, 1 << (n_records - 1).bit_length())
+        if n_pad != n_records:
+            codes = np.concatenate(
+                [codes, np.full((n_pad - n_records, self.SEED_L), 4, np.uint8)]
+            )
+            lens = np.concatenate(
+                [lens, np.zeros(n_pad - n_records, np.int32)]
+            )
         sp = self._params.syncmer
         rp = self._params.randstrobe
         h, st, en, nf, nr, tie, pos = seed_and_find(
@@ -162,13 +173,14 @@ class NativePipeline:
             sp.k, sp.s, sp.t_syncmer, rp.w_min, rp.w_max, rp.q,
             rp.max_dist, self.SEED_L, self._index.bits,
         )
-        h = np.asarray(h)
-        st = np.asarray(st)
-        en = np.asarray(en)
-        nf = np.asarray(nf)
-        nr = np.asarray(nr)
-        tie = np.asarray(tie)
-        pos = np.asarray(pos)
+        h = np.asarray(h)[:n_records]
+        st = np.asarray(st)[:n_records]
+        en = np.asarray(en)[:n_records]
+        nf = np.asarray(nf)[:n_records]
+        nr = np.asarray(nr)[:n_records]
+        tie = np.asarray(tie)[:n_records]
+        pos = np.asarray(pos)[:n_records]
+        lens = lens[:n_records]
         M = self.SEED_L
         n_strobes = nf + nr
         counts = np.where(tie | (lens < 0), -1, n_strobes).astype(np.int32)

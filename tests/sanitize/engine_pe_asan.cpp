@@ -18,7 +18,7 @@ void* engine_create(const unsigned long*, const unsigned int*,
                     int, unsigned int, int, const unsigned char*, const long*,
                     const unsigned char*, const long*, long, int, int, int,
                     int, int, double, long, long, int, int, int, int,
-                    const char*);
+                    const char*, int);
 void engine_free(void*);
 void* fastx_open(const char*, const char*, int, long);
 void* fastx_next(void*);
@@ -72,7 +72,7 @@ int main() {
                               0xFFULL, 80, 60, 2,
                               (const unsigned char*)genome.data(), offs,
                               (const unsigned char*)"chr1", name_offs, 1, 2, 8,
-                              12, 1, 10, 0.5, 20, 2, 1, 0, 1, 1, "\tRG:Z:x\n");
+                              12, 1, 10, 0.5, 20, 2, 1, 0, 1, 1, "\tRG:Z:x\n", 1);
     // PE FASTQ with mutations, orphaned rescue cases, interleaved singles
     FILE* f1 = fopen("/tmp/asan_r1.fq", "w");
     FILE* f2 = fopen("/tmp/asan_r2.fq", "w");

@@ -20,7 +20,7 @@ void* engine_create(const unsigned long*, const unsigned int*,
                     int, unsigned int, int, const unsigned char*, const long*,
                     const unsigned char*, const long*, long, int, int, int,
                     int, int, double, long, long, int, int, int, int,
-                    const char*);
+                    const char*, int);
 void* engine_chunk_a(void*, const unsigned char*, const long*,
                      const unsigned char*, const long*, const unsigned char*,
                      const long*, long, long, unsigned long);
@@ -68,7 +68,7 @@ int main(int argc, char** argv) {
                               0xFFULL, 80, 60, 2,
                               (const unsigned char*)genome.data(), offs,
                               (const unsigned char*)"chr1", name_offs, 1,
-                              2, 8, 12, 1, 10, 0.5, 20, 0, 1, 0, 1, 0, "\n");
+                              2, 8, 12, 1, 10, 0.5, 20, 0, 1, 0, 1, 0, "\n", 0);
     // reads
     std::vector<std::string> reads(n_reads);
     for (int i = 0; i < n_reads; i++) {

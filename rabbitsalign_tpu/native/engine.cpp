@@ -3036,7 +3036,14 @@ void chunk_out_copy(void* c, char* dst) {
     memcpy(dst, ch->out.data(), ch->out.size());
 }
 
-void chunk_free(void* c) { delete (engine::ChunkC*)c; }
+void chunk_free(void* c) {
+    auto* ch = (engine::ChunkC*)c;
+    // pe_ref_async leaves the engine's active-estimator pointer aimed at
+    // this chunk between phase B and the next phase A; don't let it dangle
+    if (ch->eng && ch->eng->cur_isize == &ch->isize)
+        ch->eng->cur_isize = nullptr;
+    delete ch;
+}
 
 }  // extern "C"
 // ------------------------------------------------------------------

@@ -2662,6 +2662,9 @@ void engine_timers(void* e, double* out) {
     out[3] = eng->t_phase_b;
 }
 
+// NOTE: reports the CUMULATIVE estimator only; in pe_ref_async mode the
+// estimator is per-chunk (discarded at chunk end, like the reference's
+// async workers) and this telemetry stays at the prior.
 void engine_isize(void* e, double* out) {
     auto* eng = (engine::EngineC*)e;
     out[0] = eng->isize.mu;

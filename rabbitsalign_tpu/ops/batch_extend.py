@@ -27,16 +27,17 @@ from ..utils.dna import encode
 from .extend_device import extend_batch_packed, pack_input, unpack_output
 from .sw_jax import SwParams
 
-# (Q, T, max batch) buckets; a job uses the smallest bucket that fits.
+# (Q, T, max batch) buckets; a job uses the smallest bucket that fits —
+# kept in sync with native/engine.py ENGINE_BUCKETS (geometry measured on
+# v5e, see that table's comment; the round-2 kernel dropped its qlen/tlen
+# planes and one scratch shift, which is what fits B=512 at Q=512).
 # extend_seed windows are read+|diff|+100; rescue windows reach mu+5*sigma
 # + read/2 (~1100 for the initial prior); the reference caps targets at
-# 2000 (src/gasal2_ssw.h:24-25, src/aligner.cpp:118). The 512-query
-# bucket is capped at B=256: five (Q, B) int32 VMEM scratch planes exceed
-# the 16 MB scoped-vmem limit at B=512.
+# 2000 (src/gasal2_ssw.h:24-25, src/aligner.cpp:118).
 DEFAULT_BUCKETS: Tuple[Tuple[int, int, int], ...] = (
-    (256, 512, 512),
+    (256, 512, 1024),
     (256, 1536, 512),
-    (512, 2048, 256),
+    (512, 2048, 512),
 )
 
 

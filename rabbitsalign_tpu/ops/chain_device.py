@@ -160,15 +160,6 @@ def merge_hits_device(hits, seg_start, valid, k: int, cap: int):
     return rows, mask, final["overflow"]
 
 
-def _nam_score(qs, qe, rs, re, nh) -> float:
-    q_span = qe - qs
-    r_span = re - rs
-    mx = max(q_span, r_span)
-    mn = min(q_span, r_span)
-    v = 2 * mn - mx
-    return float(nh * v) if v > 0 else 1.0
-
-
 def find_nams_device_chain(query_randstrobes, index, cap: int = 32):
     """find_nams (reference src/nam.cpp:771-926) with the sweep-line NAM
     merge running on the accelerator: host-side lookups + hit collection

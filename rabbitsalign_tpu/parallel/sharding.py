@@ -58,10 +58,14 @@ def shard_index_by_hash(hashes: np.ndarray, positions: np.ndarray, packed: np.nd
     n = hashes.shape[0]
     if reachable is None:
         reachable = np.ones(n, dtype=np.uint8)
-    ideal = (np.arange(1, n_shards) * n) // n_shards
-    # move each cut down to the first entry of its run
-    cuts = np.searchsorted(hashes, hashes[np.minimum(ideal, n - 1)], side="left")
-    bounds = np.concatenate([[0], cuts, [n]])
+    if n == 0:
+        bounds = np.zeros(n_shards + 1, dtype=np.int64)
+    else:
+        ideal = (np.arange(1, n_shards) * n) // n_shards
+        # move each cut down to the first entry of its run
+        cuts = np.searchsorted(hashes, hashes[np.minimum(ideal, n - 1)],
+                               side="left")
+        bounds = np.concatenate([[0], cuts, [n]])
     m = int(np.max(np.diff(bounds))) if n else 1
     h = np.full((n_shards, m), SENTINEL, dtype=np.uint64)
     p = np.zeros((n_shards, m), dtype=positions.dtype)
@@ -120,7 +124,7 @@ class ShardedIndex:
         self.starts = jax.device_put(starts, sh1)
         self.filter_cutoff = int(index.filter_cutoff)
         self._k = index.k()
-        self._find = None
+        self._find = {}  # compiled lookup program per cap
 
     def k(self) -> int:
         return self._k
@@ -140,10 +144,11 @@ class ShardedIndex:
         Run rows beyond min(count, cap) are zero; callers that may walk
         runs longer than `cap` must re-fetch with a larger cap (find_nams
         only walks unfiltered runs, so cap=filter_cutoff is exact)."""
-        if self._find is None or self._find[0] != cap:
-            self._find = (cap, self._build(cap))
+        fn = self._find.get(cap)
+        if fn is None:
+            fn = self._find[cap] = self._build(cap)
         keys = np.ascontiguousarray(np.asarray(keys, dtype=np.uint64))
-        found_n, gpos, count, runp, runk = self._find[1](
+        found_n, gpos, count, runp, runk = fn(
             self.hashes, self.positions, self.packed, self.reachable,
             self.starts, keys,
         )

@@ -451,11 +451,12 @@ class ThreadedNativePipeline:
         queue_depth: int = 8,
         kernel: str = "auto",
         deterministic: bool = False,
+        device_seed: bool = False,
     ):
         self._mk = lambda: NativePipeline(
             index, index_parameters, references, aln_params, map_param,
             read_group_id, use_device=use_device, batch_size=batch_size,
-            kernel=kernel,
+            kernel=kernel, device_seed=device_seed,
         )
         self.n_workers = max(1, n_workers)
         self.queue_depth = queue_depth
@@ -503,7 +504,10 @@ class ThreadedNativePipeline:
                         break
                     ci, fx, np_, ns = item
                     try:
-                        chunk = pipe.engine.chunk_a_fx(fx, ci)
+                        if pipe.device_seed:
+                            chunk = pipe._preseed(fx, 2 * np_ + ns, ci)
+                        else:
+                            chunk = pipe.engine.chunk_a_fx(fx, ci)
                     finally:
                         reader.free_chunk(fx)
                     pending = []
@@ -610,7 +614,10 @@ def _pipeline_map_file_sharded(self, path1, path2, interleaved, chunk_size,
                 reader.free_chunk(fx)
                 continue
             n_reads += 2 * n_pairs + n_singles
-            chunk = self.engine.chunk_a_fx(fx, chunk_index)
+            if self.device_seed:
+                chunk = self._preseed(fx, 2 * n_pairs + n_singles, chunk_index)
+            else:
+                chunk = self.engine.chunk_a_fx(fx, chunk_index)
             reader.free_chunk(fx)
             pending = []
             if self.use_device and chunk.n_jobs:

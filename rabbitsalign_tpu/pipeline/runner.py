@@ -64,6 +64,7 @@ def run_aligner(opt: CommandLineOptions) -> int:
         cigar_eqx=opt.cigar_eqx,
         output_unmapped=opt.output_unmapped,
         details=opt.details,
+        pe_ref_async=getattr(opt, "pe_ref_async", False),
     )
     map_param.verify()
 
@@ -265,6 +266,7 @@ def _map_reads(
                 batch_size=getattr(opt, "tpu_batch", 1024),
                 n_workers=opt.n_threads,
                 deterministic=getattr(opt, "deterministic", False),
+                device_seed=getattr(opt, "device_seed", False),
             )
             t0 = time.perf_counter()
             n_reads = pipeline.map_file(

@@ -278,3 +278,28 @@ def test_cli_interleaved(dataset, tmp_path, capsys):
     assert len(lines) == 79  # 39 pairs + 1 orphan
     paired = sum(1 for l in lines if int(l.split("\t")[1]) & 1)
     assert paired == 78
+
+
+def test_cli_flags_reach_mapping_parameters():
+    """Every behavior flag must survive the CLI -> CommandLineOptions ->
+    runner plumbing (a dead flag parses fine and silently does nothing —
+    this guards the class of bug where a new option is added to argparse
+    but never copied into the mapping configuration)."""
+    from rabbitsalign_tpu.cli import parse_command_line_arguments
+
+    opt = parse_command_line_arguments([
+        "--pe-ref-async", "--device-seed", "--deterministic",
+        "--no-tpu", "-t", "4", "ref.fa", "r.fq",
+    ])
+    assert opt.pe_ref_async is True
+    assert opt.device_seed is True
+    assert opt.deterministic is True
+    assert opt.n_threads == 4
+
+    # and the runner actually forwards pe_ref_async into MappingParameters
+    import inspect
+
+    from rabbitsalign_tpu.pipeline import runner
+
+    src = inspect.getsource(runner)
+    assert "pe_ref_async" in src.split("MappingParameters(")[1].split(")")[0]

@@ -26,15 +26,17 @@ from . import load_seednam
 
 # (Q, T, kernel B, dispatch groups) device buckets — must stay in sync
 # with ops/batch_extend.py. Geometry measured on v5e (chained in-jit
-# iterations, 2026-08): the high-volume bucket runs 25% faster per pair
-# at B=1024 than 2x512, and the 512-query bucket fits VMEM at B=512
-# since the kernel dropped its qlen/tlen planes and one scratch shift —
-# 28.7 Gcells/s padded there, vs the reference's fixed 512-pair batches
-# (/root/reference/src/gasal2_ssw.h:22). `groups` kernel invocations are
-# fused into one jit dispatch (one transfer each way) for the
-# high-volume bucket — the host<->device link is latency-bound.
+# iterations, 2026-08): B=512 everywhere — the 8-diagonals-per-grid-step
+# kernel amortizes the ~4.6 us fixed step cost, and its (8, Q, B)
+# direction block leaves no VMEM for B=1024 (which the blocked kernel
+# beats anyway); the 512-query bucket fits B=512 since the kernel shed
+# its qlen/tlen planes and one scratch shift. The reference runs fixed
+# 512-pair batches (/root/reference/src/gasal2_ssw.h:22). `groups`
+# kernel invocations are fused into one jit dispatch (one transfer each
+# way) for the high-volume bucket — the host<->device link is
+# latency-bound.
 ENGINE_BUCKETS: Tuple[Tuple[int, int, int, int], ...] = (
-    (256, 512, 1024, 2),
+    (256, 512, 512, 4),
     (256, 1536, 512, 1),
     (512, 2048, 512, 1),
 )

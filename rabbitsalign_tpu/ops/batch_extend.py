@@ -35,7 +35,7 @@ from .sw_jax import SwParams
 # + read/2 (~1100 for the initial prior); the reference caps targets at
 # 2000 (src/gasal2_ssw.h:24-25, src/aligner.cpp:118).
 DEFAULT_BUCKETS: Tuple[Tuple[int, int, int], ...] = (
-    (256, 512, 1024),
+    (256, 512, 512),
     (256, 1536, 512),
     (512, 2048, 512),
 )

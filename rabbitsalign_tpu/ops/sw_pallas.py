@@ -10,9 +10,11 @@ the two hot data motions cheap:
   * the per-diagonal target base is a (1, B) sublane slice of the
     transposed target block, broadcast across sublanes.
 
-Each grid step does ~30 VPU ops on the (Q, B) plane and streams one
-(Q, B) uint8 direction plane to HBM — the TPU-native replacement for
-GASAL2's one-thread-per-pair CUDA kernel
+Each grid step advances up to eight anti-diagonals (matching the
+traceback kernel's blocking). Each diagonal does ~30 VPU ops plus three
+sublane shifts on the (Q, B) plane and streams a (Q, B) uint8 direction
+plane to HBM — the TPU-native replacement for GASAL2's
+one-thread-per-pair CUDA kernel
 (/root/reference/GASAL2/src/kernels/local_kernel_template.h).
 
 The kernel body is dtype-generic with every comparison canonicalized to
@@ -70,10 +72,10 @@ def _pick_dtype(Q: int, T: int, params: SwParams):
 
 def _kernel(
     q_ref,  # (Q, B) acc codes (0..4)
-    t_ref,  # (8, B) int32: rows d..d+7 of the transposed padded target
-    dirs_ref,  # out block (1, Q, B) uint8 for this diagonal
+    t_ref,  # (R, B) int32: rows of the transposed padded target for this block
+    dirs_ref,  # out block (R, Q, B) uint8 — one plane per diagonal
     besth_ref,  # out (Q, B) acc
-    bestt_ref,  # out (Q, B) acc: diagonal index of the running best
+    bestt_ref,  # out (Q, B) acc: best target index per cell
     H1,
     H1S,
     E1,
@@ -85,8 +87,16 @@ def _kernel(
     O: int,
     Eg: int,
     acc,
+    R: int,
 ):
-    d = pl.program_id(0)
+    # R anti-diagonals per grid step (R=8 matches the traceback kernel's
+    # blocking; fat shapes drop to R=1 so the double-buffered (R, Q, B)
+    # direction block leaves VMEM for the DP scratch). Measured on v5e
+    # the blocking is throughput-neutral — the kernel is bound by the
+    # per-diagonal VPU work (recurrence + three sublane shifts), not by
+    # grid-step overhead — but it keeps the target row index static for
+    # the production shape and halves the number of output DMAs.
+    g = pl.program_id(0)
     Q, B = H1.shape
     zero = acc(0)
     one = acc(1)
@@ -96,7 +106,7 @@ def _kernel(
     cO = acc(O)
     cE = acc(Eg)
 
-    @pl.when(d == 0)
+    @pl.when(g == 0)
     def _init():
         zeros = jnp.zeros((Q, B), acc)
         H1[:] = zeros
@@ -119,80 +129,100 @@ def _kernel(
         top = jnp.full((1, B), fill, x.dtype)
         return jnp.concatenate([top, x[: Q - 1]], axis=0)
 
-    # slide the reversed-target window and insert this diagonal's base
-    # (the revt/q planes stay int32 — their roll/compare cost is one op
-    # either way, and 32-bit keeps the rotate on the supported path)
-    tcol = t_ref[pl.ds(d % 8, 1), :]  # (1, B)
-    revt_new = jnp.where(is_row0, tcol, pltpu.roll(revt[:], shift=1, axis=0))
-    revt[:] = revt_new
-
-    # every max below is written as compare+select (Mosaic has no 16-bit
-    # arith.maxsi on this build) and every acc-domain comparison is
-    # canonicalized to `<` or `==` (only slt/eq legalize for i16 here;
-    # sle/sge/sgt do not) — the compare results double as the direction
-    # bits the traceback needs anyway
+    # DP state lives in registers across the 8 in-step diagonals; the
+    # scratch planes are read once and written once per grid step
     h1 = H1[:]
-    Hm1s = shift_down(h1, zero)
-    Em1s = shift_down(E1[:], neg)
-    e_open = Hm1s - cO
-    e_ext_v = Em1s - cE
-    e_opn_w = e_ext_v < e_open  # open strictly wins
-    E = jnp.where(e_opn_w, e_open, e_ext_v)
-    e_is_ext = ~e_opn_w
-
-    f_open = h1 - cO
-    f_ext_v = F1[:] - cE
-    f_opn_w = f_ext_v < f_open
-    F = jnp.where(f_opn_w, f_open, f_ext_v)
-    f_is_ext = ~f_opn_w
-
-    # H(q-1, t-1) = diagonal d-2 shifted = the Hm1s this kernel computed
-    # at step d-1, kept in H1S — saves one shift per step
-    Hm2s = H1S[:]
+    h1s = H1S[:]
+    e_prev = E1[:]
+    f_prev = F1[:]
+    rv32 = revt[:]
+    bh = besth_ref[:]
+    bt = bestt_ref[:]
     qv = q_ref[:]  # acc dtype
-    # compare in the acc domain: an i1 mask born under a 32-bit layout
-    # cannot feed a 16-bit select (Mosaic "invalid relayout"), so the
-    # int32 revt row converts once per step instead
-    rv = revt_new.astype(acc) if acc != jnp.int32 else revt_new
-    is_eq = qv == rv
-    sub = jnp.where(is_eq & (qv < acc(4)), cA, -cB)
-    dsub = Hm2s + sub
+    qlt4 = qv < acc(4)
 
-    e1 = jnp.where(zero < E, E, zero)
-    f1 = jnp.where(zero < F, F, zero)
-    ef_cmp = f1 < e1  # e1 > f1
-    gap1 = jnp.where(ef_cmp, e1, f1)
-    d_cmp = ~(dsub < gap1)  # dsub >= gap1
-    hm = jnp.where(d_cmp, dsub, gap1)
-    h_pos = zero < hm
-    H = jnp.where(h_pos, hm, zero)
+    for j in range(R):
+        d = g * jnp.int32(R) + jnp.int32(j)
+        # slide the reversed-target window; insert this diagonal's base
+        # (the revt/q planes stay int32 — 32-bit keeps the rotate on the
+        # supported path). t_ref is always an (8, B) block (TPU requires
+        # sublane-divisible blocks): R=8 indexes rows statically; smaller
+        # R addresses its sub-block of 8 dynamically
+        if R == 8:
+            tcol = t_ref[j : j + 1, :]  # (1, B)
+        else:
+            trow = (g * jnp.int32(R)) % jnp.int32(8) + jnp.int32(j)
+            tcol = t_ref[pl.ds(trow, 1), :]
+        rv32 = jnp.where(is_row0, tcol, pltpu.roll(rv32, shift=1, axis=0))
 
-    h_src = jnp.where(
-        ~h_pos,
-        zero,
-        jnp.where(d_cmp, one, jnp.where(ef_cmp, acc(2), acc(3))),
-    )
-    dirs = (
-        h_src
-        | (e_is_ext.astype(acc) << acc(2))
-        | (f_is_ext.astype(acc) << acc(3))
-        # bit 4: plain code equality ('='/'X' for the cigar) so the
-        # traceback never needs the sequence planes
-        | (is_eq.astype(acc) << acc(4))
-    )
-    dirs_ref[0] = dirs.astype(jnp.uint8)
+        # every max is compare+select (Mosaic has no 16-bit arith.maxsi)
+        # and every acc-domain comparison is canonicalized to `<` or `==`
+        # (only slt/eq legalize for i16 here) — the compare results
+        # double as the direction bits the traceback needs anyway
+        Hm1s = shift_down(h1, zero)
+        Em1s = shift_down(e_prev, neg)
+        e_open = Hm1s - cO
+        e_ext_v = Em1s - cE
+        e_opn_w = e_ext_v < e_open  # open strictly wins
+        E = jnp.where(e_opn_w, e_open, e_ext_v)
+        e_is_ext = ~e_opn_w
 
-    upd = besth_ref[:] < H
-    besth_ref[:] = jnp.where(upd, H, besth_ref[:])
-    # per-cell best target index t = d - q (fits int16: t < T <= 2048);
-    # strict > keeps the smallest t per row on score ties, matching the
-    # SSW tie-break
-    bestt_ref[:] = jnp.where(upd, (d - row).astype(acc), bestt_ref[:])
+        f_open = h1 - cO
+        f_ext_v = f_prev - cE
+        f_opn_w = f_ext_v < f_open
+        F = jnp.where(f_opn_w, f_open, f_ext_v)
+        f_is_ext = ~f_opn_w
 
-    H1S[:] = Hm1s
-    H1[:] = H
-    E1[:] = E
-    F1[:] = F
+        # H(q-1, t-1) = diagonal d-2 shifted = the Hm1s computed at the
+        # previous diagonal, carried in h1s — saves one shift per step
+        rv = rv32.astype(acc) if acc != jnp.int32 else rv32
+        is_eq = qv == rv
+        sub = jnp.where(is_eq & qlt4, cA, -cB)
+        dsub = h1s + sub
+
+        e1 = jnp.where(zero < E, E, zero)
+        f1 = jnp.where(zero < F, F, zero)
+        ef_cmp = f1 < e1  # e1 > f1
+        gap1 = jnp.where(ef_cmp, e1, f1)
+        d_cmp = ~(dsub < gap1)  # dsub >= gap1
+        hm = jnp.where(d_cmp, dsub, gap1)
+        h_pos = zero < hm
+        H = jnp.where(h_pos, hm, zero)
+
+        h_src = jnp.where(
+            ~h_pos,
+            zero,
+            jnp.where(d_cmp, one, jnp.where(ef_cmp, acc(2), acc(3))),
+        )
+        dirs = (
+            h_src
+            | (e_is_ext.astype(acc) << acc(2))
+            | (f_is_ext.astype(acc) << acc(3))
+            # bit 4: plain code equality ('='/'X' for the cigar) so the
+            # traceback never needs the sequence planes
+            | (is_eq.astype(acc) << acc(4))
+        )
+        dirs_ref[j] = dirs.astype(jnp.uint8)
+
+        upd = bh < H
+        bh = jnp.where(upd, H, bh)
+        # per-cell best target index t = d - q (fits int16: t < T <=
+        # 2048); strict > keeps the smallest t per row on score ties,
+        # matching the SSW tie-break
+        bt = jnp.where(upd, (d - row).astype(acc), bt)
+
+        h1s = Hm1s
+        h1 = H
+        e_prev = E
+        f_prev = F
+
+    H1[:] = h1
+    H1S[:] = h1s
+    E1[:] = e_prev
+    F1[:] = f_prev
+    revt[:] = rv32
+    besth_ref[:] = bh
+    bestt_ref[:] = bt
 
 
 def sw_forward_pallas(q_codes, t_codes, qlen, tlen, params: SwParams):
@@ -226,6 +256,10 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
     t_i32 = jnp.where(ti < tlen_i[None, :], t_t, jnp.uint8(4)).astype(jnp.int32)
     t_pad = jnp.pad(t_i32, ((0, Dpad - T), (0, 0)), constant_values=4)
 
+    # R bounds the double-buffered (R, Q, B) direction block: past
+    # 256x512 cells even a 4-plane block starves the DP scratch of VMEM
+    # (the (512, 2048) bucket compiles only with single-diagonal steps)
+    R = 8 if Q * B <= 256 * 512 else 1
     kernel = functools.partial(
         _kernel,
         A=params.match,
@@ -233,18 +267,21 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
         O=params.gap_open,
         Eg=params.gap_extend,
         acc=acc,
+        R=R,
     )
     dirs, best_h, best_d = pl.pallas_call(
         kernel,
-        grid=(D,),
+        grid=(Dpad // R,),
         in_specs=[
-            pl.BlockSpec((Q, B), lambda d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, B), lambda d: (d // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), (lambda g: (g, 0)) if R == 8 else
+                         (lambda g: ((g * R) // 8, 0)),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Q, B), lambda d: (d, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, B), lambda d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, B), lambda d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Q, B), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             # padded to a multiple of 8 diagonals so the traceback kernel

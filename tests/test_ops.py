@@ -143,7 +143,7 @@ def _extend_parity_pairs(Q, T):
     return pairs
 
 
-def _check_extend_parity(pairs, Q, T, out):
+def _check_extend_parity(pairs, Q, T, out, sw=PARAMS):
     """Compare a packed device/portable extend output against the
     sw_jax + host-traceback golden."""
     from rabbitsalign_tpu.ops.extend_device import (
@@ -154,7 +154,7 @@ def _check_extend_parity(pairs, Q, T, out):
 
     qc, tc, ql, tl = _pack(pairs, Q, T)
     score_g, t_end_g, q_end_g, dirs_g = map(
-        np.asarray, sw_forward(qc, tc, ql, tl, PARAMS)
+        np.asarray, sw_forward(qc, tc, ql, tl, sw)
     )
     golden_tb = traceback_batch(dirs_g, score_g, t_end_g, q_end_g, qc, tc)
 
@@ -179,13 +179,20 @@ def _check_extend_parity(pairs, Q, T, out):
         assert edits[b] == gedits, b
         assert cigars[b] is not None, b
         assert str(cigars[b][0]) == str(gcigar), b
-    assert saw_overflow, "overflow case must exercise the 0xFFFF marker"
+    if sw == PARAMS:
+        assert saw_overflow, "overflow case must exercise the 0xFFFF marker"
 
 
-def test_portable_extend_matches_host_traceback():
+@pytest.mark.parametrize("sw", [
+    SwParams(2, 8, 12, 1),   # defaults
+    SwParams(1, 1, 2, 1),    # flat scoring: dense score ties
+    SwParams(3, 2, 3, 0),    # free gap extension
+])
+def test_portable_extend_matches_host_traceback(sw):
     """The portable (lax.scan) fused extend path — forward + in-walk RLE
     traceback + packed output — must match the host traceback golden on
-    CPU. This is the cross-check that also validates the Pallas
+    CPU, including degenerate scoring (dense ties, zero-cost gap
+    extension). This is the cross-check that also validates the Pallas
     traceback *semantics* without a TPU (the kernels share the walk and
     slot layout)."""
     from rabbitsalign_tpu.ops.extend_device import pack_input
@@ -197,8 +204,8 @@ def test_portable_extend_matches_host_traceback():
     buf = pack_input(
         np.ascontiguousarray(qc.T), np.ascontiguousarray(tc.T), ql, tl
     )
-    out = np.asarray(extend_batch_packed_portable(buf, Q, T, PARAMS))
-    _check_extend_parity(pairs, Q, T, out)
+    out = np.asarray(extend_batch_packed_portable(buf, Q, T, sw))
+    _check_extend_parity(pairs, Q, T, out, sw)
 
 
 def test_pallas_extend_matches_sw_jax_tpu():
@@ -222,3 +229,9 @@ def test_pallas_extend_matches_sw_jax_tpu():
     )
     out = np.asarray(extend_batch_packed(buf, Q, T, PARAMS))
     _check_extend_parity(pairs, Q, T, out)
+    # degenerate scoring stresses the unmasked-DP argument (pad paths
+    # must lose best-cell ties via the min-t/min-q tie-break, not via
+    # penalties): flat scores make ties dense
+    sw2 = SwParams(1, 1, 2, 1)
+    out2 = np.asarray(extend_batch_packed(buf, Q, T, sw2))
+    _check_extend_parity(pairs, Q, T, out2, sw2)

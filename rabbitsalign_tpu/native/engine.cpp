@@ -1812,25 +1812,35 @@ static bool extend_seed_part(EngineC& eng, ChunkC& ch, TmpResC& tmp,
 }
 
 // returns true when the mate is (already known) unaligned
-static bool rescue_mate_part(EngineC& eng, ChunkC& ch, TmpResC& tmp,
-                             const NamT& nam, const ReadC& read, double mu,
-                             double sigma, int k) {
-    i64 read_len = read.n;
-    const u8* r_tmp;
+// The mu+5*sigma rescue window around a NAM (reference rescue_mate_part
+// aln.cpp:1015-1078 and part2_rescue_mate_get_str pc.cpp:333-368 — the
+// same formula is evaluated at decision time AND, in pe_ref_async mode,
+// re-evaluated at gather time with the end-of-phase-A estimate, so both
+// sites must share this one implementation).
+static void rescue_window(const EngineC& eng, const NamT& nam, i64 read_len,
+                          double mu, double sigma, i64& ref_start,
+                          i64& ref_end) {
     i64 a, b;
     if (nam.is_rc) {
-        r_tmp = read.seq;
         a = (i64)((double)(nam.ref_start - nam.query_start) - (mu + 5.0 * sigma));
         b = (i64)nam.ref_start - nam.query_start + read_len / 2;
     } else {
-        r_tmp = read.rc_ptr();
         a = (i64)nam.ref_end + (read_len - nam.query_end) - read_len / 2;
         b = (i64)((double)(nam.ref_end + (read_len - nam.query_end)) +
                   (mu + 5.0 * sigma));
     }
     i64 ref_len = eng.refs.len(nam.ref_id);
-    i64 ref_start = std::max((i64)0, std::min(a, ref_len));
-    i64 ref_end = std::min(ref_len, std::max((i64)0, b));
+    ref_start = std::max((i64)0, std::min(a, ref_len));
+    ref_end = std::min(ref_len, std::max((i64)0, b));
+}
+
+static bool rescue_mate_part(EngineC& eng, ChunkC& ch, TmpResC& tmp,
+                             const NamT& nam, const ReadC& read, double mu,
+                             double sigma, int k) {
+    i64 read_len = read.n;
+    const u8* r_tmp = nam.is_rc ? read.seq : read.rc_ptr();
+    i64 ref_start, ref_end;
+    rescue_window(eng, nam, read_len, mu, sigma, ref_start, ref_end);
 
     tmp.todo_nams.push_back(nam);
     tmp.is_extend_seed.push_back(0);
@@ -2781,23 +2791,9 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
         for (const auto& pr : ch->pend_rescue) {
             engine::TmpResC& tmp = ch->work[pr.work_idx].tmp;
             const engine::NamT& nam = tmp.todo_nams[pr.j];
-            const engine::ReadC& read = *pr.read;
-            i64 read_len = read.n;
-            i64 a, b;
-            if (nam.is_rc) {
-                a = (i64)((double)(nam.ref_start - nam.query_start) -
-                          (mu + 5.0 * sigma));
-                b = (i64)nam.ref_start - nam.query_start + read_len / 2;
-            } else {
-                a = (i64)nam.ref_end + (read_len - nam.query_end) -
-                    read_len / 2;
-                b = (i64)((double)(nam.ref_end +
-                                   (read_len - nam.query_end)) +
-                          (mu + 5.0 * sigma));
-            }
-            i64 ref_len = eng->refs.len(nam.ref_id);
-            i64 ref_start = std::max((i64)0, std::min(a, ref_len));
-            i64 ref_end = std::min(ref_len, std::max((i64)0, b));
+            i64 ref_start, ref_end;
+            engine::rescue_window(*eng, nam, pr.read->n, mu, sigma,
+                                  ref_start, ref_end);
             i64 jid = tmp.job_ids[pr.j];
             ch->jobs[jid].t = eng->refs.seq(nam.ref_id) + ref_start;
             ch->jobs[jid].tn = ref_end - ref_start;
@@ -2806,6 +2802,11 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
     }
     ch->job_results.resize(ch->jobs.size());
     ch->job_done.assign(ch->jobs.size(), 0);
+    // the active-estimator pointer is only valid within a phase call
+    // (each phase entry re-points it); never let it outlive the call —
+    // the chunk (and in teardown paths even the engine) may be freed
+    // before the next one
+    eng->cur_isize = nullptr;
     eng->t_phase_a += std::chrono::duration<double>(
                           std::chrono::steady_clock::now() - t_start)
                           .count();
@@ -2928,9 +2929,10 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
     auto* eng = (engine::EngineC*)e;
     auto* ch = (engine::ChunkC*)c;
     (void)D;  // kernel output is RLE, independent of the diagonal count
-    // device-RLE layout (ops/extend_device.py): M run op codes, M length
-    // lo bytes, M length hi bytes, then score/t_end/q_end/t_begin/
-    // q_begin/edits/n_runs as u16 (lo,hi) row pairs
+    // device-RLE layout (ops/extend_device.py, 2 bytes/run): rows [0,M)
+    // length lo byte, rows [M,2M) (op << 5) | (length >> 8), then
+    // score/t_end/q_end/t_begin/q_begin/edits/n_runs as u16 (lo,hi)
+    // row pairs
     const i64 M = 64;  // = extend_device.RLE_M (2-byte runs)
     // device op code -> cigar op
     static const int OPMAP[5] = {-1, engine::OP_EQ, engine::OP_X, engine::OP_I,
@@ -2995,9 +2997,10 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
 void engine_chunk_b(void* e, void* c) {
     auto* eng = (engine::EngineC*)e;
     auto* ch = (engine::ChunkC*)c;
-    // pe_ref_async: phase B (align_PE_last) reads/updates this chunk's
-    // estimator (the reference's pre_isize_est; its updates are
-    // discarded when the chunk retires, pc.cpp:1505-1510)
+    // pe_ref_async: phase B (align_PE_last) READS this chunk's
+    // estimator (the reference's pre_isize_est; like the reference's
+    // split path, phase B never updates it — all updates happen in
+    // phase A, cf. pipeline/batched.py align_PE_last note)
     if (eng->pe_ref_async) eng->cur_isize = &ch->isize;
     auto t_start = std::chrono::steady_clock::now();
     engine::resolve_host_jobs(*eng, *ch);
@@ -3027,6 +3030,7 @@ void engine_chunk_b(void* e, void* c) {
             eng->stats.add(w.det2);
         }
     }
+    eng->cur_isize = nullptr;  // see engine_chunk_a_impl: per-call only
     eng->t_phase_b += std::chrono::duration<double>(
                           std::chrono::steady_clock::now() - t_mid)
                           .count();
@@ -3039,14 +3043,7 @@ void chunk_out_copy(void* c, char* dst) {
     memcpy(dst, ch->out.data(), ch->out.size());
 }
 
-void chunk_free(void* c) {
-    auto* ch = (engine::ChunkC*)c;
-    // pe_ref_async leaves the engine's active-estimator pointer aimed at
-    // this chunk between phase B and the next phase A; don't let it dangle
-    if (ch->eng && ch->eng->cur_isize == &ch->isize)
-        ch->eng->cur_isize = nullptr;
-    delete ch;
-}
+void chunk_free(void* c) { delete (engine::ChunkC*)c; }
 
 }  // extern "C"
 // ------------------------------------------------------------------
@@ -3488,9 +3485,12 @@ void* engine_chunk_a_fx(void* e, void* c_, u64 chunk_seed) {
 // device seeding kernel (--device-seed). Rows are record order (the same
 // order chunk_a maps); reads longer than L get length -1 (caller marks
 // them for host-side seeding).
-void fx_chunk_codes(void* c_, i64 L, u8* codes, int32_t* lens) {
+void fx_chunk_codes(void* c_, i64 L, u8* codes, int32_t* lens,
+                    i64 n_rows) {
     auto* c = (engine::FxChunk*)c_;
-    i64 n = (i64)c->seq_off.size() - 1;
+    // never write past the caller's (n_rows, L) buffer, whatever the
+    // chunk's own record count is
+    i64 n = std::min((i64)c->seq_off.size() - 1, n_rows);
     memset(codes, 4, (size_t)(n * L));
     for (i64 i = 0; i < n; ++i) {
         const u8* seq = (const u8*)c->seqs.data() + c->seq_off[i];

@@ -109,7 +109,7 @@ def _lib():
         lib.engine_chunk_a_fx.restype = c.c_void_p
         lib.engine_chunk_a_fx.argtypes = [c.c_void_p, c.c_void_p, c.c_uint64]
         lib.fx_chunk_codes.argtypes = [c.c_void_p, c.c_int64, c.c_void_p,
-                                       c.c_void_p]
+                                       c.c_void_p, c.c_int64]
         lib.engine_chunk_a_fx_pre.restype = c.c_void_p
         lib.engine_chunk_a_fx_pre.argtypes = [
             c.c_void_p, c.c_void_p, c.c_uint64,
@@ -233,7 +233,7 @@ class NativeEngine:
         codes = np.empty((n_records, L), dtype=np.uint8)
         lens = np.empty(n_records, dtype=np.int32)
         self.lib.fx_chunk_codes(fx_chunk, L, codes.ctypes.data,
-                                lens.ctypes.data)
+                                lens.ctypes.data, n_records)
         return codes, lens
 
     def chunk_a_fx_pre(self, fx_chunk: int, chunk_seed: int,

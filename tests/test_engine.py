@@ -748,3 +748,36 @@ def test_device_seed_mode_identical(world, tmp_path):
     n1, dev_pe = run(p1, p2, True)
     assert (n0, n1) == (400, 400)
     assert dev_pe == host_pe
+
+
+def test_threaded_device_seed_identical(world, tmp_path):
+    """--device-seed through the N-worker pipeline (each worker runs the
+    preseed dispatch on its own engine): SE output must stay
+    byte-identical to the sequential host-seeded run."""
+    from rabbitsalign_tpu.pipeline.native_pipeline import (
+        NativePipeline,
+        ThreadedNativePipeline,
+    )
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    se = simulate_se(genome, 300)
+    p_se = tmp_path / "tds.fq"
+    p_se.write_bytes(b"".join(
+        f"@{r.name}\n".encode() + r.seq + b"\n+\n" + r.qual + b"\n" for r in se
+    ))
+
+    golden = []
+    pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
+    pipe.map_file(str(p_se), "", False, 64, golden.append)
+
+    out = []
+    tp = ThreadedNativePipeline(index, params, refs, ap, mp,
+                                use_device=True, n_workers=2,
+                                device_seed=True)
+    n = tp.map_file(str(p_se), "", False, 64, out.append)
+    assert n == 300
+    assert b"".join(out) == b"".join(golden)

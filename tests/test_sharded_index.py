@@ -152,3 +152,71 @@ def test_find_nams_rescue_sharded_matches_host(world, sharded):
                 b.ref_id, b.n_hits, b.score, b.is_rc)
         total += len(nams_h)
     assert total > 20
+
+
+def test_sharded_lookups_end_to_end_sam(world, sharded):
+    """Whole-genome-sharding as a usable mapping path: run the Python
+    SE mapping core with every index lookup served by the mesh-sharded
+    index (find_nams/find_nams_rescue swapped for their sharded twins)
+    and require byte-identical SAM against the host-indexed run."""
+    from unittest import mock
+
+    from rabbitsalign_tpu.align.aligner import Aligner, AlignmentParameters
+    from rabbitsalign_tpu.chain.sharded_nams import (
+        find_nams_rescue_sharded,
+        find_nams_sharded,
+    )
+    from rabbitsalign_tpu.io.sam import Sam, SamRecord, CIGAR_OPS_M
+    from rabbitsalign_tpu.map import se as se_mod
+    from rabbitsalign_tpu.map.common import MappingParameters
+    from rabbitsalign_tpu.map.randomness import MinstdRand
+    from rabbitsalign_tpu.map.stats import AlignmentStatistics
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+    aligner = Aligner(ap)
+
+    r = random.Random(23)
+    records = []
+    for i in range(120):
+        if i % 3 == 1:  # repeat-array reads exercise filter + rescue
+            st = 20000 + r.randrange(0, 300 * 110)
+        else:
+            st = r.randrange(0, len(genome) - 200)
+        rd = list(genome[st : st + 150])
+        for _ in range(r.randrange(0, 4)):
+            rd[r.randrange(150)] = r.choice("ACGT")
+        records.append(SamRecord(f"e{i}", "".join(rd).encode(), b"I" * 150))
+
+    def run(patched):
+        sam = Sam(refs, CIGAR_OPS_M, "", True, False)
+        stats = AlignmentStatistics()
+        eng = MinstdRand(0)
+        eng.seed(0)
+        ctx = (
+            mock.patch.object(
+                se_mod, "find_nams",
+                lambda qrs, ix: find_nams_sharded(qrs, sharded))
+            if patched else mock.patch.object(se_mod, "find_nams",
+                                              se_mod.find_nams)
+        )
+        ctx2 = (
+            mock.patch.object(
+                se_mod, "find_nams_rescue",
+                lambda qrs, ix, cutoff: find_nams_rescue_sharded(
+                    qrs, sharded, cutoff))
+            if patched else mock.patch.object(se_mod, "find_nams_rescue",
+                                              se_mod.find_nams_rescue)
+        )
+        with ctx, ctx2:
+            for rec in records:
+                se_mod.align_SE_read(rec, sam, [], stats, aligner, mp,
+                                     params, refs, index, eng)
+        return sam.take()
+
+    host_sam = run(False)
+    sharded_sam = run(True)
+    assert sharded_sam == host_sam
+    assert host_sam.count("\n") >= 120

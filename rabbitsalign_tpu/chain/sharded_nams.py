@@ -160,8 +160,12 @@ def find_nams_rescue_sharded(
         else:
             hits_fw.append(rh)
 
-    introsort(hits_fw, [(r[0] << 32) | (r[1] << 16) | r[2] for r in hits_fw], False)
-    introsort(hits_rc, [(r[0] << 32) | (r[1] << 16) | r[2] for r in hits_rc], False)
+    # 24-bit fields for the query coordinates so the packed key orders
+    # exactly like the reference's (count, qs, qe) tuple compare for any
+    # read length (Python ints don't overflow; 16-bit fields would
+    # alias for reads >= 64 kbp)
+    introsort(hits_fw, [(r[0] << 48) | (r[1] << 24) | r[2] for r in hits_fw], False)
+    introsort(hits_rc, [(r[0] << 48) | (r[1] << 24) | r[2] for r in hits_rc], False)
 
     rhs: List[List[Tuple[int, int, int, int]]] = [[], []]
     for is_revcomp, rescue_hits in enumerate((hits_fw, hits_rc)):

@@ -417,6 +417,11 @@ class NativeEngine:
         }
 
     def isize(self) -> Tuple[float, float, float]:
+        """(mu, sigma, sample_size) of the cumulative insert-size
+        estimator. In ``--pe-ref-async`` mode the ACTIVE estimator is
+        per-chunk (reset each chunk, like the reference's async workers);
+        this telemetry then reports the cumulative prior, not the
+        estimator that gated the last chunk's pairing decisions."""
         out = np.zeros(3, dtype=np.float64)
         self.lib.engine_isize(self.handle, out.ctypes.data)
         return float(out[0]), float(out[1]), float(out[2])

@@ -560,17 +560,47 @@ class ThreadedNativePipeline:
                 if errors:
                     break
         finally:
-            for w in range(self.n_workers):
-                q_i = w % len(in_qs)
-                while threads[w].is_alive():
+            if self.deterministic:
+                # one private queue per worker: the sentinel can only be
+                # consumed by its owner, so a per-worker alive check is safe
+                for w in range(self.n_workers):
+                    q_i = w % len(in_qs)
+                    while threads[w].is_alive():
+                        try:
+                            in_qs[q_i].put(None, timeout=1.0)
+                            break
+                        except queue.Full:
+                            if not threads[w].is_alive():
+                                break
+            else:
+                # shared queue: ANY worker can consume ANY sentinel, so a
+                # per-worker alive check races (a worker that eats a
+                # sentinel posted "for" another index and exits leaves a
+                # still-alive worker blocked in get() forever and its
+                # buffered chunk unflushed). Snapshot the alive set once
+                # and post exactly that many sentinels unconditionally.
+                n_alive = sum(t.is_alive() for t in threads)
+                posted = 0
+                while posted < n_alive:
                     try:
-                        in_qs[q_i].put(None, timeout=1.0)
-                        break
+                        in_qs[0].put(None, timeout=1.0)
+                        posted += 1
                     except queue.Full:
-                        if not threads[w].is_alive():
+                        if not any(t.is_alive() for t in threads):
                             break
             for t in threads:
-                t.join(timeout=60.0)
+                if errors:
+                    # a failed run salvages what it can but must not hang
+                    t.join(timeout=60.0)
+                else:
+                    # healthy workers ALWAYS exit once their sentinel
+                    # arrives — wait for them unconditionally. A bounded
+                    # join here silently dropped the last chunk of any
+                    # worker still inside a long device wait (e.g. a lazy
+                    # 20-40 s extend-program compile on the first run) and
+                    # then aborted the process at exit when the daemon
+                    # thread was torn down inside a jax call.
+                    t.join()
             reader.close()
         if errors:
             raise errors[0]

@@ -114,7 +114,14 @@ def write_fastq(path, reads, prefix):
                     b"\n+\n" + b"I" * len(rd) + b"\n")
 
 
-def build_index(genome: str, name: str):
+def build_index(genome: str, name: str, cache_tag: str = ""):
+    """Build the strobemer index — or load it from the bench .sti cache
+    (keyed by genome tag + parameters) so big-genome configs don't pay a
+    full rebuild every bench run; the ambient load on this shared box
+    also makes build time swing 2x, which polluted the wall numbers."""
+    import hashlib
+    import os
+
     from rabbitsalign_tpu.index.params import IndexParameters
     from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
     from rabbitsalign_tpu.io.fasta import References
@@ -122,12 +129,31 @@ def build_index(genome: str, name: str):
     refs = References()
     refs.add(name, genome.encode())
     params = IndexParameters.from_read_length(READ_LEN)
-    t0 = time.perf_counter()
     index = StrobemerIndex(refs, params)
-    index.populate(0.0002)
-    print(f"bench: index build {time.perf_counter() - t0:.2f}s "
-          f"({len(index)} randstrobes, {len(genome)/1e6:.0f} Mbp)",
-          file=sys.stderr)
+    sti = None
+    if cache_tag:
+        cache_dir = os.path.join(
+            os.environ.get("RABBITSALIGN_TPU_CACHE",
+                           os.path.expanduser("~/.cache/rabbitsalign_tpu")),
+            "bench")
+        os.makedirs(cache_dir, exist_ok=True)
+        key = hashlib.sha1(
+            f"{cache_tag}:{len(genome)}:{params.filename_extension()}".encode()
+        ).hexdigest()[:16]
+        sti = os.path.join(cache_dir, f"{key}.sti")
+    t0 = time.perf_counter()
+    if sti and os.path.exists(sti):
+        index.read(sti)
+        print(f"bench: index loaded from cache in "
+              f"{time.perf_counter() - t0:.2f}s ({len(index)} randstrobes, "
+              f"{len(genome)/1e6:.0f} Mbp)", file=sys.stderr)
+    else:
+        index.populate(0.0002)
+        print(f"bench: index build {time.perf_counter() - t0:.2f}s "
+              f"({len(index)} randstrobes, {len(genome)/1e6:.0f} Mbp)",
+              file=sys.stderr)
+        if sti:
+            index.write(sti)
     return refs, params, index
 
 
@@ -141,7 +167,10 @@ def run_config(tag, refs, params, index, on_tpu, path1, path2, n_passes):
     map_param.rescue_cutoff = min(map_param.rescue_level * index.filter_cutoff, 1000)
 
     sink = []
-    chunk_size = 4000
+    # 8k-read chunks: fewer (and better-filled) device dispatches per run
+    # than 4k — the dispatch-side serialization work on this 1-core box
+    # competes with phase A for the core (docs/PERF.md isolation experiment)
+    chunk_size = 8000
     # warmup (compiles device kernels per bucket shape; excluded)
     warm = NativePipeline(index, params, refs, aln_params, map_param,
                           use_device=on_tpu)
@@ -232,17 +261,19 @@ def main() -> None:
     refs, params, index = build_index(genome, "chr1")
     se_path = os.path.join(tmp, "se.fq")
     write_fastq(se_path, simulate_se(genome, N_SE_READS), "r")
-    se_rps = run_config("SE", refs, params, index, on_tpu, se_path, "", 5)
+    # 8 passes: the tunnel + ambient load swing 2-3x between minutes;
+    # more samples raise the odds of catching a representative window
+    se_rps = run_config("SE", refs, params, index, on_tpu, se_path, "", 8)
 
     # --- PE at scale: 40 Mbp, 24k pairs --------------------------------
     genome_pe = np_genome(int(PE_GENOME_MB * 1e6), 4321)
-    refs2, params2, index2 = build_index(genome_pe, "chr21")
+    refs2, params2, index2 = build_index(genome_pe, "chr21", cache_tag="pe40")
     r1, r2 = simulate_pe(genome_pe, N_PE_PAIRS)
     p1 = os.path.join(tmp, "r1.fq")
     p2 = os.path.join(tmp, "r2.fq")
     write_fastq(p1, r1, "p")
     write_fastq(p2, r2, "q")
-    pe_rps = run_config("PE", refs2, params2, index2, on_tpu, p1, p2, 3)
+    pe_rps = run_config("PE", refs2, params2, index2, on_tpu, p1, p2, 4)
 
     if on_tpu:
         try:

@@ -135,6 +135,11 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
                    help="Run seeding + index lookup on the accelerator "
                         "(vectorized randstrobes + batched find); pays "
                         "off on high-bandwidth host<->device links")
+    p.add_argument("--shard-index", action="store_true",
+                   help="Serve every index lookup from a hash-sharded "
+                        "index spread across the device mesh (whole-"
+                        "genome scale-out: each chip holds 1/N of the "
+                        "index) instead of a per-host replica")
     p.add_argument("--pe-ref-async", action="store_true",
                    help="Replicate the reference binary's async PE "
                         "insert-size semantics exactly (per-chunk "
@@ -228,6 +233,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     opt.deterministic = args.deterministic
     opt.pe_ref_async = args.pe_ref_async
     opt.device_seed = args.device_seed
+    opt.shard_index = args.shard_index
     opt.use_tpu = not args.no_tpu
     opt.profile_dir = args.profile
     opt.num_nodes = args.num_nodes

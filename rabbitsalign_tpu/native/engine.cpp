@@ -1582,6 +1582,7 @@ struct EngineC {
     int pe_ref_async = 0;
     InsertSizeC* cur_isize = nullptr;
     i64 fallbacks = 0;  // device results rejected by validation
+    i64 feed_miss = 0;  // sharded-run feed rows missing (host bug if >0)
     // phase wall-clock aggregates (reference AlignmentStatistics timers,
     // src/aln.hpp:13-56, dumped at exit src/main.cpp:602-615)
     double t_seed_nam = 0, t_phase_a = 0, t_host_align = 0, t_phase_b = 0;
@@ -1697,6 +1698,199 @@ static void nams_for_read_pre(EngineC& eng, const PreSeed& pre, i64 rec,
     find_nams_phase2(eng.ix, ss.qrs, ss.nsc.found, rr, ss.nsc);
     if (eng.mp.rescue_level > 1 && (rr.nams.empty() || rr.nonrep_frac < 0.7f)) {
         find_nams_rescue_one(eng.ix, ss.qrs, eng.mp.rescue_cutoff, rr, ss.nsc);
+        details.nam_rescue = true;
+    }
+    details.nams = (i64)rr.nams.size();
+    nams.clear();
+    std::swap(nams, rr.nams);
+    std::sort(nams.begin(), nams.end(),
+              [](const NamT& a, const NamT& b) { return a.score > b.score; });
+    shuffle_top_nams(nams, rng);
+    eng.t_seed_nam +=
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
+}
+
+// Run-prefetched strobe batch for one chunk (--shard-index): like
+// PreSeed, but instead of index POSITIONS every strobe carries its
+// distributed-lookup RESULT — run length, repetitive flag and the run's
+// (position, packed) records (what the sharded index's find_runs
+// returns, parallel/sharding.py). NAM building then never touches the
+// host index arrays at all: this is the injection point that lets the
+// production engine map against an index sharded across a device mesh
+// (the whole-genome scale-out the reference lacks; its analog is the
+// per-NUMA-node index replica, /root/reference/src/main.cpp:342-360).
+struct RunFeed {
+    const int32_t* counts = nullptr;   // per record, -1 = host seeding
+    const i64* offsets = nullptr;      // per record, into per-strobe rows
+    const u64* hashes = nullptr;
+    const int32_t* starts = nullptr;
+    const int32_t* ends = nullptr;
+    const u8* is_rev = nullptr;
+    // per-strobe lookup results
+    const i64* count = nullptr;        // equal-hash run length, 0 = absent
+    const u8* filtered = nullptr;      // count > filter_cutoff
+    const i64* run_off = nullptr;      // into run_pos/run_packed, -1 = none
+    const u32* run_pos = nullptr;
+    const u32* run_packed = nullptr;
+    // rescue runs (cap-1000 fetch; provided only for strobes the host
+    // preflight proved reachable by the rescue take-rule)
+    const i64* resc_off = nullptr;     // -1 = none
+    const u32* resc_pos = nullptr;
+    const u32* resc_packed = nullptr;
+};
+
+// add_to_hits_per_ref (reference src/nam.cpp:68-85) over prefetched run
+// records instead of the index arrays
+static void add_to_hits_feed(HitsPerRef& hpr, int qs, int qe, int k,
+                             const u32* rpos, const u32* rpacked, i64 m) {
+    int min_diff = INT32_MAX;
+    int qspan = qe - qs;
+    for (i64 p = 0; p < m; ++p) {
+        int rs = (int)rpos[p];
+        int re = rs + (int)(rpacked[p] & 0xFF) + k;
+        int diff = std::abs(qspan - (re - rs));
+        if (diff <= min_diff) {
+            hpr.get((int)(rpacked[p] >> 8)).push_back({qs, qe, rs, re});
+            min_diff = diff;
+        }
+    }
+}
+
+static void pre_create_keys_feed(HitsPerRef& hpr, int qs, int qe, int k,
+                                 const u32* rpos, const u32* rpacked, i64 m) {
+    int min_diff = INT32_MAX;
+    int qspan = qe - qs;
+    for (i64 p = 0; p < m; ++p) {
+        int rs = (int)rpos[p];
+        int re = rs + (int)(rpacked[p] & 0xFF) + k;
+        int diff = std::abs(qspan - (re - rs));
+        if (diff <= min_diff) {
+            hpr.touch((int)(rpacked[p] >> 8));
+            min_diff = diff;
+        }
+    }
+}
+
+// find_nams over prefetched runs (find_nams_phase2 semantics: the
+// repetitive filter `hashes[pos] == hashes[pos+cutoff]` is exactly
+// `count > cutoff` on a hash-sorted array)
+static void find_nams_runs(int k, const std::vector<QueryRandstrobe>& qrs,
+                           const RunFeed& rf, i64 off, ReadResult& rr,
+                           NamScratch& scratch, i64* feed_miss) {
+    HitsPerRef* hpr = scratch.hpr;
+    hpr[0].clear();
+    hpr[1].clear();
+    int total_hits = 0, good_hits = 0;
+    const i64 nq = (i64)qrs.size();
+    for (i64 qi = 0; qi < nq; ++qi) {
+        i64 gi = off + qi;
+        if (rf.count[gi] <= 0) continue;
+        total_hits++;
+        if (rf.filtered[gi]) continue;
+        good_hits++;
+        i64 ro = rf.run_off[gi];
+        if (ro < 0) {
+            (*feed_miss)++;  // host must provide runs for unfiltered hits
+            continue;
+        }
+        const auto& q = qrs[qi];
+        add_to_hits_feed(hpr[q.is_reverse ? 1 : 0], q.start, q.end, k,
+                         rf.run_pos + ro, rf.run_packed + ro, rf.count[gi]);
+    }
+    rr.nonrep_frac =
+        total_hits > 0 ? (float)good_hits / (float)total_hits : 1.0f;
+    for (int rc = 0; rc < 2; ++rc)
+        merge_hits(hpr[rc], k, true, rc != 0, rr.nams);
+}
+
+// find_nams_rescue over prefetched runs (find_nams_rescue_one semantics;
+// RescueHit.position carries the strobe's feed row instead of an index
+// position — it never participates in the sort key)
+static void find_nams_rescue_runs(int k, u32 rescue_cutoff,
+                                  const std::vector<QueryRandstrobe>& qrs,
+                                  const RunFeed& rf, i64 off, ReadResult& rr,
+                                  NamScratch& scratch, i64* feed_miss) {
+    rr.nams.clear();
+    HitsPerRef* hpr = scratch.hpr;
+    hpr[0].clear();
+    hpr[1].clear();
+    std::vector<RescueHit>& hits_fw = scratch.hits_fw;
+    std::vector<RescueHit>& hits_rc = scratch.hits_rc;
+    hits_fw.clear();
+    hits_rc.clear();
+    const i64 nq = (i64)qrs.size();
+    for (i64 qi = 0; qi < nq; ++qi) {
+        i64 gi = off + qi;
+        if (rf.count[gi] <= 0) continue;
+        const auto& q = qrs[qi];
+        RescueHit rh{(u64)gi, (u32)rf.count[gi], q.start, q.end};
+        (q.is_reverse ? hits_rc : hits_fw).push_back(rh);
+    }
+    auto cmp1 = [](const RescueHit& a, const RescueHit& b) {
+        if (a.count != b.count) return a.count < b.count;
+        if (a.query_start != b.query_start) return a.query_start < b.query_start;
+        return a.query_end < b.query_end;
+    };
+    std::sort(hits_fw.begin(), hits_fw.end(), cmp1);
+    std::sort(hits_rc.begin(), hits_rc.end(), cmp1);
+    std::vector<RescueHit>* rhs = scratch.rhs;
+    rhs[0].clear();
+    rhs[1].clear();
+    int is_rc_i = 0;
+    for (auto* rescue_hits : {&hits_fw, &hits_rc}) {
+        int cnt = 0;
+        for (auto& rh : *rescue_hits) {
+            if ((rh.count > rescue_cutoff && cnt >= 5) || rh.count > 1000) break;
+            i64 ro = rf.resc_off[(i64)rh.position];
+            if (ro < 0) {
+                (*feed_miss)++;
+                cnt++;
+                continue;
+            }
+            rhs[is_rc_i].push_back(rh);
+            pre_create_keys_feed(hpr[is_rc_i], rh.query_start, rh.query_end, k,
+                                 rf.resc_pos + ro, rf.resc_packed + ro,
+                                 (i64)rh.count);
+            cnt++;
+        }
+        is_rc_i++;
+    }
+    for (int i = 0; i < 2; ++i) {
+        std::sort(rhs[i].begin(), rhs[i].end(),
+                  [](const RescueHit& a, const RescueHit& b) {
+                      return a.query_start < b.query_start;
+                  });
+        for (auto& rh : rhs[i]) {
+            i64 ro = rf.resc_off[(i64)rh.position];
+            add_to_hits_feed(hpr[i], rh.query_start, rh.query_end, k,
+                             rf.resc_pos + ro, rf.resc_packed + ro,
+                             (i64)rh.count);
+        }
+    }
+    for (int rc = 0; rc < 2; ++rc)
+        merge_hits_fast(hpr[rc], k, false, rc != 0, rr.nams);
+    rr.used_rescue = 1;
+}
+
+static void nams_for_read_runs(EngineC& eng, const RunFeed& rf, i64 rec,
+                               SeedScratch& ss, MinstdRand& rng,
+                               DetailsC& details, std::vector<NamT>& nams) {
+    auto t0 = std::chrono::steady_clock::now();
+    i64 n = rf.counts[rec];
+    i64 off = rf.offsets[rec];
+    ss.qrs.clear();
+    for (i64 i = 0; i < n; ++i)
+        ss.qrs.push_back({rf.hashes[off + i], (int)rf.starts[off + i],
+                          (int)rf.ends[off + i], rf.is_rev[off + i] != 0});
+    ReadResult& rr = ss.rr;
+    rr.nams.clear();
+    rr.nonrep_frac = 1.0f;
+    rr.used_rescue = 0;
+    find_nams_runs(eng.ix.k, ss.qrs, rf, off, rr, ss.nsc, &eng.feed_miss);
+    if (eng.mp.rescue_level > 1 && (rr.nams.empty() || rr.nonrep_frac < 0.7f)) {
+        find_nams_rescue_runs(eng.ix.k, eng.mp.rescue_cutoff, ss.qrs, rf, off,
+                              rr, ss.nsc, &eng.feed_miss);
         details.nam_rescue = true;
     }
     details.nams = (i64)rr.nams.size();
@@ -2662,6 +2856,7 @@ void engine_counters(void* e, i64* out) {
     out[3] = eng->stats.nam_rescue;
     out[4] = eng->stats.tot_rescued;
     out[5] = eng->fallbacks;
+    out[6] = eng->feed_miss;
 }
 
 void engine_timers(void* e, double* out) {
@@ -2686,7 +2881,8 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
                                  const u8* names, const i64* name_off,
                                  const u8* quals, const i64* qual_off,
                                  i64 n_pairs, i64 n_singles, u64 chunk_seed,
-                                 const engine::PreSeed* pre) {
+                                 const engine::PreSeed* pre,
+                                 const engine::RunFeed* runs = nullptr) {
     auto* eng = (engine::EngineC*)e;
     auto t_start = std::chrono::steady_clock::now();
     auto* ch = new engine::ChunkC();
@@ -2729,14 +2925,20 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
         engine::WorkItem& w = ch->work.back();
         w.rec1 = i1;
         w.rec2 = i2;
-        if (pre && pre->counts[i1] >= 0)
+        if (runs && runs->counts[i1] >= 0)
+            engine::nams_for_read_runs(*eng, *runs, i1, ss, ch->rng, w.det1,
+                                       nams1);
+        else if (pre && pre->counts[i1] >= 0)
             engine::nams_for_read_pre(*eng, *pre, i1, ss, ch->rng, w.det1,
                                       nams1);
         else
             engine::nams_for_read(*eng, ch->records[i1].seq,
                                   ch->records[i1].seq_len, ss, ch->rng,
                                   w.det1, nams1);
-        if (pre && pre->counts[i2] >= 0)
+        if (runs && runs->counts[i2] >= 0)
+            engine::nams_for_read_runs(*eng, *runs, i2, ss, ch->rng, w.det2,
+                                       nams2);
+        else if (pre && pre->counts[i2] >= 0)
             engine::nams_for_read_pre(*eng, *pre, i2, ss, ch->rng, w.det2,
                                       nams2);
         else
@@ -2762,7 +2964,10 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
         ch->work.emplace_back();
         engine::WorkItem& w = ch->work.back();
         w.rec1 = i;
-        if (pre && pre->counts[i] >= 0)
+        if (runs && runs->counts[i] >= 0)
+            engine::nams_for_read_runs(*eng, *runs, i, ss, ch->rng, w.det1,
+                                       nams1);
+        else if (pre && pre->counts[i] >= 0)
             engine::nams_for_read_pre(*eng, *pre, i, ss, ch->rng, w.det1,
                                       nams1);
         else
@@ -2933,7 +3138,7 @@ void chunk_set_device_results(void* e, void* c, const u8* dev, i64 B, i64 D,
     // length lo byte, rows [M,2M) (op << 5) | (length >> 8), then
     // score/t_end/q_end/t_begin/q_begin/edits/n_runs as u16 (lo,hi)
     // row pairs
-    const i64 M = 64;  // = extend_device.RLE_M (2-byte runs)
+    const i64 M = 32;  // = extend_device.RLE_M (2-byte runs, keep in sync)
     // device op code -> cigar op
     static const int OPMAP[5] = {-1, engine::OP_EQ, engine::OP_X, engine::OP_I,
                                  engine::OP_D};
@@ -3525,6 +3730,124 @@ void* engine_chunk_a_fx_pre(void* e, void* c_, u64 chunk_seed,
         (const u8*)c->names.data(), c->name_off.data(),
         (const u8*)c->quals.data(), c->qual_off.data(), c->n_pairs,
         c->n_singles, chunk_seed, &pre);
+}
+
+// --- sharded-index production mode (--shard-index) ---------------------
+//
+// Split of phase A around the distributed index: (1) seed every read on
+// the host (engine_fx_seed_only: syncmers + randstrobes, NO index
+// access), (2) the caller batches all strobe hashes through the
+// mesh-sharded index (parallel/sharding.py ShardedIndex.find_runs) and
+// assembles a RunFeed, (3) engine_chunk_a_fx_runs maps the chunk with
+// NAM building fed exclusively from the prefetched runs — the engine
+// never touches host index arrays for lookups, which is what makes a
+// host-memory-exceeding (whole-genome, multi-chip) index servable.
+
+namespace engine {
+struct SeedOnlyResult {
+    std::vector<int32_t> counts;
+    std::vector<i64> offsets;
+    std::vector<u64> hash;
+    std::vector<int32_t> start, end;
+    std::vector<u8> rev;
+};
+}  // namespace engine
+
+void* engine_fx_seed_only(void* e, void* c_) {
+    auto* eng = (engine::EngineC*)e;
+    auto* c = (engine::FxChunk*)c_;
+    auto t0 = std::chrono::steady_clock::now();
+    const engine::SeedParams& sp = eng->sp;
+    i64 n_records = (i64)c->seq_off.size() - 1;
+    auto* res = new engine::SeedOnlyResult();
+    res->counts.resize(n_records);
+    res->offsets.resize(n_records + 1);
+    std::vector<Syncmer> sync, sync_rc;
+    std::vector<QueryRandstrobe> qrs;
+    for (i64 r = 0; r < n_records; ++r) {
+        const u8* seq = (const u8*)c->seqs.data() + c->seq_off[r];
+        i64 len = c->seq_off[r + 1] - c->seq_off[r];
+        qrs.clear();
+        // seeding is case-insensitive (nt4 maps lowercase), so the PE
+        // uppercasing chunk_a applies later does not change the strobes
+        if (len >= sp.wmax) {
+            syncmers_of(seq, len, sp.k, sp.s, sp.t, sync);
+            if (!sync.empty()) {
+                link_strobes(sync, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
+                             sp.k, false, qrs);
+                sync_rc.resize(sync.size());
+                for (size_t i = 0; i < sync.size(); ++i) {
+                    const Syncmer& m = sync[sync.size() - 1 - i];
+                    sync_rc[i] = {m.hash, len - m.pos - sp.k};
+                }
+                link_strobes(sync_rc, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
+                             sp.k, true, qrs);
+            }
+        }
+        res->counts[r] = (int32_t)qrs.size();
+        res->offsets[r] = (i64)res->hash.size();
+        for (const auto& q : qrs) {
+            res->hash.push_back(q.hash);
+            res->start.push_back(q.start);
+            res->end.push_back(q.end);
+            res->rev.push_back(q.is_reverse ? 1 : 0);
+        }
+    }
+    res->offsets[n_records] = (i64)res->hash.size();
+    eng->t_seed_nam +=
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
+    return res;
+}
+
+i64 seedonly_total(void* h) {
+    return (i64)((engine::SeedOnlyResult*)h)->hash.size();
+}
+
+void seedonly_copy(void* h, int32_t* counts, i64* offsets, u64* hash,
+                   int32_t* start, int32_t* end, u8* rev) {
+    auto* r = (engine::SeedOnlyResult*)h;
+    std::memcpy(counts, r->counts.data(), r->counts.size() * sizeof(int32_t));
+    std::memcpy(offsets, r->offsets.data(), r->offsets.size() * sizeof(i64));
+    if (!r->hash.empty()) {
+        std::memcpy(hash, r->hash.data(), r->hash.size() * sizeof(u64));
+        std::memcpy(start, r->start.data(), r->start.size() * sizeof(int32_t));
+        std::memcpy(end, r->end.data(), r->end.size() * sizeof(int32_t));
+        std::memcpy(rev, r->rev.data(), r->rev.size() * sizeof(u8));
+    }
+}
+
+void seedonly_free(void* h) { delete (engine::SeedOnlyResult*)h; }
+
+void* engine_chunk_a_fx_runs(void* e, void* c_, u64 chunk_seed,
+                             const int32_t* counts, const i64* offsets,
+                             const u64* hashes, const int32_t* starts,
+                             const int32_t* ends, const u8* is_rev,
+                             const i64* count, const u8* filtered,
+                             const i64* run_off, const u32* run_pos,
+                             const u32* run_packed, const i64* resc_off,
+                             const u32* resc_pos, const u32* resc_packed) {
+    auto* c = (engine::FxChunk*)c_;
+    engine::RunFeed rf;
+    rf.counts = counts;
+    rf.offsets = offsets;
+    rf.hashes = hashes;
+    rf.starts = starts;
+    rf.ends = ends;
+    rf.is_rev = is_rev;
+    rf.count = count;
+    rf.filtered = filtered;
+    rf.run_off = run_off;
+    rf.run_pos = run_pos;
+    rf.run_packed = run_packed;
+    rf.resc_off = resc_off;
+    rf.resc_pos = resc_pos;
+    rf.resc_packed = resc_packed;
+    return engine_chunk_a_impl(
+        e, (const u8*)c->seqs.data(), c->seq_off.data(),
+        (const u8*)c->names.data(), c->name_off.data(),
+        (const u8*)c->quals.data(), c->qual_off.data(), c->n_pairs,
+        c->n_singles, chunk_seed, nullptr, &rf);
 }
 
 }  // extern "C"

@@ -41,6 +41,30 @@ ENGINE_BUCKETS: Tuple[Tuple[int, int, int, int], ...] = (
     (512, 2048, 512, 1),
 )
 
+
+def engine_buckets(r: int = 150) -> Tuple[Tuple[int, int, int, int], ...]:
+    """Bucket geometry derived from the read-length profile. The
+    high-volume bucket is the TPU answer to a banded kernel: extend
+    windows are the NAM projection +-50 bp (/root/reference/src/
+    aln.cpp:468-473), so tlen <= qlen + ~105 by construction and a tight
+    (Q0, T0) rectangle IS the band — for r=150 the (152, 256) bucket has
+    3.2x fewer padded cells per pair than the old (256, 512) one with
+    zero exactness risk. A true diagonal band cannot beat this: the
+    window discipline makes the per-job offset envelope (~tlen - qlen
+    ~ 105 wide plus safety margin) nearly as wide as the tight rectangle
+    itself (docs/PERF.md round-3 notes). Jobs that exceed the tight
+    bucket (indel drift, long reads in a short-profile run, rescue
+    windows) fall through to the legacy buckets."""
+    q0 = int(min(256, max(64, ((int(r) + 2 + 7) // 8) * 8)))
+    t0 = int(min(512, ((q0 + 104 + 7) // 8) * 8))
+    # B=1024 measured 1.47x better per pair than B=512 on (152, 256)
+    # (the per-diagonal cost is nearly plane-size-independent, so wider
+    # batches amortize it); validated to fit VMEM for q0 <= 160 — the
+    # single-diagonal grid steps kick in past Q*B = 256*512
+    bcap = 1024 if q0 <= 160 else 512
+    tight = ((q0, t0, bcap, 2),) if (q0, t0) != (256, 512) else ()
+    return tight + ENGINE_BUCKETS
+
 def _lib():
     lib = load_seednam()  # engine.so also exports the seednam entry points
     if lib is None:
@@ -116,6 +140,17 @@ def _lib():
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_void_p, c.c_void_p,
         ]
+        # sharded-index production mode (--shard-index)
+        lib.engine_fx_seed_only.restype = c.c_void_p
+        lib.engine_fx_seed_only.argtypes = [c.c_void_p, c.c_void_p]
+        lib.seedonly_total.restype = c.c_int64
+        lib.seedonly_total.argtypes = [c.c_void_p]
+        lib.seedonly_copy.argtypes = [c.c_void_p] + [c.c_void_p] * 6
+        lib.seedonly_free.argtypes = [c.c_void_p]
+        lib.engine_chunk_a_fx_runs.restype = c.c_void_p
+        lib.engine_chunk_a_fx_runs.argtypes = (
+            [c.c_void_p, c.c_void_p, c.c_uint64] + [c.c_void_p] * 14
+        )
         lib._engine_configured = True
     return lib
 
@@ -170,13 +205,16 @@ class NativeEngine:
         aln_params,
         map_param,
         read_group_id: str = "",
-        buckets: Tuple[Tuple[int, int, int, int], ...] = ENGINE_BUCKETS,
+        buckets: Optional[Tuple[Tuple[int, int, int, int], ...]] = None,
     ):
         lib = _lib()
         if lib is None:
             raise RuntimeError("native engine unavailable")
         self.lib = lib
-        self.buckets = buckets
+        # bucket geometry follows the run's read-length profile (tight
+        # high-volume bucket; see engine_buckets)
+        self.buckets = (buckets if buckets is not None
+                        else engine_buckets(getattr(map_param, "r", 150)))
         # keep every borrowed array alive for the engine lifetime
         self._keep = []
         ref_blob, ref_off = _offsets(references.sequences)
@@ -252,6 +290,45 @@ class NativeEngine:
         )
         return NativeChunk(self.lib, handle)
 
+    def fx_seed_only(self, fx_chunk: int):
+        """Host seeding (syncmers + randstrobes) for every record of a
+        reader chunk with NO index access — the first half of the
+        sharded-index phase A split. Returns (counts (N,), offsets
+        (N+1,), hash, start, end, rev) flat per-strobe arrays in host
+        emission order."""
+        h = self.lib.engine_fx_seed_only(self.handle, fx_chunk)
+        return h, int(self.lib.seedonly_total(h))
+
+    def fx_seed_copy(self, handle: int, n_records: int, total: int):
+        counts = np.zeros(n_records, dtype=np.int32)
+        offsets = np.zeros(n_records + 1, dtype=np.int64)
+        hashes = np.zeros(max(total, 1), dtype=np.uint64)
+        starts = np.zeros(max(total, 1), dtype=np.int32)
+        ends = np.zeros(max(total, 1), dtype=np.int32)
+        rev = np.zeros(max(total, 1), dtype=np.uint8)
+        self.lib.seedonly_copy(
+            handle, counts.ctypes.data, offsets.ctypes.data,
+            hashes.ctypes.data, starts.ctypes.data, ends.ctypes.data,
+            rev.ctypes.data,
+        )
+        self.lib.seedonly_free(handle)
+        return counts, offsets, hashes[:total], starts[:total], ends[:total], rev[:total]
+
+    def chunk_a_fx_runs(self, fx_chunk: int, chunk_seed: int,
+                        counts, offsets, hashes, starts, ends, is_rev,
+                        count, filtered, run_off, run_pos, run_packed,
+                        resc_off, resc_pos, resc_packed) -> NativeChunk:
+        """Phase A with NAM building fed exclusively by prefetched
+        (sharded-index) run records — the engine never touches host
+        index arrays for lookups. See engine.cpp RunFeed."""
+        arrs = [counts, offsets, hashes, starts, ends, is_rev, count,
+                filtered, run_off, run_pos, run_packed, resc_off,
+                resc_pos, resc_packed]
+        handle = self.lib.engine_chunk_a_fx_runs(
+            self.handle, fx_chunk, ctypes.c_uint64(chunk_seed),
+            *[a.ctypes.data for a in arrs])
+        return NativeChunk(self.lib, handle)
+
     def chunk_a(self, records1, records2, records3, chunk_seed: int) -> NativeChunk:
         """records1/records2: paired lists (or records1 = singles when
         records2 is empty); records3: extra singles. Mirrors
@@ -321,10 +398,16 @@ class NativeEngine:
                 part = idxs[start : start + bsz]
                 if part.shape[0] < self.MIN_DEVICE_JOBS:
                     continue  # host resolves these in phase B
-                # exactly two shapes per bucket (1 group or all groups):
-                # every distinct batch width is a separate compiled
-                # program, and lazy compiles stall the pipeline
-                n_groups = 1 if part.shape[0] <= sub else groups
+                # power-of-two group counts (1, 2, 4, ...): each distinct
+                # batch width is a separate compiled program, so widths
+                # are quantized — but only doubling, not jumping straight
+                # to the full group count: a chunk's leftover batch used
+                # to pad 800 jobs to 2048 columns, i.e. 60% wasted upload
+                # bytes and DP cells on every partial dispatch
+                n_groups = 1
+                while n_groups * sub < part.shape[0]:
+                    n_groups *= 2
+                n_groups = min(n_groups, groups)
                 plans.append((part, qcap, tcap, sub * n_groups, sub))
         return plans
 
@@ -393,7 +476,7 @@ class NativeEngine:
     # --- state ----------------------------------------------------------
 
     def counters(self) -> dict:
-        out = np.zeros(6, dtype=np.int64)
+        out = np.zeros(7, dtype=np.int64)
         self.lib.engine_counters(self.handle, out.ctypes.data)
         return {
             "aligner_calls": int(out[0]),
@@ -402,6 +485,7 @@ class NativeEngine:
             "nam_rescue": int(out[3]),
             "tot_rescued": int(out[4]),
             "fallbacks": int(out[5]),
+            "feed_miss": int(out[6]),
         }
 
     def timers(self) -> dict:

@@ -48,8 +48,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RLE_M = 64  # max cigar runs per pair (ungapped reads use the Hamming fast
-# path on the host; device pairs are gapped, typically <20 runs)
+RLE_M = 32  # max cigar runs per pair (ungapped reads use the Hamming fast
+# path on the host; device pairs are gapped, typically <20 runs; >M runs
+# -> 0xFFFF overflow marker -> host re-align, byte-exact either way).
+# 32 halves the download rows vs round 2's 64 — on the ~30 MB/s dev
+# tunnel the RLE download was the largest remaining per-batch transfer.
+# MUST match the `M` constant in native/engine.cpp chunk_set_device_results.
 
 # walker layers
 _H = 0

@@ -125,6 +125,18 @@ class ShardedIndex:
         self.filter_cutoff = int(index.filter_cutoff)
         self._k = index.k()
         self._find = {}  # compiled lookup program per cap
+        self._find_routed = {}  # compiled routed program per (cap, width)
+        self.n_shards = int(n_shards)
+        # host routing table: shard s owns keys in
+        # [start_hash[s], start_hash[s+1]) — runs never straddle cuts, so
+        # ownership is unique. An empty shard shares its successor's
+        # start hash; searchsorted(side="right") then routes past it.
+        n = index.hashes.shape[0]
+        sh = np.full(n_shards, SENTINEL, dtype=np.uint64)
+        for s in range(n_shards):
+            if starts[s] < n:
+                sh[s] = index.hashes[starts[s]]
+        self._start_hash = sh
 
     def k(self) -> int:
         return self._k
@@ -160,6 +172,90 @@ class ShardedIndex:
             "run_positions": np.asarray(runp),
             "run_packed": np.asarray(runk),
         }
+
+    def find_runs_routed(self, keys: np.ndarray, cap: int):
+        """`find_runs` with host-side hash routing instead of the dense
+        psum: each key is sent ONLY to its owning shard (contiguous hash
+        ranges make ownership unique and host-computable), each chip
+        looks up its own (width,) slice, and results come back sharded —
+        no collective at all. The psum variant replicates the full query
+        batch to every chip and all-reduces dense (NQ, cap) run
+        matrices, i.e. ~(8*cap + 24) bytes/key of ring traffic per chip;
+        the routed variant moves (8 + 8*cap + 24)/n_shards bytes/key
+        over host<->device links and ZERO over ICI. On a multi-host pod
+        the per-host batch routes to local chips the same way; only keys
+        owned by remote hosts' shards need a cross-host exchange (an
+        all_to_all of ~NQ/n keys), which this single-host code path does
+        not need."""
+        keys = np.ascontiguousarray(np.asarray(keys, dtype=np.uint64))
+        nq = keys.shape[0]
+        ns = self.n_shards
+        owner = np.searchsorted(self._start_hash, keys, side="right") - 1
+        np.clip(owner, 0, ns - 1, out=owner)
+        order = np.argsort(owner, kind="stable")
+        counts = np.bincount(owner, minlength=ns)
+        width = int(counts.max()) if nq else 1
+        # pow-2 width quantization bounds the compile count
+        w = 8
+        while w < width:
+            w *= 2
+        qmat = np.full((ns, w), 0, dtype=np.uint64)
+        slot = np.empty(nq, dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos_in_shard = np.arange(nq) - offs[owner[order]]
+        qmat[owner[order], pos_in_shard] = keys[order]
+        slot[order] = owner[order] * w + pos_in_shard
+        fn = self._find_routed.get((cap, w))
+        if fn is None:
+            fn = self._find_routed[(cap, w)] = self._build_routed(cap)
+        found_n, gpos, count, runp, runk = fn(
+            self.hashes, self.positions, self.packed, self.reachable,
+            self.starts, qmat,
+        )
+        flat = lambda a: np.asarray(a).reshape(ns * w, *a.shape[2:])
+        found = flat(found_n)[slot] > 0
+        count_o = flat(count)[slot]
+        return {
+            "position": np.where(found, flat(gpos)[slot], -1).astype(np.int64),
+            "count": count_o.astype(np.int64),
+            "filtered": count_o.astype(np.int64) > self.filter_cutoff,
+            "run_positions": flat(runp)[slot],
+            "run_packed": flat(runk)[slot],
+        }
+
+    def _build_routed(self, cap: int):
+        def local(h_sh, p_sh, k_sh, r_sh, start, q_sh):
+            h = h_sh[0]
+            pos_arr = p_sh[0]
+            pk_arr = k_sh[0]
+            reach = r_sh[0]
+            q = q_sh[0]
+            m = h.shape[0]
+            lo = jnp.searchsorted(h, q, side="left")
+            hi = jnp.searchsorted(h, q, side="right")
+            in_r = lo < m
+            safe = jnp.where(in_r, lo, 0)
+            found = in_r & (h[safe] == q) & (reach[safe] > 0)
+            count = jnp.where(found, hi - lo, 0)
+            rows = jnp.arange(cap)
+            idx = jnp.minimum(safe[:, None] + rows[None, :], m - 1)
+            valid = found[:, None] & (rows[None, :] < count[:, None])
+            runp = jnp.where(valid, pos_arr[idx], 0)
+            runk = jnp.where(valid, pk_arr[idx], 0)
+            gpos = jnp.where(found, lo + start[0], 0)
+            return (found.astype(jnp.int32)[None], gpos.astype(jnp.int64)[None],
+                    count.astype(jnp.int64)[None], runp[None], runk[None])
+
+        return jax.jit(jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(self.axis, None), P(self.axis, None),
+                      P(self.axis, None), P(self.axis, None),
+                      P(self.axis), P(self.axis, None)),
+            out_specs=(P(self.axis, None), P(self.axis, None),
+                       P(self.axis, None), P(self.axis, None, None),
+                       P(self.axis, None, None)),
+        ))
 
     def _build(self, cap: int):
         axis = self.axis

@@ -81,6 +81,8 @@ class NativePipeline:
         batch_size: int = 1024,
         kernel: str = "auto",
         device_seed: bool = False,
+        shard_index: bool = False,
+        sharded_index=None,
     ):
         self.engine = NativeEngine(
             index, index_parameters, references, aln_params, map_param,
@@ -88,6 +90,18 @@ class NativePipeline:
         )
         self.batch_size = batch_size
         self.use_device = use_device
+        # --shard-index: every index lookup served by the mesh-sharded
+        # index (parallel/sharding.ShardedIndex) instead of host arrays;
+        # phase A consumes prefetched run records (engine RunFeed). This
+        # is the whole-genome scale-out path: with N chips each holds
+        # 1/N of the hash-sorted arrays.
+        self.shard_index = bool(shard_index)
+        self._sharded = sharded_index
+        self._map_param = map_param
+        if self.shard_index and self._sharded is None:
+            from ..parallel.sharding import ShardedIndex, make_mesh
+
+            self._sharded = ShardedIndex(make_mesh(), index)
         # --device-seed: seeding + index find run on the accelerator
         # (ops/seed_device.seed_and_find); phase A consumes the preseed.
         # Off by default: worth it only when the host<->device link can
@@ -212,6 +226,131 @@ class NativePipeline:
             fx, chunk_index, counts, offsets[:-1].copy(), fh, fs, fe, fr, fp
         )
 
+    def _shard_chunk_a(self, fx, n_records, chunk_index):
+        """Phase A with every index lookup served by the sharded index:
+        host seeding (no index access) -> one batched find_runs over the
+        mesh -> host preflight of the rescue take-rule (it depends only
+        on per-strobe counts, which the first lookup returned) -> a
+        second capped lookup for exactly the strobes rescue will walk ->
+        engine RunFeed. Counters: engine feed_miss must stay 0."""
+        import numpy as np
+
+        eng = self.engine
+        si = self._sharded
+        # host-routed lookups (zero ICI traffic; element-equal to the
+        # psum variant — tests/test_sharded_index.py)
+        find = getattr(si, "find_runs_routed", si.find_runs)
+        h, total = eng.fx_seed_only(fx)
+        counts, offsets, hashes, starts, ends, rev = eng.fx_seed_copy(
+            h, n_records, total)
+        fc = int(si.filter_cutoff)
+        if total:
+            res = find(hashes, fc)
+            cnt = res["count"]
+            filt = res["filtered"]
+        else:
+            cnt = np.zeros(0, np.int64)
+            filt = np.zeros(0, bool)
+        walk = (cnt > 0) & ~filt
+        rows = np.flatnonzero(walk)
+        widths = cnt[rows]
+        run_off = np.full(max(total, 1), -1, np.int64)
+        if rows.size:
+            run_off[rows] = np.concatenate(
+                ([0], np.cumsum(widths)[:-1]))
+            colmask = np.arange(fc)[None, :] < widths[:, None]
+            run_pos = np.ascontiguousarray(
+                res["run_positions"][rows][colmask], dtype=np.uint32)
+            run_packed = np.ascontiguousarray(
+                res["run_packed"][rows][colmask], dtype=np.uint32)
+        else:
+            run_pos = np.zeros(1, np.uint32)
+            run_packed = np.zeros(1, np.uint32)
+
+        # rescue preflight: the engine rescues when nams are empty or the
+        # float32 nonrepetitive fraction compares < 0.7f — and with run
+        # feeds, nams are empty iff no unfiltered hit exists
+        resc_off = np.full(max(total, 1), -1, np.int64)
+        resc_pos = np.zeros(1, np.uint32)
+        resc_packed = np.zeros(1, np.uint32)
+        if total and self._map_param.rescue_level > 1:
+            read_id = np.repeat(np.arange(n_records),
+                                np.diff(offsets).astype(np.int64))
+            found = cnt > 0
+            tot_r = np.bincount(read_id[found], minlength=n_records)
+            good_r = np.bincount(read_id[walk], minlength=n_records)
+            frac = np.ones(n_records, np.float32)
+            nz = tot_r > 0
+            frac[nz] = (good_r[nz].astype(np.float32)
+                        / tot_r[nz].astype(np.float32))
+            rescue = (good_r == 0) | (frac < np.float32(0.7))
+            cutoff = int(self._map_param.rescue_cutoff)
+            sel_parts = []
+            for r in np.flatnonzero(rescue):
+                lo, hi = int(offsets[r]), int(offsets[r + 1])
+                gi0 = np.arange(lo, hi)
+                gi0 = gi0[cnt[lo:hi] > 0]
+                if gi0.size == 0:
+                    continue
+                for orient in (0, 1):
+                    g = gi0[rev[gi0] == orient]
+                    if g.size == 0:
+                        continue
+                    order = np.lexsort((ends[g], starts[g], cnt[g]))
+                    g = g[order]
+                    c = cnt[g]
+                    n0 = int((c <= cutoff).sum())
+                    if n0 >= 5:
+                        take = g[:n0]
+                    else:
+                        ok = g[c <= 1000]
+                        k = min(len(ok), 5)
+                        if 0 < k < len(ok):
+                            # the take-rule's 5-hit budget can land inside
+                            # a (count, qs, qe) tie class whose member
+                            # order is the unstable introsort's choice —
+                            # feed the whole class so any member works
+                            bq = (cnt[ok[k - 1]], starts[ok[k - 1]],
+                                  ends[ok[k - 1]])
+                            while (k < len(ok)
+                                   and (cnt[ok[k]], starts[ok[k]],
+                                        ends[ok[k]]) == bq):
+                                k += 1
+                        take = ok[:k]
+                    if take.size:
+                        sel_parts.append(take)
+            if sel_parts:
+                sel = np.concatenate(sel_parts)
+                # one strobe can be selected for several reads? no — gi
+                # ranges are disjoint per read, so sel is unique
+                cap_r = 1
+                cmax = int(cnt[sel].max())
+                while cap_r < cmax:
+                    cap_r *= 2
+                cap_r = min(cap_r, 1024)
+                w = cnt[sel]
+                resc_off[sel] = np.concatenate(([0], np.cumsum(w)[:-1]))
+                pos_parts, packed_parts = [], []
+                step = max(1, 2_000_000 // cap_r)
+                for s0 in range(0, sel.size, step):
+                    part = sel[s0 : s0 + step]
+                    r2 = find(hashes[part], cap_r)
+                    m2 = (np.arange(cap_r)[None, :]
+                          < cnt[part][:, None])
+                    pos_parts.append(r2["run_positions"][m2])
+                    packed_parts.append(r2["run_packed"][m2])
+                resc_pos = np.ascontiguousarray(
+                    np.concatenate(pos_parts), dtype=np.uint32)
+                resc_packed = np.ascontiguousarray(
+                    np.concatenate(packed_parts), dtype=np.uint32)
+
+        return eng.chunk_a_fx_runs(
+            fx, chunk_index, counts, offsets, hashes, starts, ends, rev,
+            np.ascontiguousarray(cnt, dtype=np.int64) if total else np.zeros(1, np.int64),
+            np.ascontiguousarray(filt, dtype=np.uint8) if total else np.zeros(1, np.uint8),
+            run_off, run_pos, run_packed, resc_off, resc_pos, resc_packed,
+        )
+
     def _dispatch(self, buf, Q, T, sub):
         """Launch one extend dispatch on the next device (round-robin);
         the kernel runs per `sub`-column group inside the dispatch and
@@ -298,7 +437,7 @@ def native_pipeline_available() -> bool:
 
 
 def prewarm_extend_programs(aln_params, batch_size: int = 1024,
-                            ref_codes=None):
+                            ref_codes=None, r: int = 150):
     """Compile (or cache-load) the device extend programs for every
     bucket shape in a daemon thread, so the work overlaps reference
     loading / index building instead of stalling the first chunks
@@ -312,7 +451,7 @@ def prewarm_extend_programs(aln_params, batch_size: int = 1024,
 
             import jax as _jax
 
-            from ..native.engine import ENGINE_BUCKETS
+            from ..native.engine import engine_buckets
             from ..ops.extend_device import extend_batch_packed_grouped
             from ..ops.sw_jax import SwParams
 
@@ -326,9 +465,16 @@ def prewarm_extend_programs(aln_params, batch_size: int = 1024,
             # the first (high-volume) bucket only: warming every bucket
             # contends with the mapping loop's own compiles on short runs;
             # rare buckets compile lazily (persistent-cached afterwards)
-            for Q, T, bcap, groups in ENGINE_BUCKETS[:1]:
+            for Q, T, bcap, groups in engine_buckets(r)[:1]:
                 sub = min(batch_size, bcap)
-                shapes = {sub, sub * groups}
+                # every power-of-two group count the planner can emit
+                shapes = set()
+                g = 1
+                while True:
+                    shapes.add(sub * g)
+                    if g >= groups:
+                        break
+                    g *= 2
                 for B in sorted(shapes):
                     if ref_codes is not None:
                         # production layout (device-resident reference):
@@ -384,7 +530,10 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
             n_reads += 2 * n_pairs + n_singles
             if progress is not None:
                 progress(n_reads)
-            if self.device_seed:
+            if self.shard_index:
+                chunk = self._shard_chunk_a(fx, 2 * n_pairs + n_singles,
+                                            chunk_index)
+            elif self.device_seed:
                 chunk = self._preseed(fx, 2 * n_pairs + n_singles,
                                       chunk_index)
             else:
@@ -452,11 +601,20 @@ class ThreadedNativePipeline:
         kernel: str = "auto",
         deterministic: bool = False,
         device_seed: bool = False,
+        shard_index: bool = False,
     ):
+        sharded = None
+        if shard_index:
+            # one sharded index serves all workers (its device arrays and
+            # compiled lookup programs are shared; find_runs is thread-safe)
+            from ..parallel.sharding import ShardedIndex, make_mesh
+
+            sharded = ShardedIndex(make_mesh(), index)
         self._mk = lambda: NativePipeline(
             index, index_parameters, references, aln_params, map_param,
             read_group_id, use_device=use_device, batch_size=batch_size,
             kernel=kernel, device_seed=device_seed,
+            shard_index=shard_index, sharded_index=sharded,
         )
         self.n_workers = max(1, n_workers)
         self.queue_depth = queue_depth
@@ -504,7 +662,9 @@ class ThreadedNativePipeline:
                         break
                     ci, fx, np_, ns = item
                     try:
-                        if pipe.device_seed:
+                        if pipe.shard_index:
+                            chunk = pipe._shard_chunk_a(fx, 2 * np_ + ns, ci)
+                        elif pipe.device_seed:
                             chunk = pipe._preseed(fx, 2 * np_ + ns, ci)
                         else:
                             chunk = pipe.engine.chunk_a_fx(fx, ci)
@@ -644,7 +804,10 @@ def _pipeline_map_file_sharded(self, path1, path2, interleaved, chunk_size,
                 reader.free_chunk(fx)
                 continue
             n_reads += 2 * n_pairs + n_singles
-            if self.device_seed:
+            if self.shard_index:
+                chunk = self._shard_chunk_a(fx, 2 * n_pairs + n_singles,
+                                            chunk_index)
+            elif self.device_seed:
                 chunk = self._preseed(fx, 2 * n_pairs + n_singles, chunk_index)
             else:
                 chunk = self.engine.chunk_a_fx(fx, chunk_index)

@@ -91,7 +91,7 @@ def run_aligner(opt: CommandLineOptions) -> int:
         _codes = _table[np.frombuffer(b"".join(references.sequences),
                                       dtype=np.uint8)]
         prewarm_extend_programs(aln_params, getattr(opt, "tpu_batch", 512),
-                                ref_codes=_codes)
+                                ref_codes=_codes, r=opt.r)
 
     index = StrobemerIndex(references, index_parameters, opt.bits)
     if opt.use_index:
@@ -267,6 +267,7 @@ def _map_reads(
                 n_workers=opt.n_threads,
                 deterministic=getattr(opt, "deterministic", False),
                 device_seed=getattr(opt, "device_seed", False),
+                shard_index=getattr(opt, "shard_index", False),
             )
             t0 = time.perf_counter()
             n_reads = pipeline.map_file(
@@ -280,6 +281,7 @@ def _map_reads(
                 opt.read_group_id, use_device=use_tpu,
                 batch_size=getattr(opt, "tpu_batch", 1024),
                 device_seed=getattr(opt, "device_seed", False),
+                shard_index=getattr(opt, "shard_index", False),
             )
             t0 = time.perf_counter()
             progress = _make_progress(opt, t0)

@@ -295,9 +295,11 @@ def test_engine_synthetic_device_results(world):
                 for vi, v in enumerate(vals):
                     out[2 * RLE_M + 2 * vi, col] = v & 0xFF
                     out[2 * RLE_M + 2 * vi + 1, col] = (v >> 8) & 0xFF
-                if col % 7 == 3:
-                    # corrupt the stream (op bits zeroed): must trigger
-                    # host fallback
+                if col % 2 == 1:
+                    # corrupt the stream (op bits zeroed) on every other
+                    # valid column: must trigger host fallback (col % 7
+                    # left small batches with no corrupted column at all
+                    # once the tight bucket split the job list)
                     out[RLE_M : 2 * RLE_M, col] = 0
             eng.set_device_results(ch, out, D, np.asarray(idxs))
         texts.append(eng.chunk_b(ch))

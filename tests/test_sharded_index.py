@@ -220,3 +220,102 @@ def test_sharded_lookups_end_to_end_sam(world, sharded):
     sharded_sam = run(True)
     assert sharded_sam == host_sam
     assert host_sam.count("\n") >= 120
+
+
+def test_shard_index_production_pipeline(world, sharded, tmp_path):
+    """--shard-index PRODUCTION path: NativePipeline with every index
+    lookup served by the mesh-sharded index (engine RunFeed injection)
+    must be byte-identical to the host-lookup engine, SE and PE,
+    including reads that trigger NAM rescue; the engine's feed_miss
+    counter must stay zero (every run the take-rule walks was provided
+    by the host preflight)."""
+    from rabbitsalign_tpu.map.common import MappingParameters
+    from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
+
+    genome, refs, params, index = world
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(2 * index.filter_cutoff, 1000)
+
+    r = random.Random(5)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    unit_region = (20000, 20000 + 300 * 120)  # the tandem-repeat block
+
+    def read_at(st):
+        s = list(genome[st : st + 150])
+        s[r.randrange(150)] = r.choice("ACGT")
+        return "".join(s)
+
+    se_lines = []
+    for i in range(260):
+        if i % 4 == 0:
+            # repeat-region read -> repetitive seeds -> rescue path
+            st = r.randrange(*unit_region)
+        elif i % 9 == 1:
+            se_lines.append((f"j{i}", "".join(r.choice("ACGT") for _ in range(150))))
+            continue
+        else:
+            st = r.randrange(0, len(genome) - 200)
+        rd = read_at(st)
+        if i % 3 == 2:
+            rd = "".join(comp[c] for c in reversed(rd))
+        se_lines.append((f"s{i}", rd))
+    p_se = tmp_path / "shard_se.fq"
+    p_se.write_bytes(b"".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n".encode() for n, s in se_lines))
+
+    r1l, r2l = [], []
+    for i in range(120):
+        st = (r.randrange(*unit_region) if i % 5 == 0
+              else r.randrange(0, len(genome) - 900))
+        ins = max(180, min(600, int(r.gauss(300, 50))))
+        a = read_at(st)
+        b = "".join(comp[c] for c in reversed(genome[st + ins - 150 : st + ins]))
+        if i % 11 == 3:
+            b = "".join(r.choice("ACGT") for _ in range(150))
+        r1l.append((f"p{i}/1", a))
+        r2l.append((f"p{i}/2", b))
+    p1 = tmp_path / "shard_r1.fq"
+    p2 = tmp_path / "shard_r2.fq"
+    p1.write_bytes(b"".join(f"@{n}\n{s}\n+\n{'I' * len(s)}\n".encode() for n, s in r1l))
+    p2.write_bytes(b"".join(f"@{n}\n{s}\n+\n{'I' * len(s)}\n".encode() for n, s in r2l))
+
+    def run(shard, f1, f2):
+        out = []
+        pipe = NativePipeline(index, params, refs, ap, mp, use_device=False,
+                              shard_index=shard, sharded_index=sharded if shard else None)
+        pipe.map_file(str(f1), str(f2) if f2 else "", False, 48, out.append)
+        return b"".join(out), pipe.counters()
+
+    se_host, _ = run(False, p_se, None)
+    se_shard, c_se = run(True, p_se, None)
+    assert se_shard == se_host
+    assert c_se["feed_miss"] == 0
+    assert c_se["nam_rescue"] > 0  # the rescue feed path actually ran
+
+    pe_host, _ = run(False, p1, p2)
+    pe_shard, c_pe = run(True, p1, p2)
+    assert pe_shard == pe_host
+    assert c_pe["feed_miss"] == 0
+
+
+def test_find_runs_routed_matches_psum(world, sharded):
+    """The host-routed lookup (zero-collective) must return exactly what
+    the psum lookup returns for every key, including misses, repetitive
+    runs, and the bucket quirk."""
+    genome, refs, params, index = world
+    r = random.Random(31)
+    keys = []
+    n = index.hashes.shape[0]
+    for _ in range(400):
+        keys.append(int(index.hashes[r.randrange(n)]))
+    for _ in range(100):
+        keys.append(r.getrandbits(64))  # almost surely absent
+    keys = np.array(keys, dtype=np.uint64)
+    cap = int(sharded.filter_cutoff)
+    a = sharded.find_runs(keys, cap)
+    b = sharded.find_runs_routed(keys, cap)
+    for k in ("position", "count", "filtered"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    np.testing.assert_array_equal(a["run_positions"], b["run_positions"])
+    np.testing.assert_array_equal(a["run_packed"], b["run_packed"])

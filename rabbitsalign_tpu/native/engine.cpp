@@ -3536,6 +3536,19 @@ struct FxChunk {
         seq_off.push_back((i64)seqs.size());
         qual_off.push_back((i64)quals.size());
     }
+
+    // pooled reuse: drop contents, keep the buffers' capacity (the
+    // RabbitFX DataPool discipline — steady-state chunk production does
+    // no heap allocation, /root/reference/RabbitFX/io/DataPool.h:35-70)
+    void reset() {
+        names.clear();
+        seqs.clear();
+        quals.clear();
+        name_off.resize(1);
+        seq_off.resize(1);
+        qual_off.resize(1);
+        n_pairs = n_singles = 0;
+    }
 };
 
 struct FxReader {
@@ -3578,11 +3591,10 @@ int fastx_error(void* r_) {
     return r->error ? r->error : (r->p1.error | r->p2.error);
 }
 
-// returns a chunk handle or NULL at EOF/error
-void* fastx_next(void* r_) {
-    auto* r = (engine::FxReader*)r_;
-    if (r->done || r->error) return nullptr;
-    auto* ch = new engine::FxChunk();
+// fill `ch` with the next chunk; returns false when nothing was read
+// (EOF or error). Shared by the synchronous API and the async producer.
+static bool fx_produce(engine::FxReader* r, engine::FxChunk* ch) {
+    if (r->done || r->error) return false;
     engine::FxRecord rec1, rec2;
     if (r->paired) {
         // pairs interleaved r1,r2
@@ -3654,7 +3666,14 @@ void* fastx_next(void* r_) {
         }
     }
     if (r->p1.error || r->p2.error) r->error = r->p1.error | r->p2.error;
-    if (ch->n_pairs == 0 && ch->n_singles == 0) {
+    return ch->n_pairs != 0 || ch->n_singles != 0;
+}
+
+// returns a chunk handle or NULL at EOF/error
+void* fastx_next(void* r_) {
+    auto* r = (engine::FxReader*)r_;
+    auto* ch = new engine::FxChunk();
+    if (!fx_produce(r, ch)) {
         delete ch;
         return nullptr;
     }
@@ -3674,6 +3693,129 @@ void fastx_close(void* r_) {
     r->p1.rd.close();
     r->p2.rd.close();
     delete r;
+}
+
+}  // extern "C"
+
+// ------------------------------------------------------------------
+// Async producer + fixed chunk pool — the RabbitFX production input
+// design (/root/reference/RabbitFX/io/DataPool.h:35-70 TDataPool,
+// FastxStream.h:292-364, DataQueue.h TDataQueue + src/main.cpp:203-237
+// producer task): a dedicated reader thread parses and gz-decompresses
+// chunks into a bounded pool of reusable buffers while consumer threads
+// run phase A. On a multicore host this overlaps input decompression
+// with mapping; chunk contents and order are identical to the
+// synchronous API (same parser, same chunking).
+
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <thread>
+
+namespace engine {
+
+struct FxAsync {
+    FxReader* r = nullptr;
+    std::thread producer;
+    std::mutex mu;
+    std::condition_variable cv_prod, cv_cons;
+    std::deque<FxChunk*> ready;   // parsed, in order
+    std::vector<FxChunk*> pool;   // reusable empty chunks
+    size_t depth = 8;             // max parsed chunks in flight
+    size_t allocated = 0, cap = 32;
+    bool eof = false, closed = false;
+
+    void run() {
+        while (true) {
+            FxChunk* ch = nullptr;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_prod.wait(lk, [&] {
+                    return closed || !pool.empty() || allocated < cap;
+                });
+                if (closed) return;
+                if (!pool.empty()) {
+                    ch = pool.back();
+                    pool.pop_back();
+                } else {
+                    ch = new FxChunk();
+                    allocated++;
+                }
+            }
+            ch->reset();
+            bool got = fx_produce(r, ch);
+            std::unique_lock<std::mutex> lk(mu);
+            if (!got) {
+                pool.push_back(ch);
+                eof = true;
+                cv_cons.notify_all();
+                return;
+            }
+            ready.push_back(ch);
+            cv_cons.notify_all();
+            // bound the in-flight chunks (the reference's bounded
+            // TDataQueue); pool/cap already bound total memory
+            cv_prod.wait(lk, [&] { return closed || ready.size() < depth; });
+            if (closed) return;
+        }
+    }
+};
+
+}  // namespace engine
+
+extern "C" {
+
+void* fastx_open_async(const char* path1, const char* path2, int interleaved,
+                       i64 chunk_reads, i64 depth) {
+    void* r = fastx_open(path1, path2, interleaved, chunk_reads);
+    if (!r) return nullptr;
+    auto* a = new engine::FxAsync();
+    a->r = (engine::FxReader*)r;
+    if (depth > 0) a->depth = (size_t)depth;
+    a->cap = a->depth + 24;  // free headroom so release never blocks
+    a->producer = std::thread([a] { a->run(); });
+    return a;
+}
+
+// blocks until a chunk is ready; NULL at EOF/error
+void* fastx_next_async(void* a_) {
+    auto* a = (engine::FxAsync*)a_;
+    std::unique_lock<std::mutex> lk(a->mu);
+    a->cv_cons.wait(lk, [&] { return !a->ready.empty() || a->eof; });
+    if (a->ready.empty()) return nullptr;
+    engine::FxChunk* ch = a->ready.front();
+    a->ready.pop_front();
+    a->cv_prod.notify_all();
+    return ch;
+}
+
+// return a consumed chunk's buffers to the pool
+void fastx_release_async(void* a_, void* c_) {
+    auto* a = (engine::FxAsync*)a_;
+    auto* ch = (engine::FxChunk*)c_;
+    std::unique_lock<std::mutex> lk(a->mu);
+    a->pool.push_back(ch);
+    a->cv_prod.notify_all();
+}
+
+int fastx_error_async(void* a_) {
+    auto* a = (engine::FxAsync*)a_;
+    return fastx_error(a->r);
+}
+
+void fastx_close_async(void* a_) {
+    auto* a = (engine::FxAsync*)a_;
+    {
+        std::unique_lock<std::mutex> lk(a->mu);
+        a->closed = true;
+        a->cv_prod.notify_all();
+        a->cv_cons.notify_all();
+    }
+    if (a->producer.joinable()) a->producer.join();
+    for (auto* ch : a->ready) delete ch;
+    for (auto* ch : a->pool) delete ch;
+    fastx_close(a->r);
+    delete a;
 }
 
 // phase A directly from a native reader chunk (no Python blob hop)

@@ -130,6 +130,16 @@ def _lib():
         lib.fastx_counts.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
         lib.fastx_chunk_free.argtypes = [c.c_void_p]
         lib.fastx_close.argtypes = [c.c_void_p]
+        # async producer-thread reader (RabbitFX DataPool parity)
+        lib.fastx_open_async.restype = c.c_void_p
+        lib.fastx_open_async.argtypes = [c.c_char_p, c.c_char_p, c.c_int,
+                                         c.c_int64, c.c_int64]
+        lib.fastx_next_async.restype = c.c_void_p
+        lib.fastx_next_async.argtypes = [c.c_void_p]
+        lib.fastx_release_async.argtypes = [c.c_void_p, c.c_void_p]
+        lib.fastx_error_async.restype = c.c_int
+        lib.fastx_error_async.argtypes = [c.c_void_p]
+        lib.fastx_close_async.argtypes = [c.c_void_p]
         lib.engine_chunk_a_fx.restype = c.c_void_p
         lib.engine_chunk_a_fx.argtypes = [c.c_void_p, c.c_void_p, c.c_uint64]
         lib.fx_chunk_codes.argtypes = [c.c_void_p, c.c_int64, c.c_void_p,
@@ -515,35 +525,58 @@ class NativeReader:
     """Chunked FASTQ/FASTA reader over the native parser — the RabbitFX
     input layer equivalent. Iterates raw chunk handles consumed by
     NativeEngine.chunk_a_fx; each handle must be freed (free_chunk) after
-    phase A has copied the records."""
+    phase A has copied the records.
+
+    By default a dedicated native PRODUCER THREAD parses and
+    gz-decompresses chunks into a fixed pool of reusable buffers (the
+    RabbitFX DataPool/TDataQueue design, /root/reference/RabbitFX/io/
+    DataPool.h:35-70, FastxStream.h:292-364), so input IO overlaps
+    phase A on multicore hosts; chunk contents and order are identical
+    to the synchronous path (same parser). ``producer=False`` keeps
+    parsing on the calling thread."""
 
     def __init__(self, path1: str, path2: str = "", interleaved: bool = False,
-                 chunk_size: int = 10000):
+                 chunk_size: int = 10000, producer: bool = True,
+                 depth: int = 8):
         lib = _lib()
         if lib is None:
             raise RuntimeError("native reader unavailable")
         self.lib = lib
-        self.handle = lib.fastx_open(
-            path1.encode(), (path2 or "").encode(), int(interleaved), chunk_size
-        )
+        self.use_producer = bool(producer)
+        if self.use_producer:
+            self.handle = lib.fastx_open_async(
+                path1.encode(), (path2 or "").encode(), int(interleaved),
+                chunk_size, depth,
+            )
+        else:
+            self.handle = lib.fastx_open(
+                path1.encode(), (path2 or "").encode(), int(interleaved),
+                chunk_size,
+            )
         if not self.handle:
             raise OSError(f"cannot open {path1!r}" + (f" / {path2!r}" if path2 else ""))
 
     def __iter__(self):
         idx = 0
+        nx = (self.lib.fastx_next_async if self.use_producer
+              else self.lib.fastx_next)
+        er = (self.lib.fastx_error_async if self.use_producer
+              else self.lib.fastx_error)
         while True:
-            ch = self.lib.fastx_next(self.handle)
-            err = self.lib.fastx_error(self.handle)
-            if err:
-                if ch:
-                    self.lib.fastx_chunk_free(ch)
-                raise ValueError(
-                    {1: "malformed FASTQ record header",
-                     2: "not a FASTA or FASTQ file",
-                     3: "paired input files have different lengths"}.get(
-                        err, f"input error {err}")
-                )
+            ch = nx(self.handle)
+            # with the producer thread, the error may be set while valid
+            # chunks parsed BEFORE the error point are still queued —
+            # drain them first (the synchronous path behaves the same:
+            # records before the error are yielded, then the raise)
             if not ch:
+                err = er(self.handle)
+                if err:
+                    raise ValueError(
+                        {1: "malformed FASTQ record header",
+                         2: "not a FASTA or FASTQ file",
+                         3: "paired input files have different lengths"}.get(
+                            err, f"input error {err}")
+                    )
                 return
             import ctypes as c
 
@@ -554,11 +587,17 @@ class NativeReader:
             idx += 1
 
     def free_chunk(self, ch) -> None:
-        self.lib.fastx_chunk_free(ch)
+        if self.use_producer:
+            self.lib.fastx_release_async(self.handle, ch)
+        else:
+            self.lib.fastx_chunk_free(ch)
 
     def close(self) -> None:
         if self.handle:
-            self.lib.fastx_close(self.handle)
+            if self.use_producer:
+                self.lib.fastx_close_async(self.handle)
+            else:
+                self.lib.fastx_close(self.handle)
             self.handle = None
 
     def __del__(self):  # pragma: no cover - defensive

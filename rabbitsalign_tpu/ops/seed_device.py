@@ -252,6 +252,63 @@ def index_find_device(index_hashes, bucket_starts, bits, query_hashes):
     return jnp.where(found, pos, -1).astype(jnp.int64)
 
 
+def split_hash_u64(hashes):
+    """Split a sorted uint64 hash array into (hi32, lo32) uint32 planes
+    for the 32-bit lookup below (host-side helper; do once per index)."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.uint64)
+    return (h >> np.uint64(32)).astype(np.uint32), h.astype(np.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "iters"))
+def index_find_device_split(hi, lo, bucket_starts, bits: int, khi, klo,
+                            iters: int = 18):
+    """Batched StrobemerIndex.find in PURE 32-bit arithmetic.
+
+    The u64 `jnp.searchsorted` in `index_find_device` is emulated on TPU
+    (every 64-bit compare lowers to multi-op 32-bit sequences and the
+    sort-based lowering walks the whole array); this variant stores the
+    sorted hashes as (hi32, lo32) planes and runs a bucket-bounded
+    per-query binary search with unsigned-32 lexicographic compares —
+    int32 gathers and compares only. `iters` must cover the largest
+    bucket (2^18 entries is far beyond any real filter profile; the
+    search is correct as long as 2^iters >= max bucket run length).
+
+    Returns first-occurrence positions (int64, -1 = absent), exactly
+    `index_find_device` (including the bucket-table quirk)."""
+    n = hi.shape[0]
+    # unsigned 32-bit compare via sign-bit flip + signed compare
+    sbit = jnp.uint32(0x80000000)
+    his = (hi ^ sbit).astype(jnp.int32)
+    los = (lo ^ sbit).astype(jnp.int32)
+    qhi = (khi ^ sbit).astype(jnp.int32)
+    qlo = (klo ^ sbit).astype(jnp.int32)
+
+    top = (khi >> (jnp.uint32(32) - jnp.uint32(bits))).astype(jnp.int64)
+    lo_b = bucket_starts[top].astype(jnp.int32)
+    hi_b = bucket_starts[top + 1].astype(jnp.int32)
+
+    def body(_, lohi):
+        lo_i, hi_i = lohi
+        mid = (lo_i + hi_i) >> 1
+        safe = jnp.minimum(mid, n - 1)
+        mh = his[safe]
+        ml = los[safe]
+        less = (mh < qhi) | ((mh == qhi) & (ml < qlo))
+        active = lo_i < hi_i
+        lo_n = jnp.where(active & less, mid + 1, lo_i)
+        hi_n = jnp.where(active & ~less, mid, hi_i)
+        return (lo_n, hi_n)
+
+    lo_f, _ = jax.lax.fori_loop(0, iters, body, (lo_b, hi_b))
+    pos = lo_f
+    in_range = (pos >= lo_b) & (pos < hi_b) & (pos < n)
+    safe = jnp.minimum(jnp.where(pos < n, pos, 0), n - 1)
+    found = in_range & (hi[safe] == khi) & (lo[safe] == klo)
+    return jnp.where(found, pos.astype(jnp.int64), -1)
+
+
 # --- fully-vectorized variant (no lax.scan) -------------------------------
 #
 # The scan automaton above is the bit-exact reference implementation; this

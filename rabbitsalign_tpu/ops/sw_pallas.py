@@ -52,6 +52,68 @@ NEG = -(1 << 28)
 NEG16 = -(1 << 14)
 
 
+_INT16_PROBE: dict = {}
+
+
+def probe_int16_lowering() -> bool:
+    """Does THIS toolchain lower ordered 16-bit vector compares on the
+    current accelerator? Probed once per jaxlib version (cached on disk
+    under the package cache dir) so the ~2x int16-DP lever is claimed
+    the day the toolchain allows it — a warning is logged when the
+    probe starts passing while `_pick_dtype` still returns int32."""
+    import jax as _jax
+
+    key = getattr(_jax, "__version__", "?")
+    if key in _INT16_PROBE:
+        return _INT16_PROBE[key]
+    import json
+    import os
+
+    cache_dir = os.environ.get(
+        "RABBITSALIGN_TPU_CACHE", os.path.expanduser("~/.cache/rabbitsalign_tpu"))
+    plat = _jax.devices()[0].platform
+    path = os.path.join(cache_dir, f"int16_probe_{key}_{plat}.json")
+    try:
+        with open(path) as f:
+            ok = bool(json.load(f)["ordered_i16_compare"])
+        _INT16_PROBE[key] = ok
+        return ok
+    except Exception:
+        pass
+    ok = False
+    try:
+        def _k(a_ref, o_ref):
+            a = a_ref[:]
+            b = pltpu.roll(a, shift=1, axis=0)
+            o_ref[:] = jnp.where(a < b, a, b)
+
+        x = jnp.zeros((16, 128), jnp.int16)
+        fn = pl.pallas_call(
+            _k, out_shape=jax.ShapeDtypeStruct((16, 128), jnp.int16),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        jax.jit(fn).lower(x).compile()
+        ok = True
+    except Exception:
+        ok = False
+    _INT16_PROBE[key] = ok
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"ordered_i16_compare": ok}, f)
+    except Exception:
+        pass
+    if ok:
+        from ..utils.logger import logger
+
+        logger.warning(
+            "this toolchain now lowers ordered int16 vector compares — "
+            "flip ops/sw_pallas._pick_dtype to int16 for ~2x extend-kernel "
+            "throughput (body is dtype-generic; see docs/PERF.md)")
+    return ok
+
+
 def _pick_dtype(Q: int, T: int, params: SwParams):
     """DP accumulator dtype. Always int32 on the current toolchain.
 
@@ -61,12 +123,15 @@ def _pick_dtype(Q: int, T: int, params: SwParams):
     vector comparison on v5e (cmpi slt/sle/ult on i16, cmpf on bf16 and
     f16 all fail with "Target does not support this comparison" /
     "Unsupported type"; only eq legalizes, and arith.{maxsi,shrsi} on
-    i16 fail too — probed 2026-08, see tests/test_ops parity notes).
+    i16 fail too — probed 2026-08, and re-probed automatically once per
+    toolchain version by `probe_int16_lowering`).
     A DP recurrence without ordered compares or max has no efficient
     encoding, so the kernel stays int32 until the toolchain catches up;
     the kernel body below is dtype-generic and already canonicalizes
     every compare to `<`/`==`, so flipping this function is the only
-    change needed when 16-bit compares land."""
+    change needed when 16-bit compares land. (The probe runs from the
+    prewarm thread, not here — compiling a probe kernel inside another
+    trace is asking for trouble.)"""
     return jnp.int32
 
 

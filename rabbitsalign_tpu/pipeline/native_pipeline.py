@@ -456,6 +456,11 @@ def prewarm_extend_programs(aln_params, batch_size: int = 1024,
             from ..ops.sw_jax import SwParams
 
             _enable_compilation_cache()
+            # once per toolchain version: does int16 lower yet? (logs
+            # when the ~2x dtype lever becomes available)
+            from ..ops.sw_pallas import probe_int16_lowering
+
+            probe_int16_lowering()
             sw = SwParams(aln_params.match, aln_params.mismatch,
                           aln_params.gap_open, aln_params.gap_extend)
             from ..ops.extend_device import (

@@ -138,3 +138,57 @@ def test_find_nams_device_chain_matches_host(world):
         assert [_nam_key(n) for n in nams_d] == [_nam_key(n) for n in nams_h], i
         checked += len(nams_h)
     assert checked > 100
+
+
+def test_find_nams_composed_batch_matches_host(world):
+    """The COMPOSED device front end (one seed+find+run-walk dispatch ->
+    host ordering -> device merge) must reproduce find_nams exactly:
+    nonrepetitive fraction and every NAM field, for mapped reads,
+    reverse-complement reads, repeat-region reads (repetitive filter)
+    and junk reads; reads it flags (ties/overflow) take the host path by
+    contract and are exempt."""
+    from rabbitsalign_tpu.chain.nams import find_nams
+    from rabbitsalign_tpu.ops.front_device import (
+        find_nams_composed_batch,
+        upload_index_split,
+    )
+
+    genome, refs, params, index = world
+    r = random.Random(8)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    seqs = []
+    for i in range(60):
+        if i % 11 == 5:
+            sq = "".join(r.choice("ACGT") for _ in range(150))
+        else:
+            # a few repeat-region reads (exercising the repetitive
+            # filter); unit repeats are where the vectorized seeder's
+            # documented min-queue-tie fallback fires, so most reads stay
+            # off the repeat to keep the checked set large
+            st = (r.randrange(30000, 30000 + 400 * 30) if i % 10 == 0
+                  else r.randrange(0, len(genome) - 200))
+            s = list(genome[st : st + 150])
+            s[r.randrange(150)] = r.choice("ACGT")
+            sq = "".join(s)
+            if i % 3 == 1:
+                sq = "".join(comp[c] for c in reversed(sq))
+        seqs.append(sq.encode())
+
+    dev = upload_index_split(index)
+    got = find_nams_composed_batch(seqs, dev, params, index.filter_cutoff)
+
+    n_checked = 0
+    n_fallback = 0
+    for sq, res in zip(seqs, got):
+        qrs = randstrobes_query(sq, params)
+        frac_h, nams_h = find_nams(qrs, index)
+        if res is None:
+            n_fallback += 1
+            continue
+        frac_d, nams_d = res
+        assert frac_d == pytest.approx(frac_h, abs=0), sq[:40]
+        assert len(nams_d) == len(nams_h)
+        for a, b in zip(nams_d, nams_h):
+            assert _nam_key(a) == _nam_key(b)
+        n_checked += 1
+    assert n_checked >= 45  # fallbacks must stay the exception

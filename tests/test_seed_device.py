@@ -164,3 +164,51 @@ def test_randstrobes_query_vec_matches_host():
         assert ms == list(g.start) and me == list(g.end), f"read {i} coords"
         checked += 1
     assert checked > 80  # the vast majority is covered by the fast path
+
+
+def test_index_find_device_split_matches_u64():
+    """The 32-bit (hi, lo) split lookup must equal the u64 searchsorted
+    lookup (and therefore StrobemerIndex.find) for hits, misses, empty
+    buckets, and the first-run bucket quirk."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rabbitsalign_tpu.index.params import IndexParameters
+    from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+    from rabbitsalign_tpu.io.fasta import References
+    from rabbitsalign_tpu.ops.seed_device import (
+        index_find_device,
+        index_find_device_split,
+        split_hash_u64,
+    )
+    from .util import random_dna
+
+    r = random.Random(3)
+    unit = random_dna(200, seed=77)
+    genome = random_dna(30000, seed=7) + unit * 60 + random_dna(10000, seed=9)
+    refs = References()
+    refs.add("c", genome.encode())
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+
+    n = index.hashes.shape[0]
+    keys = [int(index.hashes[r.randrange(n)]) for _ in range(500)]
+    keys += [int(index.hashes[0])]            # quirk run
+    keys += [r.getrandbits(64) for _ in range(200)]  # misses
+    keys = np.array(keys, dtype=np.uint64)
+
+    ref_pos = np.asarray(index.find(keys))
+    got64 = np.asarray(index_find_device(
+        jnp.asarray(index.hashes), jnp.asarray(index.randstrobe_start_indices),
+        jnp.uint64(index.bits), jnp.asarray(keys)))
+    hi, lo = split_hash_u64(index.hashes)
+    got32 = np.asarray(index_find_device_split(
+        jnp.asarray(hi), jnp.asarray(lo),
+        jnp.asarray(index.randstrobe_start_indices), index.bits,
+        jnp.asarray((keys >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(keys.astype(np.uint32))))
+    np.testing.assert_array_equal(got64, ref_pos)
+    np.testing.assert_array_equal(got32, ref_pos)

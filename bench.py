@@ -38,6 +38,12 @@ N_SE_READS = 48000
 N_PE_PAIRS = 24000
 READ_LEN = 150
 PE_GENOME_MB = 40.0
+# GRCh38-class third config: runs when its cached .sti exists (or
+# RSB_BENCH_SCALE=1 forces the one-time ~30-90 min build + cache write),
+# so default runs on a cold machine stay fast while machines with the
+# cache report a driver-visible at-scale number.
+SCALE_GENOME_MB = 3000.0
+N_SCALE_PAIRS = 16000
 
 
 def np_genome(n: int, seed: int) -> str:
@@ -112,6 +118,24 @@ def write_fastq(path, reads, prefix):
         for i, rd in enumerate(reads):
             f.write(b"@" + f"{prefix}{i}".encode() + b"\n" + rd.encode() +
                     b"\n+\n" + b"I" * len(rd) + b"\n")
+
+
+def _scale_sti_path():
+    import hashlib
+    import os
+
+    from rabbitsalign_tpu.index.params import IndexParameters
+
+    params = IndexParameters.from_read_length(READ_LEN)
+    cache_dir = os.path.join(
+        os.environ.get("RABBITSALIGN_TPU_CACHE",
+                       os.path.expanduser("~/.cache/rabbitsalign_tpu")),
+        "bench")
+    # same keying as build_index(cache_tag="scale3g")
+    key = hashlib.sha1(
+        f"scale3g:{int(SCALE_GENOME_MB * 1e6)}:"
+        f"{params.filename_extension()}".encode()).hexdigest()[:16]
+    return os.path.join(cache_dir, f"{key}.sti")
 
 
 def build_index(genome: str, name: str, cache_tag: str = ""):
@@ -214,31 +238,36 @@ def kernel_microbench():
     from rabbitsalign_tpu.ops.sw_jax import SwParams
 
     sw = SwParams(2, 8, 12, 1)
-    B, Q, T = 512, 256, 512
     K = 16
     r2 = np.random.RandomState(0)
-    q_t = r2.randint(0, 4, (Q, B)).astype(np.uint8)
-    t_t = r2.randint(0, 4, (T, B)).astype(np.uint8)
+    for tag, (Q, T, B) in (("tight r150 (production)", (152, 256, 1024)),
+                           ("legacy", (256, 512, 512))):
+        q_t = r2.randint(0, 4, (Q, B)).astype(np.uint8)
+        t_t = r2.randint(0, 4, (T, B)).astype(np.uint8)
 
-    with jax.enable_x64(False):
-        buf = jax.device_put(pack_input(
-            q_t, t_t, np.full(B, 150, np.int32), np.full(B, 250, np.int32)))
+        with jax.enable_x64(False):
+            buf = jax.device_put(pack_input(
+                q_t, t_t, np.full(B, 150, np.int32),
+                np.full(B, 250, np.int32)))
 
-        @jax.jit
-        def chain(b0):
-            def it(i, acc):
-                b = b0.at[0, 0].set((i % 4).astype(jnp.uint8))
-                return acc + _extend_batch_packed_body(b, Q, T, sw)[:8].astype(jnp.int32)
-            return jax.lax.fori_loop(0, K, it, jnp.zeros((8, B), jnp.int32))
+            @jax.jit
+            def chain(b0):
+                def it(i, acc):
+                    b = b0.at[0, 0].set((i % 4).astype(jnp.uint8))
+                    return acc + _extend_batch_packed_body(b, Q, T, sw)[:8].astype(jnp.int32)
+                return jax.lax.fori_loop(0, K, it, jnp.zeros((8, B), jnp.int32))
 
-        np.asarray(chain(buf))
-        t0 = time.perf_counter()
-        np.asarray(chain(buf))
-        dt = (time.perf_counter() - t0) / K
-    padded = B * Q * T / dt
-    print(f"bench: SW extend program {padded/1e9:.1f} Gcells/s padded "
-          f"({B} pairs in {dt*1e3:.2f} ms, fwd+traceback+RLE, "
-          f"device-resident, {K} chained iterations)", file=sys.stderr)
+            np.asarray(chain(buf))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(chain(buf))
+                best = min(best, (time.perf_counter() - t0) / K)
+        useful = B * 150 * 250 / best
+        print(f"bench: SW extend ({Q},{T})xB{B} [{tag}]: "
+              f"{best/B*1e6:.2f} us/pair, {useful/1e9:.1f} Gcells/s useful, "
+              f"{B*Q*T/best/1e9:.1f} padded (fwd+traceback+RLE, "
+              f"device-resident, {K} chained iterations)", file=sys.stderr)
 
 
 def main() -> None:
@@ -274,6 +303,28 @@ def main() -> None:
     write_fastq(p1, r1, "p")
     write_fastq(p2, r2, "q")
     pe_rps = run_config("PE", refs2, params2, index2, on_tpu, p1, p2, 4)
+    del refs2, index2
+
+    # --- PE at GRCh38 scale: 3 Gbp, 16k pairs (cached-index gated) -----
+    scale_rps = None
+    if os.path.exists(_scale_sti_path()) or os.environ.get("RSB_BENCH_SCALE"):
+        t0 = time.perf_counter()
+        genome_g = np_genome(int(SCALE_GENOME_MB * 1e6), 9999)
+        print(f"bench: 3 Gbp genome generated in {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr)
+        refs3, params3, index3 = build_index(genome_g, "grch38",
+                                             cache_tag="scale3g")
+        g1, g2 = simulate_pe(genome_g, N_SCALE_PAIRS, seed=17)
+        q1 = os.path.join(tmp, "g1.fq")
+        q2 = os.path.join(tmp, "g2.fq")
+        write_fastq(q1, g1, "g")
+        write_fastq(q2, g2, "h")
+        del genome_g
+        scale_rps = run_config("PE-3Gbp", refs3, params3, index3, on_tpu,
+                               q1, q2, 3)
+    else:
+        print("bench: 3 Gbp config skipped (no cached index; "
+              "RSB_BENCH_SCALE=1 builds + caches it once)", file=sys.stderr)
 
     if on_tpu:
         try:
@@ -285,14 +336,19 @@ def main() -> None:
 
     shutil.rmtree(tmp, ignore_errors=True)
 
-    print(json.dumps({
+    out = {
         "metric": "reads/sec/chip (SE 150bp simulated vs 1Mbp ref, end-to-end)",
         "value": round(se_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(se_rps / BASELINE_READS_PER_SEC, 4),
         "pe_metric": "reads/sec/chip (PE 2x150bp simulated vs 40Mbp ref)",
         "pe_value": round(pe_rps, 1),
-    }))
+    }
+    if scale_rps is not None:
+        out["scale_metric"] = (
+            "reads/sec/chip (PE 2x150bp simulated vs 3Gbp GRCh38-class ref)")
+        out["scale_value"] = round(scale_rps, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -467,10 +467,14 @@ def prewarm_extend_programs(aln_params, batch_size: int = 1024,
                 _extend_batch_packed_resident_q2,
             )
 
-            # the first (high-volume) bucket only: warming every bucket
-            # contends with the mapping loop's own compiles on short runs;
-            # rare buckets compile lazily (persistent-cached afterwards)
-            for Q, T, bcap, groups in engine_buckets(r)[:1]:
+            # every bucket, high-volume first: on a warm persistent cache
+            # these are cheap loads; on a cold cache the long-bucket
+            # compiles run here instead of stalling the mapping loop
+            # 5-30 s when its first long-bucket chunk arrives (the
+            # round-2 "contends with the mapping loop" concern only
+            # applies to the cold first run, which pays the compiles
+            # either way)
+            for Q, T, bcap, groups in engine_buckets(r):
                 sub = min(batch_size, bcap)
                 # every power-of-two group count the planner can emit
                 shapes = set()

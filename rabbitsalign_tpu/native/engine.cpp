@@ -1904,20 +1904,77 @@ static void nams_for_read_runs(EngineC& eng, const RunFeed& rf, i64 rec,
             .count();
 }
 
+// Chunk-level syncmer pre-pass: records taking the host seeding path are
+// seeded 8 at a time through the AVX-512 lockstep automaton
+// (seednam.cpp syncmers_of_batch, bit-exact with the scalar automaton),
+// stored flat; nams_for_read then links/chains from the precomputed
+// spans. start[rec] = -1 means "not precomputed" (record covered by a
+// RunFeed/PreSeed, or too short to seed).
+struct SyncPre {
+    std::vector<Syncmer> flat;
+    std::vector<i64> start, count;  // per record; start -1 = absent
+};
+
+static void presync_records(const RecordView* records, i64 n_records,
+                            const char* need, const SeedParams& sp,
+                            SyncPre& out) {
+    out.start.assign(n_records, -1);
+    out.count.assign(n_records, 0);
+    out.flat.clear();
+    std::vector<Syncmer> g[8];
+    std::vector<Syncmer>* outs[8];
+    for (int l = 0; l < 8; ++l) outs[l] = &g[l];
+    i64 idx[8];
+    int nb = 0;
+    const u8* seqs[8];
+    i64 lens[8];
+    auto flush = [&]() {
+        for (int l = nb; l < 8; ++l) {
+            seqs[l] = seqs[0];
+            lens[l] = 0;
+        }
+        syncmers_of_batch(seqs, lens, sp.k, sp.s, sp.t, outs);
+        for (int l = 0; l < nb; ++l) {
+            out.start[idx[l]] = (i64)out.flat.size();
+            out.count[idx[l]] = (i64)g[l].size();
+            out.flat.insert(out.flat.end(), g[l].begin(), g[l].end());
+        }
+        nb = 0;
+    };
+    for (i64 i = 0; i < n_records; ++i) {
+        if (!need[i] || records[i].seq_len < sp.wmax) continue;
+        seqs[nb] = records[i].seq;
+        lens[nb] = records[i].seq_len;
+        idx[nb] = i;
+        if (++nb == 8) flush();
+    }
+    if (nb) flush();
+}
+
 static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
                           SeedScratch& ss, MinstdRand& rng, DetailsC& details,
-                          std::vector<NamT>& nams) {
+                          std::vector<NamT>& nams,
+                          const Syncmer* psy = nullptr, i64 n_psy = -1) {
     auto t0 = std::chrono::steady_clock::now();
     const SeedParams& sp = eng.sp;
     ss.qrs.clear();
     if (len >= sp.wmax) {
-        syncmers_of(seq, len, sp.k, sp.s, sp.t, ss.sync);
-        if (!ss.sync.empty()) {
-            link_strobes(ss.sync, sp.wmin, sp.wmax, sp.qmask, sp.max_dist, sp.k,
-                         false, ss.qrs);
-            ss.sync_rc.resize(ss.sync.size());
-            for (size_t i = 0; i < ss.sync.size(); ++i) {
-                const Syncmer& m = ss.sync[ss.sync.size() - 1 - i];
+        const Syncmer* sy;
+        i64 nsy;
+        if (n_psy >= 0) {
+            sy = psy;
+            nsy = n_psy;
+        } else {
+            syncmers_of(seq, len, sp.k, sp.s, sp.t, ss.sync);
+            sy = ss.sync.data();
+            nsy = (i64)ss.sync.size();
+        }
+        if (nsy > 0) {
+            link_strobes(sy, nsy, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
+                         sp.k, false, ss.qrs);
+            ss.sync_rc.resize(nsy);
+            for (i64 i = 0; i < nsy; ++i) {
+                const Syncmer& m = sy[nsy - 1 - i];
                 ss.sync_rc[i] = {m.hash, len - m.pos - sp.k};
             }
             link_strobes(ss.sync_rc, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
@@ -2912,6 +2969,39 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
     }
 
     engine::SeedScratch ss;
+    // batched syncmer pre-pass (8-lane AVX-512 lockstep) for every
+    // record that will take the host seeding path below
+    engine::SyncPre psync;
+    {
+        auto t0 = std::chrono::steady_clock::now();
+        std::vector<bool> need(n_records);
+        bool any = false;
+        for (i64 i = 0; i < n_records; ++i) {
+            need[i] = !((runs && runs->counts[i] >= 0) ||
+                        (pre && pre->counts[i] >= 0));
+            any = any || need[i];
+        }
+        if (any) {
+            // std::vector<bool> is packed; presync wants a flat array
+            std::vector<char> needc(need.begin(), need.end());
+            engine::presync_records(ch->records.data(), n_records,
+                                    needc.data(), eng->sp, psync);
+        } else {
+            psync.start.assign(n_records, -1);
+            psync.count.assign(n_records, 0);
+        }
+        eng->t_seed_nam += std::chrono::duration<double>(
+                               std::chrono::steady_clock::now() - t0)
+                               .count();
+    }
+    auto host_nams = [&](i64 rec, engine::DetailsC& det,
+                         std::vector<Nam>& nm) {
+        i64 st = psync.start[rec];
+        engine::nams_for_read(*eng, ch->records[rec].seq,
+                              ch->records[rec].seq_len, ss, ch->rng, det, nm,
+                              st >= 0 ? psync.flat.data() + st : nullptr,
+                              st >= 0 ? psync.count[rec] : -1);
+    };
     std::vector<Nam> nams1, nams2;
     ch->work.reserve(n_pairs + n_singles);
     // pe_ref_async: the reference's async PE workers reset the
@@ -2932,9 +3022,7 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
             engine::nams_for_read_pre(*eng, *pre, i1, ss, ch->rng, w.det1,
                                       nams1);
         else
-            engine::nams_for_read(*eng, ch->records[i1].seq,
-                                  ch->records[i1].seq_len, ss, ch->rng,
-                                  w.det1, nams1);
+            host_nams(i1, w.det1, nams1);
         if (runs && runs->counts[i2] >= 0)
             engine::nams_for_read_runs(*eng, *runs, i2, ss, ch->rng, w.det2,
                                        nams2);
@@ -2942,9 +3030,7 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
             engine::nams_for_read_pre(*eng, *pre, i2, ss, ch->rng, w.det2,
                                       nams2);
         else
-            engine::nams_for_read(*eng, ch->records[i2].seq,
-                                  ch->records[i2].seq_len, ss, ch->rng,
-                                  w.det2, nams2);
+            host_nams(i2, w.det2, nams2);
         if (!eng->mp.is_sam_out) {
             w.kind = 0;
             Nam b1, b2;
@@ -2971,9 +3057,7 @@ static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
             engine::nams_for_read_pre(*eng, *pre, i, ss, ch->rng, w.det1,
                                       nams1);
         else
-            engine::nams_for_read(*eng, ch->records[i].seq,
-                                  ch->records[i].seq_len, ss, ch->rng,
-                                  w.det1, nams1);
+            host_nams(i, w.det1, nams1);
         if (!eng->mp.is_sam_out) {
             w.kind = 0;
             if (!nams1.empty())
@@ -3904,22 +3988,31 @@ void* engine_fx_seed_only(void* e, void* c_) {
     auto* res = new engine::SeedOnlyResult();
     res->counts.resize(n_records);
     res->offsets.resize(n_records + 1);
-    std::vector<Syncmer> sync, sync_rc;
+    // batched syncmer pre-pass (8-lane AVX-512 lockstep, bit-exact)
+    std::vector<engine::RecordView> rv(n_records);
+    for (i64 r = 0; r < n_records; ++r) {
+        rv[r].seq = (const u8*)c->seqs.data() + c->seq_off[r];
+        rv[r].seq_len = c->seq_off[r + 1] - c->seq_off[r];
+    }
+    std::vector<char> need(n_records, 1);
+    engine::SyncPre psync;
+    engine::presync_records(rv.data(), n_records, need.data(), sp, psync);
+    std::vector<Syncmer> sync_rc;
     std::vector<QueryRandstrobe> qrs;
     for (i64 r = 0; r < n_records; ++r) {
-        const u8* seq = (const u8*)c->seqs.data() + c->seq_off[r];
-        i64 len = c->seq_off[r + 1] - c->seq_off[r];
+        i64 len = rv[r].seq_len;
         qrs.clear();
         // seeding is case-insensitive (nt4 maps lowercase), so the PE
         // uppercasing chunk_a applies later does not change the strobes
-        if (len >= sp.wmax) {
-            syncmers_of(seq, len, sp.k, sp.s, sp.t, sync);
-            if (!sync.empty()) {
-                link_strobes(sync, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
+        if (len >= sp.wmax && psync.start[r] >= 0) {
+            const Syncmer* sy = psync.flat.data() + psync.start[r];
+            i64 nsy = psync.count[r];
+            if (nsy > 0) {
+                link_strobes(sy, nsy, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
                              sp.k, false, qrs);
-                sync_rc.resize(sync.size());
-                for (size_t i = 0; i < sync.size(); ++i) {
-                    const Syncmer& m = sync[sync.size() - 1 - i];
+                sync_rc.resize(nsy);
+                for (i64 i = 0; i < nsy; ++i) {
+                    const Syncmer& m = sy[nsy - 1 - i];
                     sync_rc[i] = {m.hash, len - m.pos - sp.k};
                 }
                 link_strobes(sync_rc, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,

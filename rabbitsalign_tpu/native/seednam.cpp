@@ -208,6 +208,186 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
     }
 }
 
+#ifdef SEEDNAM_AVX512
+// xxh64 on 8 u64 lanes in-register (same chain as xxh64 above)
+inline __m512i xxh64_vec(__m512i x) {
+    const __m512i vP1 = _mm512_set1_epi64((long long)0x9E3779B185EBCA87ULL);
+    const __m512i vP2 = _mm512_set1_epi64((long long)0xC2B2AE3D27D4EB4FULL);
+    const __m512i vP3 = _mm512_set1_epi64((long long)0x165667B19E3779F9ULL);
+    const __m512i vP4 = _mm512_set1_epi64((long long)0x85EBCA77C2B2AE63ULL);
+    const __m512i vR0 =
+        _mm512_set1_epi64((long long)(0x27D4EB2F165667C5ULL + 8));
+    x = _mm512_mullo_epi64(x, vP2);
+    x = _mm512_rol_epi64(x, 31);
+    __m512i r = _mm512_xor_si512(vR0, _mm512_mullo_epi64(x, vP1));
+    r = _mm512_rol_epi64(r, 27);
+    r = _mm512_add_epi64(_mm512_mullo_epi64(r, vP1), vP4);
+    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 33));
+    r = _mm512_mullo_epi64(r, vP2);
+    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 29));
+    r = _mm512_mullo_epi64(r, vP3);
+    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 32));
+    return r;
+}
+
+// 8 reads through the syncmer automaton in AVX-512 lockstep, one read
+// per 64-bit lane. Bit-exact with syncmers_of: the data-dependent
+// branches become lane masks —
+//   * filling (l <= k): the "leftmost minimum on first full window"
+//     scan is replaced by the equivalent incremental strict-< push rule
+//     (processing left to right, "replace only if strictly smaller" IS
+//     the leftmost minimum);
+//   * eviction rescan (tracked min slid out): rightmost minimum via an
+//     ascending-j overwrite on value equality;
+//   * emits: per-lane compress-stores of (canonical k-mer, lane|pos),
+//     k-mer hashing deferred to one bulk xxh64 pass, then routed back
+//     to per-lane outputs in order.
+// The window lives in W registers shifted per push (W = k-s+1 is 5 for
+// every short-read profile, 7 for r400; other widths take the scalar
+// path via syncmers_of_batch).
+template <int W>
+static void syncmers_of_x8_impl(const u8* const seqs[8], const i64 lens[8],
+                                int k, int s, int t,
+                                std::vector<Syncmer>* outs[8]) {
+    const u64 kmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : UMAX;
+    const u64 smask = (1ULL << (2 * s)) - 1;
+    const int kshift = (k - 1) * 2;
+    const int sshift = (s - 1) * 2;
+
+    i64 Lmax = 0;
+    for (int l = 0; l < 8; ++l) Lmax = std::max(Lmax, lens[l]);
+    for (int l = 0; l < 8; ++l) outs[l]->clear();
+    if (Lmax == 0) return;
+
+    // lane-transposed nt4 codes; lanes past their read length read 4
+    // (ambiguous), which keeps l at 0 — no emits, no state
+    thread_local std::vector<u8> codes;
+    codes.resize((size_t)Lmax * 8);
+    for (int l = 0; l < 8; ++l) {
+        const u8* sq = seqs[l];
+        const i64 n = lens[l];
+        for (i64 i = 0; i < n; ++i) codes[(size_t)i * 8 + l] = NT4.t[sq[i]];
+        for (i64 i = n; i < Lmax; ++i) codes[(size_t)i * 8 + l] = 4;
+    }
+    thread_local std::vector<u64> em_kmer, em_meta, em_hash;
+    em_kmer.resize((size_t)Lmax * 8);
+    em_meta.resize((size_t)Lmax * 8);
+    i64 n_emit = 0;
+
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i v3 = _mm512_set1_epi64(3);
+    const __m512i v4 = _mm512_set1_epi64(4);
+    const __m512i vkmask = _mm512_set1_epi64((long long)kmask);
+    const __m512i vsmask = _mm512_set1_epi64((long long)smask);
+    const __m512i vs = _mm512_set1_epi64(s);
+    const __m512i vk = _mm512_set1_epi64(k);
+    const __m512i vumax = _mm512_set1_epi64(-1);
+    const __m512i vneg1 = _mm512_set1_epi64(-1);
+    const __m512i vlane = _mm512_set_epi64(
+        7LL << 48, 6LL << 48, 5LL << 48, 4LL << 48,
+        3LL << 48, 2LL << 48, 1LL << 48, 0LL << 48);
+
+    __m512i xk0 = vzero, xk1 = vzero, xs0 = vzero, xs1 = vzero;
+    __m512i vl = vzero;  // consecutive-ACGT run length per lane
+    __m512i q[W];
+    for (int j = 0; j < W; ++j) q[j] = vzero;
+    __m512i minval = vumax, minpos = vneg1;
+
+    for (i64 i = 0; i < Lmax; ++i) {
+        __m512i c = _mm512_cvtepu8_epi64(
+            _mm_loadl_epi64((const __m128i*)&codes[(size_t)i * 8]));
+        __mmask8 valid = _mm512_cmplt_epu64_mask(c, v4);
+        // rolling registers; invalid lanes reset to 0 (maskz)
+        xk0 = _mm512_maskz_and_epi64(
+            valid, _mm512_or_si512(_mm512_slli_epi64(xk0, 2), c), vkmask);
+        xk1 = _mm512_maskz_or_epi64(
+            valid, _mm512_srli_epi64(xk1, 2),
+            _mm512_slli_epi64(_mm512_sub_epi64(v3, c), kshift));
+        xs0 = _mm512_maskz_and_epi64(
+            valid, _mm512_or_si512(_mm512_slli_epi64(xs0, 2), c), vsmask);
+        xs1 = _mm512_maskz_or_epi64(
+            valid, _mm512_srli_epi64(xs1, 2),
+            _mm512_slli_epi64(_mm512_sub_epi64(v3, c), sshift));
+        vl = _mm512_maskz_add_epi64(valid, vl, _mm512_set1_epi64(1));
+        minval = _mm512_mask_blend_epi64(valid, vumax, minval);
+        minpos = _mm512_mask_blend_epi64(valid, vneg1, minpos);
+
+        __mmask8 pushm = _mm512_cmpge_epu64_mask(vl, vs);  // l >= s
+        if (!pushm) continue;
+
+        __m512i sval = _mm512_min_epu64(xs0, xs1);
+        __m512i h = xxh64_vec(sval);
+        __mmask8 fullm = _mm512_cmpge_epu64_mask(vl, vk);             // l >= k
+        __mmask8 evictm = _mm512_cmpgt_epu64_mask(vl, vk) & pushm;    // l > k
+        // tracked min slides out this step? (checked BEFORE updates,
+        // exactly like the scalar pop-front branch)
+        __mmask8 rescanm =
+            evictm & _mm512_cmpeq_epi64_mask(minpos, _mm512_set1_epi64(i - k));
+
+        // shift the window registers on push lanes (q[W-1] = newest)
+        for (int j = 0; j + 1 < W; ++j)
+            q[j] = _mm512_mask_blend_epi64(pushm, q[j], q[j + 1]);
+        q[W - 1] = _mm512_mask_blend_epi64(pushm, q[W - 1], h);
+
+        if (rescanm) {
+            // rightmost minimum of the shifted window (incl. the new
+            // element): ascending-j overwrite on equality
+            __m512i rv = q[0];
+            for (int j = 1; j < W; ++j) rv = _mm512_min_epu64(rv, q[j]);
+            __m512i rp = vzero;
+            for (int j = 0; j < W; ++j)
+                rp = _mm512_mask_blend_epi64(
+                    _mm512_cmpeq_epi64_mask(q[j], rv), rp,
+                    _mm512_set1_epi64(i - k + 1 + j));
+            minval = _mm512_mask_blend_epi64(rescanm, minval, rv);
+            minpos = _mm512_mask_blend_epi64(rescanm, minpos, rp);
+        }
+        // push rule (fill lanes + non-rescan evict lanes): strict <
+        __mmask8 pr =
+            (pushm & ~rescanm) & _mm512_cmplt_epu64_mask(h, minval);
+        minval = _mm512_mask_blend_epi64(pr, minval, h);
+        minpos = _mm512_mask_blend_epi64(pr, minpos,
+                                         _mm512_set1_epi64(i - s + 1));
+
+        __mmask8 em = pushm & fullm &
+                      _mm512_cmpeq_epi64_mask(minpos,
+                                              _mm512_set1_epi64(i - k + t));
+        if (em) {
+            __m512i kcan = _mm512_min_epu64(xk0, xk1);
+            _mm512_mask_compressstoreu_epi64(&em_kmer[n_emit], em, kcan);
+            __m512i meta = _mm512_or_si512(
+                vlane, _mm512_set1_epi64(i - k + 1));
+            _mm512_mask_compressstoreu_epi64(&em_meta[n_emit], em, meta);
+            n_emit += __builtin_popcount(em);
+        }
+    }
+
+    em_hash.resize((size_t)n_emit);
+    xxh64_many(em_kmer.data(), em_hash.data(), n_emit);
+    for (i64 e = 0; e < n_emit; ++e) {
+        int lane = (int)(em_meta[e] >> 48);
+        outs[lane]->push_back(
+            {em_hash[e], (i64)(em_meta[e] & 0xFFFFFFFFFFFFULL)});
+    }
+}
+#endif  // SEEDNAM_AVX512
+
+// batch front end: 8 reads at a time through the AVX-512 lockstep
+// automaton when the toolchain + CPU + window width allow, else the
+// scalar automaton per read. Bit-exact either way (fuzz gate:
+// tests/sanitize/syncmer_x8_fuzz.cpp).
+static void syncmers_of_batch(const u8* const seqs[8], const i64 lens[8],
+                              int k, int s, int t,
+                              std::vector<Syncmer>* outs[8]) {
+#ifdef SEEDNAM_AVX512
+    const int w = k - s + 1;
+    if (w == 5) return syncmers_of_x8_impl<5>(seqs, lens, k, s, t, outs);
+    if (w == 7) return syncmers_of_x8_impl<7>(seqs, lens, k, s, t, outs);
+#endif
+    for (int l = 0; l < 8; ++l)
+        syncmers_of(seqs[l], lens[l], k, s, t, *outs[l]);
+}
+
 struct QueryRandstrobe {
     u64 hash;
     int start;
@@ -218,10 +398,9 @@ struct QueryRandstrobe {
 inline int popcount64(u64 x) { return __builtin_popcountll(x); }
 
 // link syncmers into randstrobes (same semantics as link_randstrobes)
-static void link_strobes(const std::vector<Syncmer>& sync, int wmin, int wmax,
+static void link_strobes(const Syncmer* sync, i64 n, int wmin, int wmax,
                          u64 qmask, int max_dist, int k, bool is_reverse,
                          std::vector<QueryRandstrobe>& out) {
-    const i64 n = (i64)sync.size();
     for (i64 i = 0; i + wmin < n; ++i) {
         const Syncmer& s1 = sync[i];
         i64 wend = std::min(i + (i64)wmax, n - 1);
@@ -238,6 +417,14 @@ static void link_strobes(const std::vector<Syncmer>& sync, int wmin, int wmax,
         out.push_back({s1.hash + sync[best].hash, (int)s1.pos,
                        (int)sync[best].pos + k, is_reverse});
     }
+}
+
+static inline void link_strobes(const std::vector<Syncmer>& sync, int wmin,
+                                int wmax, u64 qmask, int max_dist, int k,
+                                bool is_reverse,
+                                std::vector<QueryRandstrobe>& out) {
+    link_strobes(sync.data(), (i64)sync.size(), wmin, wmax, qmask, max_dist,
+                 k, is_reverse, out);
 }
 
 struct Hit {

@@ -15,3 +15,11 @@ echo "sanitize: OK"
 
 g++ -O2 -march=native -std=c++17 ssw_simd_fuzz.cpp -o /tmp/ssw_fuzz -lz
 /tmp/ssw_fuzz
+
+# AVX-512 x8 syncmer automaton: bit-exactness fuzz (plus an ASan pass —
+# lane-transposed buffers and compress-stores are pointer-heavy)
+g++ -O2 -march=native -std=c++17 syncmer_x8_fuzz.cpp -o /tmp/syncmer_x8
+/tmp/syncmer_x8 time
+g++ -O1 -g -fsanitize=address,undefined -march=native -std=c++17 \
+    syncmer_x8_fuzz.cpp -o /tmp/syncmer_x8_asan
+ASAN_OPTIONS=detect_leaks=0 /tmp/syncmer_x8_asan

@@ -31,24 +31,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .seed_device import index_find_device_split, randstrobes_query_vec
+from .seed_device import (
+    gary_iters,
+    index_find_device_gary,
+    randstrobes_query_vec,
+)
 
 I32MAX = jnp.int32(0x7FFFFFFF)
+
+# sentinel rows appended to the uploaded index planes so the contiguous
+# slice gathers (G-ary lookup final step, run walk) never hit
+# dynamic_slice start-clamping; bounds PAD >= max(LOOKUP_G, run-walk cap)
+PAD = 1024
+LOOKUP_G = 16
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "s", "t", "w_min", "w_max", "max_dist", "M",
-                     "bits", "cutoff", "maxh", "cap"))
+                     "bits", "cutoff", "maxh", "cap", "iters"))
 def seed_find_walk(codes, lengths, idx_hi, idx_lo, idx_pos, idx_packed,
                    bucket_starts, k: int, s: int, t: int, w_min: int,
                    w_max: int, q: int, max_dist: int, M: int, bits: int,
-                   cutoff: int, maxh: int, cap: int):
+                   cutoff: int, maxh: int, cap: int, iters: int):
     """One-dispatch front end for a (B, L) read batch.
 
-    idx_hi/idx_lo: split sorted hash planes; idx_pos/idx_packed: the
-    run records; cutoff: filter_cutoff (cap >= cutoff bounds the run
-    walk — unfiltered runs are never longer).
+    idx_hi/idx_lo: split sorted hash planes PADDED with `PAD` sentinel
+    rows (upload_index_split); idx_pos/idx_packed: the run records
+    (same padding); cutoff: filter_cutoff (cap >= cutoff bounds the run
+    walk — unfiltered runs are never longer, and cap <= PAD so the run
+    walk reads contiguous slices); iters: gary_iters(bucket_starts).
 
     Returns (hits (B, maxh, 6) int32 rows [is_rc, ref_id, qs, qe, rs,
     re] in the host's exact processing order (strobes in qrs order, run
@@ -63,10 +75,10 @@ def seed_find_walk(codes, lengths, idx_hi, idx_lo, idx_pos, idx_packed,
 
     khi = (h >> jnp.uint64(32)).astype(jnp.uint32)
     klo = h.astype(jnp.uint32)
-    pos = index_find_device_split(idx_hi, idx_lo, bucket_starts, bits,
-                                  khi, klo, iters=20)
+    pos = index_find_device_gary(idx_hi, idx_lo, bucket_starts, bits,
+                                 khi, klo, iters=iters, G=LOOKUP_G)
     found = valid & (pos >= 0)
-    n = idx_hi.shape[0]
+    n = idx_hi.shape[0] - PAD  # logical length (sentinel pad rows)
     safe = jnp.where(found, pos, 0)
     # repetitive filter: hash at pos+cutoff equals hash at pos
     pc = jnp.minimum(safe + cutoff, n - 1)
@@ -75,17 +87,26 @@ def seed_find_walk(codes, lengths, idx_hi, idx_lo, idx_pos, idx_packed,
     filtered = found & same & (safe + cutoff < n)
     walk = found & ~filtered
 
-    # run walk: rows j in [0, cap) valid while the hash still matches
+    # run walk: rows j in [0, cap) valid while the hash still matches.
+    # Runs are CONTIGUOUS in the sorted index, so each (read, strobe)
+    # reads one cap-long slice — a vmapped dynamic_slice lowers to a
+    # single gather with slice_sizes=(cap,) instead of cap scalar
+    # gathers per strobe (sentinel padding keeps starts un-clamped)
     rows = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
-    rp = jnp.minimum(safe[:, :, None] + rows, n - 1)
-    flat = rp.reshape(-1)
-    rhi = jnp.take(idx_hi, flat).reshape(B, S, cap)
-    rlo = jnp.take(idx_lo, flat).reshape(B, S, cap)
+    starts = safe.reshape(-1).astype(jnp.int32)
+
+    def slc(arr, s0):
+        return jax.lax.dynamic_slice(arr, (s0,), (cap,))
+
+    rhi = jax.vmap(slc, in_axes=(None, 0))(idx_hi, starts).reshape(B, S, cap)
+    rlo = jax.vmap(slc, in_axes=(None, 0))(idx_lo, starts).reshape(B, S, cap)
     in_run = (walk[:, :, None]
               & (rhi == khi[:, :, None]) & (rlo == klo[:, :, None])
               & (safe[:, :, None] + rows < n))
-    rpos = jnp.take(idx_pos, flat).reshape(B, S, cap).astype(jnp.int32)
-    rpacked = jnp.take(idx_packed, flat).reshape(B, S, cap)
+    rpos = jax.vmap(slc, in_axes=(None, 0))(idx_pos, starts).reshape(
+        B, S, cap).astype(jnp.int32)
+    rpacked = jax.vmap(slc, in_axes=(None, 0))(idx_packed, starts).reshape(
+        B, S, cap)
     rs = rpos
     re = rs + (rpacked & jnp.uint32(0xFF)).astype(jnp.int32) + jnp.int32(k)
     ref_id = (rpacked >> jnp.uint32(8)).astype(jnp.int32)
@@ -135,16 +156,18 @@ def find_nams_composed_batch(seqs: List[bytes], index_dev, params,
     read. Returns a list of (nonrep_frac, List[Nam]) or None for reads
     needing the host path (too long, seeding tie, hit/NAM overflow).
 
-    index_dev: (idx_hi, idx_lo, idx_pos, idx_packed, bucket_starts, bits)
-    device arrays from `upload_index_split`."""
+    index_dev: (idx_hi, idx_lo, idx_pos, idx_packed, bucket_starts, bits,
+    iters) device arrays from `upload_index_split`."""
     from ..chain.nams import Nam, _nam_score, _rh_items
     from ..utils.sorting import introsort
     from .chain_device import merge_hits_device
 
-    idx_hi, idx_lo, idx_pos, idx_packed, bucket_starts, bits = index_dev
+    idx_hi, idx_lo, idx_pos, idx_packed, bucket_starts, bits, iters = index_dev
     sp = params.syncmer
     rp = params.randstrobe
     cap = cap or filter_cutoff
+    if cap > PAD:  # pragma: no cover - deployment guard
+        raise ValueError(f"run-walk cap {cap} exceeds slice pad {PAD}")
     B = len(seqs)
     codes_t = np.full((B, L), 4, dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
@@ -164,7 +187,7 @@ def find_nams_composed_batch(seqs: List[bytes], index_dev, params,
         jnp.asarray(codes_t), jnp.asarray(np.maximum(lens, 0)),
         idx_hi, idx_lo, idx_pos, idx_packed, bucket_starts,
         sp.k, sp.s, sp.t_syncmer, rp.w_min, rp.w_max, rp.q, rp.max_dist,
-        L, int(bits), int(filter_cutoff), maxh, cap)
+        L, int(bits), int(filter_cutoff), maxh, cap, int(iters))
     hits = np.asarray(hits)
     n_hits = np.asarray(n_hits)
     total = np.asarray(total)
@@ -255,18 +278,32 @@ def find_nams_composed_batch(seqs: List[bytes], index_dev, params,
 
 def upload_index_split(index, device=None):
     """Upload the (hi32, lo32)-split index arrays + run records + bucket
-    table for the composed front end. Requires n < 2^31 entries (a
-    sharded deployment divides by n_shards; GRCh38-class whole indexes
-    on one chip need the u64 path)."""
+    table for the composed front end, each padded with PAD sentinel rows
+    (0xFFFFFFFF hashes / zero records) so the G-ary lookup's final slice
+    and the run walk's contiguous slices never hit dynamic_slice
+    start-clamping. Also returns the G-ary narrowing depth for this
+    index's bucket profile. Requires n < 2^31 entries (a sharded
+    deployment divides by n_shards; GRCh38-class whole indexes on one
+    chip need the u64 path)."""
+    import numpy as np
+
     from .seed_device import split_hash_u64
 
     n = index.hashes.shape[0]
     if n >= (1 << 31):  # pragma: no cover - deployment guard
         raise ValueError("split lookup needs n < 2^31 entries per shard")
     hi, lo = split_hash_u64(index.hashes)
+
+    def pad(a, fill):
+        a = np.asarray(a)
+        return np.concatenate([a, np.full(PAD, fill, a.dtype)])
+
     put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
     return (
-        put(jnp.asarray(hi)), put(jnp.asarray(lo)),
-        put(jnp.asarray(index.positions)), put(jnp.asarray(index.packed)),
+        put(jnp.asarray(pad(hi, 0xFFFFFFFF))),
+        put(jnp.asarray(pad(lo, 0xFFFFFFFF))),
+        put(jnp.asarray(pad(index.positions, 0))),
+        put(jnp.asarray(pad(index.packed, 0))),
         put(jnp.asarray(index.randstrobe_start_indices)), int(index.bits),
+        gary_iters(index.randstrobe_start_indices, LOOKUP_G),
     )

@@ -309,6 +309,108 @@ def index_find_device_split(hi, lo, bucket_starts, bits: int, khi, klo,
     return jnp.where(found, pos.astype(jnp.int64), -1)
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "iters", "G"))
+def index_find_device_gary(hi, lo, bucket_starts, bits: int, khi, klo,
+                           iters: int, G: int = 16):
+    """Batched StrobemerIndex.find via G-ary search + one slice gather.
+
+    The binary search in `index_find_device_split` is GATHER-LATENCY
+    bound: ~20 serial data-dependent HBM accesses at ~25-30 ns each
+    (docs/PERF.md §1c). This variant cuts the serial depth to
+    ceil(log_G(max_bucket_run)) + 1:
+
+    * each narrowing step probes G-1 equally-strided positions in ONE
+      parallel gather (all probes issue together, so a step costs one
+      round-trip regardless of G) and keeps the segment whose bounds
+      bracket the query — range shrinks by G per step, not 2;
+    * the final step gathers G CONTIGUOUS entries (a vmapped
+      dynamic_slice lowers to a single gather with slice_sizes=(G,))
+      and picks the first >= query with vector compares only.
+
+    Requirements: `hi`/`lo` are the split planes PADDED with >= G
+    sentinel 0xFFFFFFFF entries (so the final dynamic_slice never
+    clamps). `n` below treats exactly G rows as padding; with a larger
+    pad the extra rows are counted as in-array, which is still correct
+    BECAUSE every pad row is a 0xFFFFFFFF sentinel: it compares as +inf
+    in the narrowing probes, and a false equality is excluded by the
+    `pos < hi_b` bucket bound (hi_b <= logical n). `iters` must satisfy:
+    w = max bucket run length, then ceil-divide by G `iters` times
+    reaches <= G-1 (host-side helper `gary_iters`).
+
+    Returns first-occurrence positions (int64, -1 = absent), exactly
+    `index_find_device` / `_split` (including the bucket-table quirk).
+    Semantics matched: /root/reference/src/index.hpp:57-81."""
+    n = hi.shape[0] - G  # logical length (G sentinel pad rows)
+    sbit = jnp.uint32(0x80000000)
+    his = (hi ^ sbit).astype(jnp.int32)
+    los = (lo ^ sbit).astype(jnp.int32)
+    qhi = (khi ^ sbit).astype(jnp.int32)
+    qlo = (klo ^ sbit).astype(jnp.int32)
+    qshape = khi.shape
+    qhi_f = qhi.reshape(-1)
+    qlo_f = qlo.reshape(-1)
+
+    top = (khi >> (jnp.uint32(32) - jnp.uint32(bits))).astype(jnp.int64)
+    lo_b = bucket_starts[top].astype(jnp.int32).reshape(-1)
+    hi_b = bucket_starts[top + 1].astype(jnp.int32).reshape(-1)
+
+    # invariant: insertion point P in [lo_i, lo_i + width] (CLOSED upper
+    # bound; the G-ary step preserves it with new width = stride)
+    lo_i = lo_b
+    width = hi_b - lo_b
+    j_probe = jnp.arange(1, G, dtype=jnp.int32)  # (G-1,)
+    imax = jnp.int32(0x7FFFFFFF)
+    for _ in range(iters):
+        stride = (width + (G - 1)) // G  # ceil(width / G)
+        p = lo_i[:, None] + j_probe[None, :] * stride[:, None]
+        safe = jnp.minimum(p, n - 1)
+        vh = his[safe]
+        vl = los[safe]
+        # positions past the logical end compare as +inf
+        oob = p >= n
+        vh = jnp.where(oob, imax, vh)
+        vl = jnp.where(oob, imax, vl)
+        less = (vh < qhi_f[:, None]) | ((vh == qhi_f[:, None])
+                                       & (vl < qlo_f[:, None]))
+        j_sel = jnp.sum(less.astype(jnp.int32), axis=1)
+        lo_i = lo_i + j_sel * stride
+        width = stride
+
+    # final: G contiguous entries starting at lo_i (padded planes, so no
+    # dynamic_slice clamping for lo_i <= n); first j <= width with
+    # value >= query, default width
+    def slc(arr, s):
+        return jax.lax.dynamic_slice(arr, (s,), (G,))
+
+    vh = jax.vmap(slc, in_axes=(None, 0))(his, lo_i)
+    vl = jax.vmap(slc, in_axes=(None, 0))(los, lo_i)
+    ge = (vh > qhi_f[:, None]) | ((vh == qhi_f[:, None])
+                                 & (vl >= qlo_f[:, None]))
+    j = jnp.arange(G, dtype=jnp.int32)[None, :]
+    cand = jnp.where(ge & (j <= width[:, None]), j, width[:, None])
+    pos = lo_i + jnp.min(cand, axis=1)
+
+    in_range = (pos >= lo_b) & (pos < hi_b) & (pos < n)
+    safe = jnp.minimum(jnp.where(pos < n, pos, 0), n - 1)
+    found = (in_range & (hi[safe] == khi.reshape(-1))
+             & (lo[safe] == klo.reshape(-1)))
+    return jnp.where(found, pos.astype(jnp.int64), -1).reshape(qshape)
+
+
+def gary_iters(bucket_starts, G: int = 16) -> int:
+    """Host-side: narrowing steps `index_find_device_gary` needs so the
+    final G-slice covers the largest bucket run."""
+    import numpy as np
+
+    runs = np.diff(np.asarray(bucket_starts, dtype=np.int64))
+    w = int(runs.max()) if runs.size else 0
+    iters = 0
+    while w > G - 1:
+        w = -(-w // G)
+        iters += 1
+    return iters
+
+
 # --- fully-vectorized variant (no lax.scan) -------------------------------
 #
 # The scan automaton above is the bit-exact reference implementation; this

@@ -1,0 +1,135 @@
+"""Device index-lookup latency microbench (docs/PERF.md §1c).
+
+Measures ns/lookup for the three device lookup variants on the real
+chip, with K chained in-jit iterations (a single dispatch over the axon
+tunnel is link-bound; chaining serializes K dependent batches inside
+one program so the per-batch time is device latency, not tunnel):
+
+  * u64       — jnp.searchsorted on the uint64 hash array
+  * split     — (hi32, lo32) bucket-bounded binary search, 20 iters
+  * gary      — G-ary strided-probe narrowing + one contiguous G-slice
+                gather (ops/seed_device.index_find_device_gary)
+
+Uses the bench's cached 40 Mbp index when present (pe40 tag), else
+builds a 4 Mbp one. Run: python tests/sanitize/lookup_bench.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from rabbitsalign_tpu.ops.seed_device import (
+        gary_iters,
+        index_find_device,
+        index_find_device_gary,
+        index_find_device_split,
+        split_hash_u64,
+    )
+
+    print(f"platform={jax.devices()[0].platform}", file=sys.stderr)
+    try:
+        genome = bench.np_genome(int(bench.PE_GENOME_MB * 1e6), 4321)
+        refs, params, index = bench.build_index(genome, "chr21",
+                                                cache_tag="pe40")
+    except Exception as e:  # no cache and too slow? build small
+        print(f"40 Mbp load failed ({e}); building 4 Mbp", file=sys.stderr)
+        genome = bench.np_genome(4_000_000, 4321)
+        refs, params, index = bench.build_index(genome, "mb4")
+
+    n = index.hashes.shape[0]
+    rng = np.random.RandomState(0)
+    NQ = 45056  # ~44k lookups (one chunk's worth of strobes)
+    keys = index.hashes[rng.randint(0, n, NQ)].astype(np.uint64)
+    miss = rng.randint(0, 1 << 63, NQ // 2).astype(np.uint64)
+    keys[: NQ // 2] = miss  # ~half misses, like real reads
+
+    hi, lo = split_hash_u64(index.hashes)
+    G = 16
+    iters_g = gary_iters(index.randstrobe_start_indices, G)
+    print(f"index n={n} bits={index.bits} "
+          f"max_run={int(np.diff(index.randstrobe_start_indices).max())} "
+          f"gary iters={iters_g}", file=sys.stderr)
+    pad = 1024
+    hi_p = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+    lo_p = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+
+    dev_h = jax.device_put(jnp.asarray(index.hashes))
+    dev_b = jax.device_put(jnp.asarray(index.randstrobe_start_indices))
+    dev_hi = jax.device_put(jnp.asarray(hi_p))
+    dev_lo = jax.device_put(jnp.asarray(lo_p))
+    khi = jnp.asarray((keys >> np.uint64(32)).astype(np.uint32))
+    klo = jnp.asarray(keys.astype(np.uint32))
+    k64 = jnp.asarray(keys)
+    K = 8
+
+    def chained(fn, perturb):
+        """K dependent iterations: fold each result into the next query
+        batch's first element so XLA cannot parallelize or fold them."""
+        import functools
+
+        @jax.jit
+        def run(*args):
+            def it(i, acc):
+                out = fn(acc, i, *args)
+                return out
+            return jax.lax.fori_loop(0, K, it, jnp.int64(0))
+        return run
+
+    # u64 variant
+    def f64(acc, i, h, b, q):
+        qq = q.at[0].set(q[0] ^ (acc & 1).astype(jnp.uint64))
+        r = index_find_device(h, b, jnp.uint64(index.bits), qq)
+        return jnp.sum(r)
+    run64 = chained(f64, None)
+
+    def f32(acc, i, hi_, lo_, b, qh, ql):
+        qh2 = qh.at[0].set(qh[0] ^ (acc & 1).astype(jnp.uint32))
+        r = index_find_device_split(hi_[:n], lo_[:n], b, index.bits, qh2, ql,
+                                    iters=20)
+        return jnp.sum(r)
+    run32 = chained(f32, None)
+
+    def fg(acc, i, hi_, lo_, b, qh, ql):
+        qh2 = qh.at[0].set(qh[0] ^ (acc & 1).astype(jnp.uint32))
+        r = index_find_device_gary(hi_, lo_, b, index.bits, qh2, ql,
+                                   iters=iters_g, G=G)
+        return jnp.sum(r)
+    rung = chained(fg, None)
+
+    with jax.enable_x64(True):
+        for tag, run, args in (
+                ("u64 searchsorted", run64, (dev_h, dev_b, k64)),
+                ("split binary-20", run32, (dev_hi, dev_lo, dev_b, khi, klo)),
+                (f"gary G={G} i={iters_g}", rung,
+                 (dev_hi, dev_lo, dev_b, khi, klo)),
+        ):
+            r = run(*args)
+            r.block_until_ready()  # compile
+            best = 1e9
+            for _ in range(5):
+                t0 = time.perf_counter()
+                run(*args).block_until_ready()
+                best = min(best, (time.perf_counter() - t0) / K)
+            print(f"{tag}: {best / NQ * 1e9:.0f} ns/lookup "
+                  f"({best*1e3:.2f} ms per {NQ}-key batch)")
+
+    # correctness cross-check on the side
+    a = np.asarray(index_find_device(dev_h, dev_b, jnp.uint64(index.bits),
+                                     k64))
+    g = np.asarray(index_find_device_gary(dev_hi, dev_lo, dev_b, index.bits,
+                                          khi, klo, iters=iters_g, G=G))
+    assert np.array_equal(a, g), "gary lookup diverged from u64"
+    print("parity ok", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -212,3 +212,78 @@ def test_index_find_device_split_matches_u64():
         jnp.asarray(keys.astype(np.uint32))))
     np.testing.assert_array_equal(got64, ref_pos)
     np.testing.assert_array_equal(got32, ref_pos)
+
+
+def test_index_find_device_gary_matches_u64():
+    """The G-ary slice-gather lookup (one strided probe gather per
+    narrowing step + one contiguous G-slice) must equal the u64 lookup
+    for hits, misses, empty buckets, the first-run quirk, long
+    repetitive runs (forcing narrowing iterations), and with a pad
+    larger than G (the production PAD=1024 upload)."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rabbitsalign_tpu.index.params import IndexParameters
+    from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+    from rabbitsalign_tpu.io.fasta import References
+    from rabbitsalign_tpu.ops.seed_device import (
+        gary_iters,
+        index_find_device,
+        index_find_device_gary,
+        split_hash_u64,
+    )
+    from .util import random_dna
+
+    r = random.Random(5)
+    # unit repeats give long equal-hash runs -> long bucket runs
+    unit = random_dna(180, seed=31)
+    genome = (random_dna(25000, seed=11) + unit * 120
+              + random_dna(8000, seed=13))
+    refs = References()
+    refs.add("c", genome.encode())
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+
+    n = index.hashes.shape[0]
+    keys = [int(index.hashes[r.randrange(n)]) for _ in range(500)]
+    keys += [int(index.hashes[0])]            # quirk run
+    keys += [r.getrandbits(64) for _ in range(202)]  # misses
+    keys = np.array(keys, dtype=np.uint64)   # 703 = 37 * 19 for the 2-D case
+
+    ref_pos = np.asarray(index.find(keys))
+    got64 = np.asarray(index_find_device(
+        jnp.asarray(index.hashes), jnp.asarray(index.randstrobe_start_indices),
+        jnp.uint64(index.bits), jnp.asarray(keys)))
+    np.testing.assert_array_equal(got64, ref_pos)
+
+    hi, lo = split_hash_u64(index.hashes)
+    khi = (keys >> np.uint64(32)).astype(np.uint32)
+    klo = keys.astype(np.uint32)
+    bstarts = jnp.asarray(index.randstrobe_start_indices)
+    for G in (4, 16):
+        iters = gary_iters(index.randstrobe_start_indices, G)
+        assert iters >= 1  # the repeat run must actually force narrowing
+        for pad in (G, 1024):
+            hi_p = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            lo_p = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            got = np.asarray(index_find_device_gary(
+                jnp.asarray(hi_p), jnp.asarray(lo_p), bstarts, index.bits,
+                jnp.asarray(khi), jnp.asarray(klo), iters=iters, G=G))
+            np.testing.assert_array_equal(got, ref_pos)
+            # extra narrowing steps must be harmless (stride-0 fixpoint)
+            got2 = np.asarray(index_find_device_gary(
+                jnp.asarray(hi_p), jnp.asarray(lo_p), bstarts, index.bits,
+                jnp.asarray(khi), jnp.asarray(klo), iters=iters + 2, G=G))
+            np.testing.assert_array_equal(got2, ref_pos)
+    # 2-D query shape (the composed front end passes (B, S))
+    iters = gary_iters(index.randstrobe_start_indices, 16)
+    hi_p = np.concatenate([hi, np.full(16, 0xFFFFFFFF, np.uint32)])
+    lo_p = np.concatenate([lo, np.full(16, 0xFFFFFFFF, np.uint32)])
+    got2d = np.asarray(index_find_device_gary(
+        jnp.asarray(hi_p), jnp.asarray(lo_p), bstarts, index.bits,
+        jnp.asarray(khi.reshape(37, 19)), jnp.asarray(klo.reshape(37, 19)),
+        iters=iters, G=16))
+    np.testing.assert_array_equal(got2d, ref_pos.reshape(37, 19))

@@ -46,12 +46,14 @@ SCALE_GENOME_MB = 3000.0
 N_SCALE_PAIRS = 16000
 
 
-def np_genome(n: int, seed: int) -> str:
-    """Fast random genome via numpy (Python joins are minutes at 40Mbp)."""
+def np_genome(n: int, seed: int) -> bytes:
+    """Fast random genome via numpy (Python joins are minutes at 40Mbp).
+    Returns BYTES: at 3 Gbp the str decode + re-encode round trip costs
+    tens of seconds and two extra whole-genome copies."""
     rng = np.random.RandomState(seed)
     return rng.randint(0, 4, n, dtype=np.uint8).tobytes().translate(
         bytes.maketrans(bytes(range(4)), b"ACGT")
-    ).decode()
+    )
 
 
 def simulate_se(genome: str, n: int, seed: int = 7):
@@ -60,7 +62,7 @@ def simulate_se(genome: str, n: int, seed: int = 7):
     reads = []
     for i in range(n):
         st = rng.randrange(0, len(genome) - READ_LEN - 10)
-        rd = genome[st : st + READ_LEN]
+        rd = genome[st : st + READ_LEN].decode()
         kind = i % 50
         if kind < 2:  # unmappable
             rd = "".join(rng.choice("ACGT") for _ in range(READ_LEN))
@@ -74,7 +76,8 @@ def simulate_se(genome: str, n: int, seed: int = 7):
             if kind % 5 == 1:  # indel -> gapped extension on device
                 cut = rng.randrange(40, 100)
                 glen = rng.randrange(1, 6)
-                rd = genome[st : st + cut] + genome[st + cut + glen : st + READ_LEN + glen]
+                rd = (genome[st : st + cut]
+                      + genome[st + cut + glen : st + READ_LEN + glen]).decode()
             if kind % 4 == 2:
                 rd = "".join(comp[c] for c in reversed(rd))
         reads.append(rd)
@@ -88,9 +91,10 @@ def simulate_pe(genome: str, n: int, seed: int = 13):
     for i in range(n):
         st = rng.randrange(0, len(genome) - 900)
         insert = max(180, min(800, int(rng.gauss(300, 60))))
-        f1 = genome[st : st + READ_LEN]
+        f1 = genome[st : st + READ_LEN].decode()
         f2 = "".join(
-            comp[c] for c in reversed(genome[st + insert - READ_LEN : st + insert])
+            comp[c] for c in reversed(
+                genome[st + insert - READ_LEN : st + insert].decode())
         )
 
         def mut(s):
@@ -107,7 +111,8 @@ def simulate_pe(genome: str, n: int, seed: int = 13):
         if kind == 3:  # indel -> gapped device extension
             cut = rng.randrange(40, 100)
             g = rng.randrange(1, 6)
-            f1 = genome[st : st + cut] + genome[st + cut + g : st + READ_LEN + g]
+            f1 = (genome[st : st + cut]
+                  + genome[st + cut + g : st + READ_LEN + g]).decode()
         out1.append(f1)
         out2.append(f2)
     return out1, out2
@@ -151,7 +156,7 @@ def build_index(genome: str, name: str, cache_tag: str = ""):
     from rabbitsalign_tpu.io.fasta import References
 
     refs = References()
-    refs.add(name, genome.encode())
+    refs.add(name, genome if isinstance(genome, bytes) else genome.encode())
     params = IndexParameters.from_read_length(READ_LEN)
     index = StrobemerIndex(refs, params)
     sti = None
@@ -166,18 +171,29 @@ def build_index(genome: str, name: str, cache_tag: str = ""):
         ).hexdigest()[:16]
         sti = os.path.join(cache_dir, f"{key}.sti")
     t0 = time.perf_counter()
+    loaded = False
     if sti and os.path.exists(sti):
-        index.read(sti)
-        print(f"bench: index loaded from cache in "
-              f"{time.perf_counter() - t0:.2f}s ({len(index)} randstrobes, "
-              f"{len(genome)/1e6:.0f} Mbp)", file=sys.stderr)
-    else:
+        from rabbitsalign_tpu.index.strobemer_index import InvalidIndexFile
+        try:
+            index.read(sti)
+            loaded = True
+            print(f"bench: index loaded from cache in "
+                  f"{time.perf_counter() - t0:.2f}s ({len(index)} "
+                  f"randstrobes, {len(genome)/1e6:.0f} Mbp)",
+                  file=sys.stderr)
+        except InvalidIndexFile as e:  # truncated by a killed run
+            print(f"bench: discarding corrupt index cache ({e})",
+                  file=sys.stderr)
+            os.unlink(sti)
+    if not loaded:
         index.populate(0.0002)
         print(f"bench: index build {time.perf_counter() - t0:.2f}s "
               f"({len(index)} randstrobes, {len(genome)/1e6:.0f} Mbp)",
               file=sys.stderr)
         if sti:
-            index.write(sti)
+            # atomic: a killed run must not leave a truncated .sti behind
+            index.write(sti + ".tmp")
+            os.replace(sti + ".tmp", sti)
     return refs, params, index
 
 

@@ -341,13 +341,22 @@ class StrobemerIndex:
                     "Index parameters in .sti file and those specified on command line differ"
                 )
             (n,) = struct.unpack("<Q", f.read(8))
+            buf = f.read(16 * n)
+            if len(buf) != 16 * n:  # killed mid-write -> truncated cache
+                raise InvalidIndexFile(
+                    f"{filename}: truncated randstrobes vector "
+                    f"({len(buf)} of {16 * n} bytes)")
             rec = np.frombuffer(
-                f.read(16 * n), dtype=[("hash", "<u8"), ("position", "<u4"), ("packed", "<u4")]
+                buf, dtype=[("hash", "<u8"), ("position", "<u4"), ("packed", "<u4")]
             )
             self.hashes = rec["hash"].copy()
             self.positions = rec["position"].copy()
             self.packed = rec["packed"].copy()
             (m,) = struct.unpack("<Q", f.read(8))
-            self.randstrobe_start_indices = np.frombuffer(f.read(8 * m), dtype="<u8").copy()
+            buf = f.read(8 * m)
+            if len(buf) != 8 * m:
+                raise InvalidIndexFile(
+                    f"{filename}: truncated start-index vector")
+            self.randstrobe_start_indices = np.frombuffer(buf, dtype="<u8").copy()
             if self.randstrobe_start_indices.shape[0] != (1 << self.bits) + 1:
                 raise InvalidIndexFile("randstrobe_start_indices vector is of the wrong size")

@@ -1949,6 +1949,11 @@ static void presync_records(const RecordView* records, i64 n_records,
         if (++nb == 8) flush();
     }
     if (nb) flush();
+    // LINK_PAD readable rows past the last record's span (interior
+    // records borrow the next record's rows — masked, only need to be
+    // dereferenceable) -> every span satisfies the 8-lane linker's
+    // padding contract
+    pad_syncmers(out.flat);
 }
 
 static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
@@ -1966,19 +1971,22 @@ static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
             nsy = n_psy;
         } else {
             syncmers_of(seq, len, sp.k, sp.s, sp.t, ss.sync);
-            sy = ss.sync.data();
             nsy = (i64)ss.sync.size();
+            pad_syncmers(ss.sync);  // LINK_PAD readable rows past nsy
+            sy = ss.sync.data();
         }
         if (nsy > 0) {
-            link_strobes(sy, nsy, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
-                         sp.k, false, ss.qrs);
-            ss.sync_rc.resize(nsy);
+            // both the pre-pass flat array and ss.sync satisfy the
+            // LINK_PAD contract -> 8-lane linker
+            link_strobes_p(sy, nsy, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
+                           sp.k, false, ss.qrs, true);
+            ss.sync_rc.resize(nsy + LINK_PAD);
             for (i64 i = 0; i < nsy; ++i) {
                 const Syncmer& m = sy[nsy - 1 - i];
                 ss.sync_rc[i] = {m.hash, len - m.pos - sp.k};
             }
-            link_strobes(ss.sync_rc, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
-                         sp.k, true, ss.qrs);
+            link_strobes_p(ss.sync_rc.data(), nsy, sp.wmin, sp.wmax,
+                           sp.qmask, sp.max_dist, sp.k, true, ss.qrs, true);
         }
     }
     ReadResult& rr = ss.rr;
@@ -4008,15 +4016,15 @@ void* engine_fx_seed_only(void* e, void* c_) {
             const Syncmer* sy = psync.flat.data() + psync.start[r];
             i64 nsy = psync.count[r];
             if (nsy > 0) {
-                link_strobes(sy, nsy, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
-                             sp.k, false, qrs);
-                sync_rc.resize(nsy);
+                link_strobes_p(sy, nsy, sp.wmin, sp.wmax, sp.qmask,
+                               sp.max_dist, sp.k, false, qrs, true);
+                sync_rc.resize(nsy + LINK_PAD);
                 for (i64 i = 0; i < nsy; ++i) {
                     const Syncmer& m = sy[nsy - 1 - i];
                     sync_rc[i] = {m.hash, len - m.pos - sp.k};
                 }
-                link_strobes(sync_rc, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
-                             sp.k, true, qrs);
+                link_strobes_p(sync_rc.data(), nsy, sp.wmin, sp.wmax,
+                               sp.qmask, sp.max_dist, sp.k, true, qrs, true);
             }
         }
         res->counts[r] = (int32_t)qrs.size();

@@ -419,12 +419,114 @@ static void link_strobes(const Syncmer* sync, i64 n, int wmin, int wmax,
     }
 }
 
+// Padding contract for the vectorized linker: callers guarantee at
+// least LINK_PAD readable Syncmer entries past index n-1 (sentinels or
+// a following record's entries — values are masked, they only need to
+// be dereferenceable). Covers the widest profile window (wmax 23 for
+// r400) plus the 7-lane group overhang.
+static const int LINK_PAD = 32;
+
+#ifdef SEEDNAM_AVX512
+// 8 emit positions i..i+7 in lockstep; window offsets d in
+// [wmin, wmax] become deinterleaved unaligned loads of the AoS
+// {hash, pos} pairs; popcount via the nibble-LUT + psadbw idiom (no
+// VPOPCNTDQ on this core). Bit-exact with the scalar linker:
+//   * ascending-d strict-< update == scalar's first-minimum rule;
+//   * the scalar early break on pos > max_position relies on pos
+//     monotonicity within a read, so the mask form (candidate valid
+//     iff pos <= max_position AND i+d <= n-1) is equivalent;
+//   * lanes whose window is empty keep best = i (hash doubled), like
+//     the scalar loop.
+static void link_strobes_x8(const Syncmer* sync, i64 n, int wmin, int wmax,
+                            u64 qmask, int max_dist, int k, bool is_reverse,
+                            std::vector<QueryRandstrobe>& out) {
+    const i64 n_emit = n - wmin;
+    if (n_emit <= 0) return;
+    out.reserve(out.size() + (size_t)n_emit);
+
+    const __m512i idx_even = _mm512_set_epi64(14, 12, 10, 8, 6, 4, 2, 0);
+    const __m512i idx_odd = _mm512_set_epi64(15, 13, 11, 9, 7, 5, 3, 1);
+    const __m512i vqmask = _mm512_set1_epi64((long long)qmask);
+    const __m512i vlut = _mm512_broadcast_i32x4(
+        _mm_setr_epi8(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4));
+    const __m512i vnib = _mm512_set1_epi8(0x0F);
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vlane = _mm512_set_epi64(7, 6, 5, 4, 3, 2, 1, 0);
+    const __m512i vmaxd = _mm512_set1_epi64(max_dist);
+    const __m512i vlast = _mm512_set1_epi64(n - 1);
+    const u64* base = (const u64*)sync;
+
+    alignas(64) u64 oh[8];
+    alignas(64) i64 op1[8], obp[8];
+    for (i64 i0 = 0; i0 < n_emit; i0 += 8) {
+        __m512i a = _mm512_loadu_si512(base + 2 * i0);
+        __m512i b = _mm512_loadu_si512(base + 2 * i0 + 8);
+        __m512i h1 = _mm512_permutex2var_epi64(a, idx_even, b);
+        __m512i p1 = _mm512_permutex2var_epi64(a, idx_odd, b);
+        __m512i vmaxpos = _mm512_add_epi64(p1, vmaxd);
+        __m512i vi = _mm512_add_epi64(_mm512_set1_epi64(i0), vlane);
+        __m512i minval = _mm512_set1_epi64(-1);  // UMAX (unsigned cmp)
+        __m512i bh = h1, bp = p1;
+        for (int d = wmin; d <= wmax; ++d) {
+            a = _mm512_loadu_si512(base + 2 * (i0 + d));
+            b = _mm512_loadu_si512(base + 2 * (i0 + d) + 8);
+            __m512i hj = _mm512_permutex2var_epi64(a, idx_even, b);
+            __m512i pj = _mm512_permutex2var_epi64(a, idx_odd, b);
+            __mmask8 valid = _mm512_cmple_epi64_mask(
+                _mm512_add_epi64(vi, _mm512_set1_epi64(d)), vlast);
+            valid &= _mm512_cmple_epi64_mask(pj, vmaxpos);
+            __m512i x = _mm512_and_si512(_mm512_xor_si512(h1, hj), vqmask);
+            __m512i cnt = _mm512_add_epi8(
+                _mm512_shuffle_epi8(vlut, _mm512_and_si512(x, vnib)),
+                _mm512_shuffle_epi8(
+                    vlut, _mm512_and_si512(_mm512_srli_epi64(x, 4), vnib)));
+            __m512i res = _mm512_sad_epu8(cnt, vzero);
+            __mmask8 upd = valid & _mm512_cmplt_epu64_mask(res, minval);
+            minval = _mm512_mask_mov_epi64(minval, upd, res);
+            bh = _mm512_mask_mov_epi64(bh, upd, hj);
+            bp = _mm512_mask_mov_epi64(bp, upd, pj);
+        }
+        _mm512_store_si512(oh, _mm512_add_epi64(h1, bh));
+        _mm512_store_si512(op1, p1);
+        _mm512_store_si512(obp, bp);
+        int cnt = (int)std::min<i64>(8, n_emit - i0);
+        for (int l = 0; l < cnt; ++l)
+            out.push_back({oh[l], (int)op1[l], (int)obp[l] + k, is_reverse});
+    }
+}
+#endif  // SEEDNAM_AVX512
+
+// `padded`: the caller guarantees LINK_PAD readable entries past n-1,
+// enabling the 8-lane linker; without it (or without AVX-512) the
+// scalar loop runs.
+static inline void link_strobes_p(const Syncmer* sync, i64 n, int wmin,
+                                  int wmax, u64 qmask, int max_dist, int k,
+                                  bool is_reverse,
+                                  std::vector<QueryRandstrobe>& out,
+                                  bool padded) {
+#ifdef SEEDNAM_AVX512
+    if (padded && wmax - wmin + 8 <= LINK_PAD)
+        return link_strobes_x8(sync, n, wmin, wmax, qmask, max_dist, k,
+                               is_reverse, out);
+#endif
+    (void)padded;
+    link_strobes(sync, n, wmin, wmax, qmask, max_dist, k, is_reverse, out);
+}
+
 static inline void link_strobes(const std::vector<Syncmer>& sync, int wmin,
                                 int wmax, u64 qmask, int max_dist, int k,
                                 bool is_reverse,
                                 std::vector<QueryRandstrobe>& out) {
     link_strobes(sync.data(), (i64)sync.size(), wmin, wmax, qmask, max_dist,
                  k, is_reverse, out);
+}
+
+// appends LINK_PAD sentinel entries WITHOUT growing the logical length
+// the caller passes to the linker (sentinel pos is far enough that a
+// real read never reaches it, but correctness only needs the masks)
+static inline void pad_syncmers(std::vector<Syncmer>& v) {
+    for (int i = 0; i < LINK_PAD; ++i)
+        v.push_back({UMAX, (i64)1 << 60});
 }
 
 struct Hit {
@@ -1084,14 +1186,18 @@ void* seednam_chunk(
         if (len >= wmax) {
             syncmers_of(seq, len, k, s, t, sync);
             if (!sync.empty()) {
-                link_strobes(sync, wmin, wmax, qmask, max_dist, k, false, qrs);
+                i64 nsy = (i64)sync.size();
+                pad_syncmers(sync);
+                link_strobes_p(sync.data(), nsy, wmin, wmax, qmask, max_dist,
+                               k, false, qrs, true);
                 // reverse-complement strand: reverse + mirror positions
-                sync_rc.resize(sync.size());
-                for (size_t i2 = 0; i2 < sync.size(); ++i2) {
-                    const Syncmer& m = sync[sync.size() - 1 - i2];
+                sync_rc.resize(nsy + LINK_PAD);
+                for (i64 i2 = 0; i2 < nsy; ++i2) {
+                    const Syncmer& m = sync[nsy - 1 - i2];
                     sync_rc[i2] = {m.hash, len - m.pos - k};
                 }
-                link_strobes(sync_rc, wmin, wmax, qmask, max_dist, k, true, qrs);
+                link_strobes_p(sync_rc.data(), nsy, wmin, wmax, qmask,
+                               max_dist, k, true, qrs, true);
             }
         }
         find_nams_one(ix, qrs, rr, nsc);

@@ -42,7 +42,7 @@ int main(int argc, char** argv) {
     std::mt19937 rng(7);
     struct P { int k, s, t; };
     P profs[2] = {{20, 16, 3}, {23, 17, 3}};  // w=5, w=7
-    long n_checked = 0, n_sync = 0;
+    long n_checked = 0, n_sync = 0, n_link = 0;
     for (int iter = 0; iter < 3000; ++iter) {
         P p = profs[iter % 2];
         std::vector<u8> reads[8];
@@ -85,10 +85,43 @@ int main(int argc, char** argv) {
             }
             n_checked++;
             n_sync += (long)want.size();
+
+            // the 8-lane linker vs the scalar linker on the same
+            // syncmers (window widths from the r100/r150/r250/r400
+            // profiles, plus a tight max_dist to exercise the
+            // pos-window mask and an all-ones qmask)
+            struct LP { int wmin, wmax, maxd; u64 qm; };
+            LP lps[3] = {{5, 11, 80, 0xFFULL},
+                         {3, 7, 25, ~0ULL},
+                         {9, 23, 255, 0x3FFULL}};
+            i64 nsy = (i64)want.size();
+            pad_syncmers(want);
+            for (const LP& lp : lps) {
+                std::vector<QueryRandstrobe> qa, qb;
+                link_strobes(want.data(), nsy, lp.wmin, lp.wmax, lp.qm,
+                             lp.maxd, p.k, iter % 2, qa);
+                link_strobes_x8(want.data(), nsy, lp.wmin, lp.wmax, lp.qm,
+                                lp.maxd, p.k, iter % 2, qb);
+                if (qa.size() != qb.size()) {
+                    printf("LINK FAIL iter=%d lane=%d count %zu != %zu\n",
+                           iter, l, qb.size(), qa.size());
+                    return 1;
+                }
+                for (size_t j = 0; j < qa.size(); ++j) {
+                    if (qa[j].hash != qb[j].hash || qa[j].start != qb[j].start
+                        || qa[j].end != qb[j].end
+                        || qa[j].is_reverse != qb[j].is_reverse) {
+                        printf("LINK FAIL iter=%d lane=%d j=%zu\n", iter, l,
+                               j);
+                        return 1;
+                    }
+                }
+                n_link += (long)qa.size();
+            }
         }
     }
-    printf("syncmer x8 fuzz: %ld reads, %ld syncmers, bit-exact\n", n_checked,
-           n_sync);
+    printf("syncmer x8 fuzz: %ld reads, %ld syncmers, %ld linked randstrobes,"
+           " bit-exact\n", n_checked, n_sync, n_link);
 
     // ---- A/B timing: 48k x 150 bp, alternating rounds ----------------
     if (argc > 1) {
@@ -132,6 +165,43 @@ int main(int argc, char** argv) {
         printf("syncmers A/B best: scalar %.2f us/read, x8 %.2f us/read "
                "(%.2fx)\n",
                t_scalar / NR * 1e6, t_x8 / NR * 1e6, t_scalar / t_x8);
+
+        // ---- linker A/B on real r150-profile syncmers ----------------
+        std::vector<std::vector<Syncmer>> syn(NR);
+        for (int i = 0; i < NR; ++i) {
+            syncmers_of(reads[i].data(), LEN, 20, 16, 3, syn[i]);
+            i64 nsy = (i64)syn[i].size();
+            pad_syncmers(syn[i]);
+            syn[i].resize(nsy + LINK_PAD);  // keep pad, remember nsy
+            syn[i].back().pos = nsy;        // stash logical n in last row
+        }
+        double l_scalar = 1e9, l_x8 = 1e9;
+        std::vector<QueryRandstrobe> q;
+        for (int round = 0; round < ROUNDS; ++round) {
+            auto t0 = std::chrono::steady_clock::now();
+            long total = 0;
+            for (int i = 0; i < NR; ++i) {
+                i64 nsy = syn[i].back().pos;
+                q.clear();
+                if (round % 2 == 0)
+                    link_strobes(syn[i].data(), nsy, 5, 11, 0xFFULL, 80, 20,
+                                 false, q);
+                else
+                    link_strobes_x8(syn[i].data(), nsy, 5, 11, 0xFFULL, 80,
+                                    20, false, q);
+                total += (long)q.size();
+            }
+            double dt = std::chrono::duration<double>(
+                            std::chrono::steady_clock::now() - t0)
+                            .count();
+            (round % 2 ? l_x8 : l_scalar) = std::min(
+                round % 2 ? l_x8 : l_scalar, dt);
+            printf("link round %d (%s): %.2f us/read (%ld strobes)\n", round,
+                   round % 2 ? "x8" : "scalar", dt / NR * 1e6, total);
+        }
+        printf("link A/B best: scalar %.2f us/read, x8 %.2f us/read "
+               "(%.2fx)\n",
+               l_scalar / NR * 1e6, l_x8 / NR * 1e6, l_scalar / l_x8);
     }
     return 0;
 #endif

@@ -286,6 +286,28 @@ def kernel_microbench():
               f"device-resident, {K} chained iterations)", file=sys.stderr)
 
 
+def _probe_device(timeout_s: float = 180.0) -> bool:
+    """True iff TPU backend init completes within timeout_s.
+
+    Probed in a SUBPROCESS: a dead axon tunnel makes jax.devices() hang
+    forever inside PJRT client init (observed 2026-08-17: >16 min with
+    ~0 CPU), and once the parent process starts that init there is no
+    way to abandon it. The child inherits sitecustomize's axon
+    registration, so its success means the parent's own init will too.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+        plat = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        return r.returncode == 0 and plat not in ("", "cpu")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import os
     import tempfile
@@ -293,6 +315,24 @@ def main() -> None:
     import jax
 
     from rabbitsalign_tpu.pipeline.native_pipeline import native_pipeline_available
+
+    # Tunnel watchdog: never let a dead axon tunnel hang the bench —
+    # a missing BENCH artifact is worse than a host-only number. Three
+    # probes spaced a minute apart ride out a brief tunnel drop.
+    alive = False
+    for attempt in range(3):
+        alive = _probe_device()
+        if alive:
+            break
+        print(f"bench: device probe {attempt + 1}/3 failed (tunnel down?)",
+              file=sys.stderr)
+        if attempt < 2:
+            time.sleep(60)
+    if not alive:
+        print("bench: TPU unreachable -> HOST-ONLY numbers "
+              "(device extend disabled; not comparable to TPU runs)",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
@@ -364,6 +404,9 @@ def main() -> None:
         out["scale_metric"] = (
             "reads/sec/chip (PE 2x150bp simulated vs 3Gbp GRCh38-class ref)")
         out["scale_value"] = round(scale_rps, 1)
+    if not on_tpu:
+        out["note"] = ("TPU tunnel unreachable at bench time; host-only "
+                       "fallback numbers (device extend disabled)")
     print(json.dumps(out))
 
 

@@ -568,11 +568,28 @@ static i64 ix_find(const IndexView& ix, u64 key) {
     if (hi - lo < 64) {
         // short buckets: linear scan beats binary search (reference
         // src/index.hpp:66-79 uses the same small-count shortcut)
+#ifdef SEEDNAM_AVX512
+        // 8 sorted entries per masked compare: typical buckets (~2-8
+        // entries) resolve in ONE iteration with no data-dependent
+        // branches inside the scan. Masked loads fault-suppress the
+        // lanes past `hi`, so no tail handling or over-read.
+        __m512i kb = _mm512_set1_epi64((long long)key);
+        for (u64 p = lo; p < hi; p += 8) {
+            __mmask8 valid = hi - p >= 8 ? (__mmask8)0xFF
+                                         : (__mmask8)((1u << (hi - p)) - 1);
+            __m512i v = _mm512_maskz_loadu_epi64(valid, &ix.hashes[p]);
+            __mmask8 eq = _mm512_mask_cmpeq_epu64_mask(valid, v, kb);
+            if (eq) return (i64)(p + (u64)_tzcnt_u32(eq));
+            if (_mm512_mask_cmpgt_epu64_mask(valid, v, kb)) return -1;
+        }
+        return -1;
+#else
         for (u64 p = lo; p < hi; ++p) {
             if (ix.hashes[p] == key) return (i64)p;
             if (ix.hashes[p] > key) return -1;
         }
         return -1;
+#endif
     }
     const u64* first = std::lower_bound(ix.hashes + lo, ix.hashes + hi, key);
     u64 pos = (u64)(first - ix.hashes);

@@ -1097,12 +1097,12 @@ static void find_nams_one(const IndexView& ix,
     // will touch (repetitive-filter probe, position/packed records).
     scratch.found.resize(nq);
     for (i64 qi = 0; qi < nq; ++qi) {
-        if (qi + 8 < nq) {
-            u64 top = qrs[qi + 8].hash >> (64 - ix.bits);
+        if (qi + 16 < nq) {
+            u64 top = qrs[qi + 16].hash >> (64 - ix.bits);
             __builtin_prefetch(&ix.buckets[top]);
         }
-        if (qi + 4 < nq) {
-            u64 top = qrs[qi + 4].hash >> (64 - ix.bits);
+        if (qi + 8 < nq) {
+            u64 top = qrs[qi + 8].hash >> (64 - ix.bits);
             __builtin_prefetch(&ix.hashes[ix.buckets[top]]);
         }
         i64 pos = ix_find(ix, qrs[qi].hash);

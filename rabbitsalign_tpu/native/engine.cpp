@@ -30,6 +30,11 @@
 #ifdef __AVX2__
 #include <immintrin.h>
 #endif
+#ifdef __linux__
+#include <sys/resource.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+#endif
 
 namespace engine {
 
@@ -3886,7 +3891,20 @@ void* fastx_open_async(const char* path1, const char* path2, int interleaved,
     a->r = (engine::FxReader*)r;
     if (depth > 0) a->depth = (size_t)depth;
     a->cap = a->depth + 24;  // free headroom so release never blocks
-    a->producer = std::thread([a] { a->run(); });
+    a->producer = std::thread([a] {
+#ifdef __linux__
+        // match pipeline.boost_mapping_thread: the producer's parse work
+        // is on the critical path like phase A, so it gets the same CFS
+        // share boost over the in-process jax client threads. RSB_RENICE
+        // ("0" = off, else the nice level) keeps the two sides in sync.
+        const char* env = getenv("RSB_RENICE");
+        int level = -5;
+        if (env && *env) level = atoi(env);
+        if (!env || strcmp(env, "0") != 0)
+            setpriority(PRIO_PROCESS, (id_t)syscall(SYS_gettid), level);
+#endif
+        a->run();
+    });
     return a;
 }
 

@@ -22,6 +22,36 @@ from ..native.engine import NativeEngine, engine_available
 _cache_enabled = False
 
 
+def boost_mapping_thread(level: int = -5) -> bool:
+    """Renice the CALLING thread (Linux: setpriority with a tid applies
+    per-thread) so phase A outranks the in-process jax/grpc client
+    threads under CFS when they contend for cores. The isolation
+    experiment (docs/PERF.md section 3) showed the live-dispatch client
+    work inflating phase A ~1.3x on a single-core host; a -5 nice delta
+    shifts the contended share toward the mapping threads WITHOUT
+    starving the client (unlike SCHED_FIFO, which would stall uploads of
+    the previous chunk for the whole phase-A burst). No-op without
+    privileges or on non-Linux. ``RSB_RENICE=0`` disables, ``RSB_RENICE=n``
+    overrides the level."""
+    import os
+    import threading
+
+    env = os.environ.get("RSB_RENICE", "")
+    if env == "0":
+        return False
+    if env:
+        try:
+            level = int(env)
+        except ValueError:
+            pass
+    try:
+        tid = threading.get_native_id()
+        os.setpriority(os.PRIO_PROCESS, tid, level)
+        return True
+    except (AttributeError, PermissionError, OSError):
+        return False
+
+
 def _enable_compilation_cache() -> None:
     """Persist compiled extend programs across processes: a fresh CLI run
     otherwise pays the ~5-30 s bucket-shape compiles inside the mapping
@@ -417,6 +447,7 @@ class NativePipeline:
         (/root/reference/src/pc.cpp cross-chunk rotation)."""
         from collections import deque
 
+        boost_mapping_thread()
         n_reads = 0
         in_flight = deque()
         for chunk_index, r1, r2, r3 in chunks:
@@ -531,6 +562,7 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
 
     from ..native.engine import NativeReader
 
+    boost_mapping_thread()
     reader = NativeReader(path1, path2, interleaved, chunk_size)
     n_reads = 0
     in_flight = deque()
@@ -659,6 +691,7 @@ class ThreadedNativePipeline:
                 out_lock.notify_all()
 
         def worker(wid):
+            boost_mapping_thread()
             in_q = in_qs[wid % len(in_qs)]
             pipe = self._mk()
             prev = None  # (ci, state): per-worker double buffering — the
@@ -804,6 +837,7 @@ def _pipeline_map_file_sharded(self, path1, path2, interleaved, chunk_size,
 
     from ..native.engine import NativeReader
 
+    boost_mapping_thread()
     reader = NativeReader(path1, path2, interleaved, chunk_size)
     n_reads = 0
     in_flight = deque()

@@ -3378,10 +3378,6 @@ void chunk_free(void* c) { delete (engine::ChunkC*)c; }
 
 #include <atomic>
 #include <thread>
-#ifdef _OPENMP
-#include <omp.h>
-#include <parallel/algorithm>
-#endif
 
 namespace engine {
 
@@ -3394,6 +3390,136 @@ struct RefRec {
 struct IndexBuild {
     std::vector<RefRec> recs;
 };
+
+// Hybrid radix sort on the UNIQUE (hash, pos) key — reproduces
+// stable_sort / np.lexsort((positions, hashes)) order exactly (one
+// record per strobe1 position makes the key total, so any correct sort
+// yields the same array and the .sti byte-interop contract holds).
+//
+// Stage 1: MSD scatter by the hash's top 16 bits (parallel per-chunk
+// histograms + chunk-private scatter offsets). Stage 2: LSD byte passes
+// over (pos 0..3, hash bytes 0..5) INSIDE each partition — a partition
+// is ~n/65536 records, so stage-2 scatters stay cache-resident, which a
+// flat 12-pass LSD lacks at whole-genome scale (flat LSD measured
+// SLOWER than stable_sort at 64M records; this hybrid is 3.1-3.7x
+// faster at 8M/64M, order-identical). Partitions are embarrassingly
+// parallel. Degenerate hash distributions only cost speed, not
+// correctness (one huge partition falls back to its own LSD).
+static void sort_recs_radix(std::vector<RefRec>& recs, int nt) {
+    const size_t n = recs.size();
+    auto by_hash_pos = [](const RefRec& a, const RefRec& b) {
+        if (a.hash != b.hash) return a.hash < b.hash;
+        return a.pos < b.pos;
+    };
+    if (n < (1u << 15)) {
+        std::stable_sort(recs.begin(), recs.end(), by_hash_pos);
+        return;
+    }
+    constexpr int TB = 16;
+    constexpr size_t NPART = (size_t)1 << TB;
+    nt = std::max(1, nt);
+    const size_t nchunks = (size_t)nt;
+    std::vector<RefRec> tmp(n);
+    // stage 1a: per-chunk MSD histograms
+    std::vector<std::vector<u64>> cnt(nchunks, std::vector<u64>(NPART, 0));
+    auto chunk_lo = [&](size_t c) { return n * c / nchunks; };
+    auto run_chunks = [&](auto fn) {
+        if (nchunks == 1) {
+            fn(0);
+            return;
+        }
+        std::vector<std::thread> pool;
+        for (size_t c = 0; c < nchunks; ++c) pool.emplace_back(fn, c);
+        for (auto& th : pool) th.join();
+    };
+    run_chunks([&](size_t c) {
+        u64* h = cnt[c].data();
+        const RefRec* lo = recs.data() + chunk_lo(c);
+        const RefRec* hi = recs.data() + chunk_lo(c + 1);
+        for (const RefRec* r = lo; r < hi; ++r) h[r->hash >> (64 - TB)]++;
+    });
+    // stage 1b: partition bounds + chunk-private scatter cursors
+    std::vector<u64> bounds(NPART + 1, 0);
+    {
+        u64 acc = 0;
+        for (size_t p = 0; p < NPART; ++p) {
+            bounds[p] = acc;
+            for (size_t c = 0; c < nchunks; ++c) {
+                u64 k = cnt[c][p];
+                cnt[c][p] = acc;  // becomes chunk c's cursor for part p
+                acc += k;
+            }
+        }
+        bounds[NPART] = acc;
+    }
+    // stage 1c: parallel scatter (chunks write disjoint cursor ranges)
+    run_chunks([&](size_t c) {
+        u64* off = cnt[c].data();
+        const RefRec* lo = recs.data() + chunk_lo(c);
+        const RefRec* hi = recs.data() + chunk_lo(c + 1);
+        for (const RefRec* r = lo; r < hi; ++r)
+            tmp[off[r->hash >> (64 - TB)]++] = *r;
+    });
+    // stage 2: per-partition LSD over the remaining 10 key bytes
+    std::atomic<size_t> next_part{0};
+    auto part_worker = [&]() {
+        std::vector<RefRec> buf;
+        while (true) {
+            size_t p = next_part.fetch_add(1);
+            if (p >= NPART) break;
+            u64 lo = bounds[p], hi = bounds[p + 1];
+            size_t m = (size_t)(hi - lo);
+            if (m == 0) continue;
+            RefRec* src = tmp.data() + lo;
+            RefRec* fin = recs.data() + lo;
+            if (m < 64) {
+                std::sort(src, src + m, by_hash_pos);
+                std::copy(src, src + m, fin);
+                continue;
+            }
+            buf.resize(m);
+            u64 h[10][256];
+            std::memset(h, 0, sizeof h);
+            for (size_t i = 0; i < m; ++i) {
+                const RefRec& r = src[i];
+                h[0][r.pos & 0xFF]++;
+                h[1][(r.pos >> 8) & 0xFF]++;
+                h[2][(r.pos >> 16) & 0xFF]++;
+                h[3][(r.pos >> 24) & 0xFF]++;
+                for (int q = 0; q < 6; ++q) h[4 + q][(r.hash >> (8 * q)) & 0xFF]++;
+            }
+            RefRec* s = src;
+            RefRec* d = buf.data();
+            for (int pass = 0; pass < 10; ++pass) {
+                u64* hp = h[pass];
+                int nz = 0;
+                for (int dg = 0; dg < 256 && nz < 2; ++dg) nz += hp[dg] != 0;
+                if (nz < 2) continue;  // constant byte: order unchanged
+                u64 o[256], acc = 0;
+                for (int dg = 0; dg < 256; ++dg) {
+                    o[dg] = acc;
+                    acc += hp[dg];
+                }
+                int shift = pass < 4 ? 8 * pass : 8 * (pass - 4);
+                if (pass < 4)
+                    for (size_t i = 0; i < m; ++i)
+                        d[o[(s[i].pos >> shift) & 0xFF]++] = s[i];
+                else
+                    for (size_t i = 0; i < m; ++i)
+                        d[o[(s[i].hash >> shift) & 0xFF]++] = s[i];
+                std::swap(s, d);
+            }
+            if (s != fin) std::copy(s, s + m, fin);
+        }
+    };
+    if (nt == 1) {
+        part_worker();
+    } else {
+        std::vector<std::thread> pool;
+        for (int i = 0; i < nt; ++i) pool.emplace_back(part_worker);
+        for (auto& th : pool) th.join();
+    }
+}
 
 // link syncmers into reference randstrobes, keeping raw strobe2 positions
 static void link_strobes_ref(const std::vector<Syncmer>& sync, int wmin,
@@ -3458,21 +3584,9 @@ void* index_build(const u8* seq_blob, const i64* offsets, i64 n_refs, int k,
         v.clear();
         v.shrink_to_fit();
     }
-    // (hash, position) stable order == np.lexsort((positions, hashes))
-    auto by_hash_pos = [](const engine::RefRec& a, const engine::RefRec& b) {
-        if (a.hash != b.hash) return a.hash < b.hash;
-        return a.pos < b.pos;
-    };
-#ifdef _OPENMP
-    if (nt > 1) {
-        omp_set_num_threads(nt);
-        __gnu_parallel::stable_sort(ib->recs.begin(), ib->recs.end(),
-                                    by_hash_pos);
-    } else
-#endif
-    {
-        std::stable_sort(ib->recs.begin(), ib->recs.end(), by_hash_pos);
-    }
+    // (hash, position) order == np.lexsort((positions, hashes)); the
+    // key is unique, so the hybrid radix reproduces it exactly
+    engine::sort_recs_radix(ib->recs, nt);
     return ib;
 }
 

@@ -114,43 +114,29 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
     const int sshift = (s - 1) * 2;
     const int w = k - s + 1;
 
+    // TILED passes: both the rolling registers (pass 1a) and the window
+    // automaton (pass 2) are strictly sequential, so their state carries
+    // across tile boundaries and the per-position arrays only need TILE
+    // entries — identical operation sequence, bounded memory. The flat
+    // per-contig arrays (20 B/base) made whole-genome index builds
+    // page-fault-bound (a cold 200 Mbp contig spent 2-4x the build's CPU
+    // time faulting in ~4 GB of scratch); the tile also keeps pass
+    // 1a/1b/2 traffic cache-resident.
+    constexpr i64 TILE = 1 << 19;  // 512k positions = 10 MB scratch
+    const i64 tile_n = n < TILE ? n : TILE;
     thread_local std::vector<u64> smer_hash, kmer_can;
     thread_local std::vector<int32_t> run;  // l counter (0 on N)
-    smer_hash.resize(n);
-    kmer_can.resize(n);
-    run.resize(n);
-
-    {
-        // pass 1a: serial rolling registers store the canonical s-mer
-        // VALUES (cheap shifts); hashing is deferred to the bulk pass
-        // below so it vectorizes. smer_hash temporarily holds the values.
-        u64 xk0 = 0, xk1 = 0, xs0 = 0, xs1 = 0;
-        i64 l = 0;
-        for (i64 i = 0; i < n; ++i) {
-            int c = nt4(seq[i]);
-            if (c < 4) {
-                xk0 = ((xk0 << 2) | (u64)c) & kmask;
-                xk1 = (xk1 >> 2) | ((u64)(3 - c) << kshift);
-                xs0 = ((xs0 << 2) | (u64)c) & smask;
-                xs1 = (xs1 >> 2) | ((u64)(3 - c) << sshift);
-                ++l;
-                run[i] = (int32_t)l;
-                smer_hash[i] = xs0 < xs1 ? xs0 : xs1;
-                kmer_can[i] = xk0 < xk1 ? xk0 : xk1;
-            } else {
-                l = 0;
-                run[i] = 0;
-                smer_hash[i] = 0;
-                xs0 = xs1 = xk0 = xk1 = 0;
-            }
-        }
+    if ((i64)smer_hash.size() < tile_n) {
+        smer_hash.resize(tile_n);
+        kmer_can.resize(tile_n);
+        run.resize(tile_n);
     }
-    // pass 1b: bulk-hash every position (AVX-512 8-lane when available);
-    // positions with run[i] < s hash a garbage value the automaton never
-    // reads — branchless beats masking here
-    xxh64_many(smer_hash.data(), smer_hash.data(), n);
 
-    // window automaton over the precomputed hashes; ring buffer wraps via
+    // pass-1a rolling registers (canonical k-mer/s-mer VALUES; hashing is
+    // deferred to the bulk pass so it vectorizes)
+    u64 xk0 = 0, xk1 = 0, xs0 = 0, xs1 = 0;
+    i64 l = 0;
+    // pass-2 window automaton state; ring buffer wraps via
     // compare-subtract (k <= 32 so w <= 64)
     u64 qs[64];
     int qs_size = 0;
@@ -159,51 +145,80 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
     i64 qs_min_pos = -1;
     auto wrap = [w](int idx) { return idx >= w ? idx - w : idx; };
 
-    for (i64 i = 0; i < n; ++i) {
-        int32_t l = run[i];
-        if (l == 0) {
-            qs_min_val = UMAX;
-            qs_min_pos = -1;
-            qs_size = 0;
-            qs_head = 0;
-            continue;
-        }
-        if (l < s) continue;
-        u64 hash_s = smer_hash[i];
-        if (qs_size < w) {
-            qs[wrap(qs_head + qs_size)] = hash_s;
-            qs_size++;
-            if (qs_size < w) continue;
-            // first full window: leftmost minimum
-            for (int j = 0; j < w; ++j) {
-                u64 v = qs[wrap(qs_head + j)];
-                if (v < qs_min_val) {
-                    qs_min_val = v;
-                    qs_min_pos = i - k + j + 1;
-                }
+    for (i64 a = 0; a < n; a += TILE) {
+        const i64 b = (n < a + TILE) ? n : a + TILE;
+        const i64 m = b - a;
+        // pass 1a over [a, b): registers carried in
+        for (i64 i = a; i < b; ++i) {
+            int c = nt4(seq[i]);
+            if (c < 4) {
+                xk0 = ((xk0 << 2) | (u64)c) & kmask;
+                xk1 = (xk1 >> 2) | ((u64)(3 - c) << kshift);
+                xs0 = ((xs0 << 2) | (u64)c) & smask;
+                xs1 = (xs1 >> 2) | ((u64)(3 - c) << sshift);
+                ++l;
+                run[i - a] = (int32_t)(l < INT32_MAX ? l : INT32_MAX);
+                smer_hash[i - a] = xs0 < xs1 ? xs0 : xs1;
+                kmer_can[i - a] = xk0 < xk1 ? xk0 : xk1;
+            } else {
+                l = 0;
+                run[i - a] = 0;
+                smer_hash[i - a] = 0;
+                xs0 = xs1 = xk0 = xk1 = 0;
             }
-        } else {
-            // pop front, push back
-            qs[qs_head] = hash_s;
-            qs_head = wrap(qs_head + 1);
-            if (qs_min_pos == i - k) {
-                // tracked min slid out: rightmost minimum wins
+        }
+        // pass 1b: bulk-hash the tile (AVX-512 8-lane when available);
+        // positions with run < s hash a garbage value the automaton never
+        // reads — branchless beats masking here
+        xxh64_many(smer_hash.data(), smer_hash.data(), m);
+
+        // pass 2 over [a, b): automaton state carried in
+        for (i64 i = a; i < b; ++i) {
+            int32_t li = run[i - a];
+            if (li == 0) {
                 qs_min_val = UMAX;
-                qs_min_pos = i - s + 1;
-                for (int j = w - 1; j >= 0; --j) {
+                qs_min_pos = -1;
+                qs_size = 0;
+                qs_head = 0;
+                continue;
+            }
+            if (li < s) continue;
+            u64 hash_s = smer_hash[i - a];
+            if (qs_size < w) {
+                qs[wrap(qs_head + qs_size)] = hash_s;
+                qs_size++;
+                if (qs_size < w) continue;
+                // first full window: leftmost minimum
+                for (int j = 0; j < w; ++j) {
                     u64 v = qs[wrap(qs_head + j)];
                     if (v < qs_min_val) {
                         qs_min_val = v;
                         qs_min_pos = i - k + j + 1;
                     }
                 }
-            } else if (hash_s < qs_min_val) {
-                qs_min_val = hash_s;
-                qs_min_pos = i - s + 1;
+            } else {
+                // pop front, push back
+                qs[qs_head] = hash_s;
+                qs_head = wrap(qs_head + 1);
+                if (qs_min_pos == i - k) {
+                    // tracked min slid out: rightmost minimum wins
+                    qs_min_val = UMAX;
+                    qs_min_pos = i - s + 1;
+                    for (int j = w - 1; j >= 0; --j) {
+                        u64 v = qs[wrap(qs_head + j)];
+                        if (v < qs_min_val) {
+                            qs_min_val = v;
+                            qs_min_pos = i - k + j + 1;
+                        }
+                    }
+                } else if (hash_s < qs_min_val) {
+                    qs_min_val = hash_s;
+                    qs_min_pos = i - s + 1;
+                }
             }
-        }
-        if (qs_min_pos == i - k + t) {
-            out.push_back({xxh64(kmer_can[i]), i - k + 1});
+            if (qs_min_pos == i - k + t) {
+                out.push_back({xxh64(kmer_can[i - a]), i - k + 1});
+            }
         }
     }
 }

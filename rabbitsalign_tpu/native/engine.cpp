@@ -3562,6 +3562,11 @@ void* index_build(const u8* seq_blob, const i64* offsets, i64 n_refs, int k,
             const u8* seq = seq_blob + offsets[r];
             i64 len = offsets[r + 1] - offsets[r];
             if (len < wmax) continue;
+            // syncmer density is ~1/4.4 bases for the shipped profiles;
+            // reserving up front avoids doubling-growth reallocs, whose
+            // fresh-page zeroing dominates cold whole-genome builds on
+            // lazily-backed VMs (tens of GB of cumulative first touches)
+            sync.reserve((size_t)(len / 4) + 1024);
             syncmers_of(seq, len, k, s, t, sync);
             per_ref[r].reserve(sync.size());
             engine::link_strobes_ref(sync, wmin, wmax, qmask, max_dist,
@@ -3576,13 +3581,18 @@ void* index_build(const u8* seq_blob, const i64* offsets, i64 n_refs, int k,
         for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
         for (auto& th : pool) th.join();
     }
-    i64 total = 0;
-    for (auto& v : per_ref) total += (i64)v.size();
-    ib->recs.reserve(total);
-    for (auto& v : per_ref) {
-        ib->recs.insert(ib->recs.end(), v.begin(), v.end());
-        v.clear();
-        v.shrink_to_fit();
+    if (n_refs == 1) {
+        // single contig: adopt the vector instead of copying 16 B/record
+        ib->recs = std::move(per_ref[0]);
+    } else {
+        i64 total = 0;
+        for (auto& v : per_ref) total += (i64)v.size();
+        ib->recs.reserve(total);
+        for (auto& v : per_ref) {
+            ib->recs.insert(ib->recs.end(), v.begin(), v.end());
+            v.clear();
+            v.shrink_to_fit();
+        }
     }
     // (hash, position) order == np.lexsort((positions, hashes)); the
     // key is unique, so the hybrid radix reproduces it exactly

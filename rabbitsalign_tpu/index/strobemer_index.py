@@ -302,14 +302,23 @@ class StrobemerIndex:
             f.write(struct.pack("<i", self.filter_cutoff))
             f.write(struct.pack("<i", self.bits))
             self.parameters.write(f)
-            # randstrobes vector: u64 count + packed 16-byte records
+            # randstrobes vector: u64 count + packed 16-byte records,
+            # streamed in blocks — materializing the whole struct array
+            # doubles peak memory (20 GB at GRCh38 scale) and its fresh
+            # pages dominate wall time on lazily-backed VMs
             n = self.hashes.shape[0]
             f.write(struct.pack("<Q", n))
-            rec = np.zeros(n, dtype=[("hash", "<u8"), ("position", "<u4"), ("packed", "<u4")])
-            rec["hash"] = self.hashes
-            rec["position"] = self.positions
-            rec["packed"] = self.packed
-            f.write(rec.tobytes())
+            BLK = 4 << 20  # records per block (64 MB)
+            rec = np.zeros(min(n, BLK),
+                           dtype=[("hash", "<u8"), ("position", "<u4"),
+                                  ("packed", "<u4")])
+            for a in range(0, n, BLK):
+                b = min(n, a + BLK)
+                blk = rec[: b - a]
+                blk["hash"] = self.hashes[a:b]
+                blk["position"] = self.positions[a:b]
+                blk["packed"] = self.packed[a:b]
+                f.write(memoryview(blk))
             # start indices vector
             f.write(struct.pack("<Q", self.randstrobe_start_indices.shape[0]))
             f.write(self.randstrobe_start_indices.astype("<u8").tobytes())
@@ -341,17 +350,28 @@ class StrobemerIndex:
                     "Index parameters in .sti file and those specified on command line differ"
                 )
             (n,) = struct.unpack("<Q", f.read(8))
-            buf = f.read(16 * n)
-            if len(buf) != 16 * n:  # killed mid-write -> truncated cache
-                raise InvalidIndexFile(
-                    f"{filename}: truncated randstrobes vector "
-                    f"({len(buf)} of {16 * n} bytes)")
-            rec = np.frombuffer(
-                buf, dtype=[("hash", "<u8"), ("position", "<u4"), ("packed", "<u4")]
-            )
-            self.hashes = rec["hash"].copy()
-            self.positions = rec["position"].copy()
-            self.packed = rec["packed"].copy()
+            # stream the record vector in blocks straight into the column
+            # arrays: a whole-file read() plus per-column copies holds
+            # 2x the index transiently (20 GB at GRCh38 scale)
+            self.hashes = np.empty(n, dtype=np.uint64)
+            self.positions = np.empty(n, dtype=np.uint32)
+            self.packed = np.empty(n, dtype=np.uint32)
+            BLK = 4 << 20  # records per block (64 MB)
+            rdtype = np.dtype([("hash", "<u8"), ("position", "<u4"),
+                               ("packed", "<u4")])
+            a = 0
+            while a < n:
+                b = min(n, a + BLK)
+                buf = f.read(16 * (b - a))
+                if len(buf) != 16 * (b - a):  # killed mid-write
+                    raise InvalidIndexFile(
+                        f"{filename}: truncated randstrobes vector "
+                        f"({16 * a + len(buf)} of {16 * n} bytes)")
+                rec = np.frombuffer(buf, dtype=rdtype)
+                self.hashes[a:b] = rec["hash"]
+                self.positions[a:b] = rec["position"]
+                self.packed[a:b] = rec["packed"]
+                a = b
             (m,) = struct.unpack("<Q", f.read(8))
             buf = f.read(8 * m)
             if len(buf) != 8 * m:

@@ -1427,6 +1427,31 @@ static bool is_proper_nam_pair(const NamT& nam1, const NamT& nam2, double mu,
     return false;
 }
 
+// Projected reference start of a NAM: where the read would begin on the
+// reference if the NAM's query offset is backed out (floored at 0).
+static inline i64 projected_start(const NamT& n) {
+    return std::max(0, n.ref_start - n.query_start);
+}
+
+// First position in `lst` (sorted by projected start) whose projection
+// clears the window's left edge: strictly past it when `left_open`, at
+// or past it otherwise. Plain lower-bound over the projection; the
+// float compare mirrors the Python layer's.
+static i64 first_past_left_edge(const std::vector<NamT*>& lst, double left,
+                                bool left_open) {
+    i64 lo = 0, hi = (i64)lst.size();
+    while (lo < hi) {
+        i64 mid = (lo + hi) / 2;
+        double proj = (double)projected_start(*lst[mid]);
+        bool cleared = left_open ? proj > left : proj >= left;
+        if (cleared)
+            hi = mid;
+        else
+            lo = mid + 1;
+    }
+    return lo;
+}
+
 // map/pe.py get_best_scoring_nam_pairs ("fast_loop3" variant of reference
 // src/aln.cpp:591-996): proper pairs via per-orientation projected-start
 // sort + binary-searched insert window, then unpaired high-scoring singles
@@ -1462,67 +1487,34 @@ static void get_best_scoring_nam_pairs(std::vector<NamT>& nams1,
         });
 
     double window = mu + 10.0 * sigma;
+    // For an rc nam1 the mate must project UPSTREAM of it (within
+    // `window` before its projection, window left-open); for a fw nam1
+    // the mate projects DOWNSTREAM (at-or-after, closed left edge, and
+    // the scan stops one epsilon earlier at the right edge — both edge
+    // asymmetries are part of the reference's float-compare contract).
     for (auto& nam1 : nams1) {
-        i64 nam1_val = std::max(0, nam1.ref_start - nam1.query_start);
-        if (nam1.is_rc) {
-            const auto& lst = nams2_sorted[0];
-            double L_val = (double)nam1_val - window;
-            double R_val = (double)nam1_val;
-            i64 lo = 0, hi = (i64)lst.size() - 1, ans_pos = (i64)lst.size();
-            while (lo <= hi) {
-                i64 mid = (lo + hi) / 2;
-                i64 now_val =
-                    std::max(0, lst[mid]->ref_start - lst[mid]->query_start);
-                if ((double)now_val > L_val) {
-                    hi = mid - 1;
-                    ans_pos = mid;
-                } else {
-                    lo = mid + 1;
-                }
-            }
-            for (i64 idx = ans_pos; idx < (i64)lst.size(); ++idx) {
-                NamT* nam2 = lst[idx];
-                i64 joint_hits = nam1.n_hits + nam2->n_hits;
-                if (nam1.ref_id != nam2->ref_id) continue;
-                i64 a = std::max(0, nam1.ref_start - nam1.query_start);
-                i64 b = std::max(0, nam2->ref_start - nam2->query_start);
-                if ((double)b > R_val - 1e-6) break;
-                bool r2_r1 = (a - b >= 0) && ((double)(a - b) < window);
-                if (r2_r1) {
-                    joint.push_back({joint_hits, &nam1, nam2});
-                    added_n1[nam1.nam_id] = 1;
-                    added_n2[nam2->nam_id] = 1;
-                }
-            }
-        } else {
-            const auto& lst = nams2_sorted[1];
-            double L_val = (double)nam1_val;
-            double R_val = (double)nam1_val + window;
-            i64 lo = 0, hi = (i64)lst.size() - 1, ans_pos = (i64)lst.size();
-            while (lo <= hi) {
-                i64 mid = (lo + hi) / 2;
-                i64 now_val =
-                    std::max(0, lst[mid]->ref_start - lst[mid]->query_start);
-                if ((double)now_val >= L_val) {
-                    hi = mid - 1;
-                    ans_pos = mid;
-                } else {
-                    lo = mid + 1;
-                }
-            }
-            for (i64 idx = ans_pos; idx < (i64)lst.size(); ++idx) {
-                NamT* nam2 = lst[idx];
-                i64 joint_hits = nam1.n_hits + nam2->n_hits;
-                if (nam1.ref_id != nam2->ref_id) continue;
-                i64 a = std::max(0, nam1.ref_start - nam1.query_start);
-                i64 b = std::max(0, nam2->ref_start - nam2->query_start);
-                if ((double)b >= R_val - 1e-6) break;
-                bool r1_r2 = (b - a >= 0) && ((double)(b - a) < window);
-                if (r1_r2) {
-                    joint.push_back({joint_hits, &nam1, nam2});
-                    added_n1[nam1.nam_id] = 1;
-                    added_n2[nam2->nam_id] = 1;
-                }
+        bool mate_upstream = nam1.is_rc != 0;
+        const auto& lst = nams2_sorted[mate_upstream ? 0 : 1];
+        double proj1 = (double)projected_start(nam1);
+        double left = mate_upstream ? proj1 - window : proj1;
+        double right = mate_upstream ? proj1 : proj1 + window;
+        i64 at = first_past_left_edge(lst, left, mate_upstream);
+        for (; at < (i64)lst.size(); ++at) {
+            NamT* nam2 = lst[at];
+            i64 joint_hits = nam1.n_hits + nam2->n_hits;
+            // other-ref entries inside the scan range are skipped, not
+            // a stop condition (they share the projection ordering)
+            if (nam1.ref_id != nam2->ref_id) continue;
+            i64 p1 = projected_start(nam1);
+            i64 p2 = projected_start(*nam2);
+            if (mate_upstream ? (double)p2 > right - 1e-6
+                              : (double)p2 >= right - 1e-6)
+                break;
+            i64 gap = mate_upstream ? p1 - p2 : p2 - p1;
+            if (gap >= 0 && (double)gap < window) {
+                joint.push_back({joint_hits, &nam1, nam2});
+                added_n1[nam1.nam_id] = 1;
+                added_n2[nam2->nam_id] = 1;
             }
         }
     }

@@ -899,9 +899,22 @@ struct AlignerC {
 // ------------------------------------------------------------------
 // Hamming fast path (align/hamming.py hamming_align; the distance gate
 // is applied by the caller via hamming_try-style logic).
+//
+// Sparse formulation: the <5% gate means a PASSING read has at most
+// n/20 mismatches, so after one compare pass that records mismatch
+// POSITIONS, the local-segment scan (Kadane with resets) and the =/X
+// cigar replay run over match-runs instead of every base. Bit-exact
+// with the dense per-base scan because for match >= 0 the score
+// trajectory inside a run of matches is monotone non-decreasing: the
+// reset (score < 0) can only fire right after a mismatch, and the
+// running best can only improve up to the run's end (or, for
+// match == 0, exactly once at the run's first position).
 
-static bool hamming_fastpath(const u8* query, const u8* ref, i64 n, int match,
-                             int mismatch, int end_bonus, AlignmentInfoC& out) {
+static bool hamming_fastpath_dense(const u8* query, const u8* ref, i64 n,
+                                   int match, int mismatch, int end_bonus,
+                                   AlignmentInfoC& out) {
+    // kept for degenerate NEGATIVE scoring parameters, where a match
+    // run's trajectory is not monotone and the sparse replay is invalid
     i64 dist = 0;
     for (i64 i = 0; i < n; ++i) dist += (query[i] != ref[i]);
     if (!(n > 0 && (double)dist / (double)n < 0.05)) return false;
@@ -936,6 +949,104 @@ static bool hamming_fastpath(const u8* query, const u8* ref, i64 n, int match,
         while (j < best_end && (query[j] == ref[j]) == m) j++;
         cigar.push(m ? OP_EQ : OP_X, j - i);
         if (!m) edits += j - i;
+        i = j;
+    }
+    if (n - best_end > 0) cigar.push(OP_S, n - best_end);
+    out.sw_score = (int)best_score;
+    out.edit_distance = (int)edits;
+    out.ref_start = (int)best_start;
+    out.ref_end = (int)best_end;
+    out.query_start = (int)best_start;
+    out.query_end = (int)best_end;
+    return true;
+}
+
+static bool hamming_fastpath(const u8* query, const u8* ref, i64 n, int match,
+                             int mismatch, int end_bonus, AlignmentInfoC& out) {
+    if (match < 0 || mismatch < 0)
+        return hamming_fastpath_dense(query, ref, n, match, mismatch,
+                                      end_bonus, out);
+
+    // pass 1: mismatch positions (sparse for any read that passes the
+    // gate; a failing read pays one extraction pass and then goes to
+    // full SW anyway)
+    static thread_local std::vector<i64> mm_pos;
+    mm_pos.clear();
+#if defined(__AVX512BW__)
+    for (i64 i = 0; i < n; i += 64) {
+        __mmask64 valid = n - i >= 64
+                              ? ~(__mmask64)0
+                              : (((__mmask64)1 << (n - i)) - 1);
+        __m512i q = _mm512_maskz_loadu_epi8(valid, query + i);
+        __m512i r = _mm512_maskz_loadu_epi8(valid, ref + i);
+        u64 ne = (u64)_mm512_mask_cmpneq_epu8_mask(valid, q, r);
+        while (ne) {
+            mm_pos.push_back(i + (i64)_tzcnt_u64(ne));
+            ne &= ne - 1;
+        }
+    }
+#else
+    for (i64 i = 0; i < n; ++i)
+        if (query[i] != ref[i]) mm_pos.push_back(i);
+#endif
+    i64 dist = (i64)mm_pos.size();
+    if (!(n > 0 && (double)dist / (double)n < 0.05)) return false;
+
+    // pass 2: run-level Kadane replay
+    i64 start = 0, score = end_bonus;
+    i64 best_start = 0, best_end = 0, best_score = 0;
+    i64 cur = 0;
+    size_t k = 0;
+    while (true) {
+        i64 p = k < mm_pos.size() ? mm_pos[k] : n;
+        if (p > cur) {  // match run [cur, p)
+            score += (i64)match * (p - cur);
+            if (score > best_score) {
+                best_score = score;
+                best_start = start;
+                // match > 0: the per-base best advances to the run end;
+                // match == 0: it fires once, at the run's first base
+                best_end = match > 0 ? p : cur + 1;
+            }
+        }
+        if (p == n) break;
+        score -= mismatch;  // per-base best cannot improve on a drop
+        if (score < 0) {
+            start = p + 1;
+            score = 0;
+        }
+        cur = p + 1;
+        ++k;
+    }
+    if (score + end_bonus > best_score) {
+        best_score = score + end_bonus;
+        best_end = n;
+        best_start = start;
+    }
+
+    // pass 3: cigar replay from the mismatch list
+    out = AlignmentInfoC();
+    CigarC& cigar = out.cigar;
+    if (best_start > 0) cigar.push(OP_S, best_start);
+    i64 edits = 0, i = best_start;
+    size_t idx = 0;
+    while (idx < mm_pos.size() && mm_pos[idx] < best_start) ++idx;
+    while (i < best_end) {
+        i64 next_mm =
+            idx < mm_pos.size() && mm_pos[idx] < best_end ? mm_pos[idx]
+                                                          : best_end;
+        if (next_mm > i) {
+            cigar.push(OP_EQ, next_mm - i);
+            i = next_mm;
+            continue;
+        }
+        i64 j = i;  // X run: consecutive mismatch positions
+        while (j < best_end && idx < mm_pos.size() && mm_pos[idx] == j) {
+            ++j;
+            ++idx;
+        }
+        cigar.push(OP_X, j - i);
+        edits += j - i;
         i = j;
     }
     if (n - best_end > 0) cigar.push(OP_S, n - best_end);

@@ -100,7 +100,7 @@ int main(int argc, char** argv) {
                                   no.data(), (const unsigned char*)quals.data(),
                                   qo.data(), 0, cnt, start / 4000);
         total_jobs += chunk_n_jobs(ch);
-        engine_chunk_b(eng, ch);  // host SSW fill + SAM
+        if (getenv("SE_PROF_B")) engine_chunk_b(eng, ch);
         chunk_free(ch);
     }
     double dt = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();

@@ -16,6 +16,15 @@ echo "sanitize: OK"
 g++ -O2 -march=native -std=c++17 ssw_simd_fuzz.cpp -o /tmp/ssw_fuzz -lz
 /tmp/ssw_fuzz
 
+# Sparse-mismatch Hamming fast path: bit-exact vs the dense scan across
+# densities and degenerate scoring (incl. an ASan pass for the masked
+# loads + position extraction)
+g++ -O2 -march=native -std=c++17 hamming_fuzz.cpp -o /tmp/hamming_fuzz -lz
+/tmp/hamming_fuzz
+g++ -O1 -g -fsanitize=address,undefined -march=native -std=c++17 \
+    hamming_fuzz.cpp -o /tmp/hamming_fuzz_asan -lz
+ASAN_OPTIONS=detect_leaks=0 /tmp/hamming_fuzz_asan
+
 # AVX-512 x8 syncmer automaton: bit-exactness fuzz (plus an ASan pass —
 # lane-transposed buffers and compress-stores are pointer-heavy)
 g++ -O2 -march=native -std=c++17 syncmer_x8_fuzz.cpp -o /tmp/syncmer_x8

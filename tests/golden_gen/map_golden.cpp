@@ -8,7 +8,11 @@
 // engine is re-seeded with the chunk index every <chunk_size> records
 // (the reference's async workers do the same, src/pc.cpp:583,706).
 //
-// usage: map_golden <ref.fa> <reads1.fq> <reads2.fq|-> <chunk_size> <sam|paf|eqx|details|secondary>
+// usage: map_golden <ref.fa> <reads1.fq> <reads2.fq|-> <chunk_size>
+//                    <sam|paf|eqx|details|secondary> [read_length=150]
+// read_length selects the reference's own index-parameter profile row
+// (src/indexparameters.cpp:37-45) so every (k,s,l,u) profile can be
+// golden-tested, not just the r=150 default.
 
 #include <cstdio>
 #include <fstream>
@@ -61,13 +65,15 @@ int main(int argc, char** argv) {
     std::string mode = argv[5];
     bool paired = r2_path != "-";
 
+    int read_len = argc > 6 ? atoi(argv[6]) : 150;
+
     References references = References::from_fasta(ref_path);
-    IndexParameters ip = IndexParameters::from_read_length(150);
+    IndexParameters ip = IndexParameters::from_read_length(read_len);
     StrobemerIndex index(references, ip);
     index.populate(0.0002f, 1);
 
     MappingParameters mp;
-    mp.r = 150;
+    mp.r = read_len;
     mp.rescue_cutoff = mp.rescue_level < 100
                            ? mp.rescue_level * index.filter_cutoff
                            : 1000;

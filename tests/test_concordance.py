@@ -113,17 +113,18 @@ def write_fq(path, recs):
             f.write(f"@{name} c\n{seq}\n+\n{'I' * len(seq)}\n")
 
 
-def run_golden(ref, r1, r2, mode):
+def run_golden(ref, r1, r2, mode, read_len=150):
     out = subprocess.run(
-        [str(GOLDEN), str(ref), str(r1), str(r2) if r2 else "-", str(CHUNK), mode],
+        [str(GOLDEN), str(ref), str(r1), str(r2) if r2 else "-", str(CHUNK),
+         mode, str(read_len)],
         capture_output=True, check=True,
     )
     return out.stdout.decode()
 
 
-def run_python_se(world, recs, mode):
+def run_python_se(world, recs, mode, read_len=150):
     _, _, _, refs, params, index = world
-    mp = MappingParameters(r=150)
+    mp = MappingParameters(r=read_len)
     mp.rescue_cutoff = 2 * index.filter_cutoff
     if mode == "paf":
         mp.is_sam_out = False
@@ -152,9 +153,9 @@ def run_python_se(world, recs, mode):
     return sam.take() + "".join(paf)
 
 
-def run_python_pe(world, pairs, mode):
+def run_python_pe(world, pairs, mode, read_len=150):
     _, _, _, refs, params, index = world
-    mp = MappingParameters(r=150)
+    mp = MappingParameters(r=read_len)
     mp.rescue_cutoff = 2 * index.filter_cutoff
     if mode == "paf":
         mp.is_sam_out = False
@@ -257,6 +258,90 @@ def test_pe_lowercase_concordance(world):
     golden = run_golden(ref, fq1, fq2, "sam")
     ours = run_python_pe(world, pairs, "sam")
     assert golden == ours, diff_head(golden, ours)
+
+
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+@pytest.mark.parametrize("read_len", [100, 300])
+def test_profile_concordance(tmp_path, read_len):
+    """Non-default read-length profiles: the reference picks (k, s, l, u)
+    from its parameter table (/root/reference/src/indexparameters.cpp:
+    37-45, from_read_length :51-83), changing syncmer and randstrobe
+    geometry end to end. SE and PE SAM must stay byte-identical to the
+    golden under those profiles, and the native engine must match on the
+    same reads (a profile the r=150 engine suite never touches)."""
+    rng = random.Random(read_len)
+    genome = "".join(rng.choice("ACGT") for _ in range(160_000))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">c1 profile\n" + genome + "\n")
+    refs = References.from_fasta(str(ref))
+    params = IndexParameters.from_read_length(read_len)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    world = (tmp_path, genome, str(ref), refs, params, index)
+
+    recs = []
+    for i in range(400):
+        st = rng.randrange(0, len(genome) - read_len - 12)
+        s = list(genome[st : st + read_len])
+        for _ in range(read_len // 50):  # ~2% SNPs
+            s[rng.randrange(read_len)] = rng.choice("ACGT")
+        s = "".join(s)
+        if i % 7 == 3:  # indel -> gapped extension
+            cut = rng.randrange(20, read_len - 30)
+            g = rng.randrange(1, 6)
+            s = genome[st : st + cut] + genome[st + cut + g : st + read_len + g]
+        if i % 9 == 4:
+            s = "".join(COMP[c] for c in reversed(s))
+        if i % 31 == 11:  # unmappable
+            s = "".join(rng.choice("ACGT") for _ in range(read_len))
+        recs.append((f"r{i}", s))
+    fq = tmp_path / "se.fq"
+    write_fq(fq, recs)
+    golden = run_golden(str(ref), fq, None, "sam", read_len)
+    ours = run_python_se(world, recs, "sam", read_len)
+    assert golden == ours, diff_head(golden, ours)
+
+    pairs = []
+    insert_mid = max(300, int(read_len * 2.5))
+    for i in range(250):
+        st = rng.randrange(0, len(genome) - insert_mid - 300)
+        ins = max(2 * read_len + 20, int(rng.gauss(insert_mid, 40)))
+        a = list(genome[st : st + read_len])
+        b = list(genome[st + ins - read_len : st + ins])
+        for _ in range(2):
+            a[rng.randrange(read_len)] = rng.choice("ACGT")
+            b[rng.randrange(read_len)] = rng.choice("ACGT")
+        a = "".join(a)
+        b = "".join(COMP[c] for c in reversed("".join(b)))
+        if i % 23 == 5:  # unmappable mate -> rescue
+            b = "".join(rng.choice("ACGT") for _ in range(read_len))
+        pairs.append((f"p{i}", a, b))
+    fq1 = tmp_path / "pe.1.fq"
+    fq2 = tmp_path / "pe.2.fq"
+    write_fq(fq1, [(n + "/1", a) for n, a, _ in pairs])
+    write_fq(fq2, [(n + "/2", b) for n, _, b in pairs])
+    golden_pe = run_golden(str(ref), fq1, fq2, "sam", read_len)
+    ours_pe = run_python_pe(world, pairs, "sam", read_len)
+    assert golden_pe == ours_pe, diff_head(golden_pe, ours_pe)
+
+    # native engine at this profile: byte-identical to the Python layer
+    # (and therefore to the golden) for SE through the split-phase path
+    from rabbitsalign_tpu.native.engine import NativeEngine, engine_available
+
+    if engine_available():
+        mp = MappingParameters(r=read_len)
+        mp.rescue_cutoff = 2 * index.filter_cutoff
+        eng = NativeEngine(index, params, refs, AlignmentParameters(), mp, "")
+        texts = []
+        for ci in range(0, len(recs), CHUNK):
+            chunk = [SamRecord(n, s.encode(), b"I" * len(s))
+                     for n, s in recs[ci : ci + CHUNK]]
+            texts.append(eng.chunk_b(eng.chunk_a(chunk, [], [], ci // CHUNK)))
+        golden_split = run_golden(str(ref), fq, None, "split", read_len)
+        assert golden_split == "".join(texts), \
+            diff_head(golden_split, "".join(texts))
 
 
 def test_repetitive_genome_concordance(tmp_path):

@@ -263,7 +263,7 @@ def test_pe_lowercase_concordance(world):
 COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
 
 
-@pytest.mark.parametrize("read_len", [100, 300])
+@pytest.mark.parametrize("read_len", [50, 100, 300])
 def test_profile_concordance(tmp_path, read_len):
     """Non-default read-length profiles: the reference picks (k, s, l, u)
     from its parameter table (/root/reference/src/indexparameters.cpp:
@@ -289,7 +289,7 @@ def test_profile_concordance(tmp_path, read_len):
             s[rng.randrange(read_len)] = rng.choice("ACGT")
         s = "".join(s)
         if i % 7 == 3:  # indel -> gapped extension
-            cut = rng.randrange(20, read_len - 30)
+            cut = rng.randrange(read_len // 3, read_len - 15)
             g = rng.randrange(1, 6)
             s = genome[st : st + cut] + genome[st + cut + g : st + read_len + g]
         if i % 9 == 4:

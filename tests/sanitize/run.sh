@@ -16,6 +16,11 @@ echo "sanitize: OK"
 g++ -O2 -march=native -std=c++17 ssw_simd_fuzz.cpp -o /tmp/ssw_fuzz -lz
 /tmp/ssw_fuzz
 
+# Index-build radix sort: exact stable_sort order across degenerate hash
+# distributions and thread counts (the .sti interop contract)
+g++ -O2 -march=native -std=c++17 radix_fuzz.cpp -o /tmp/radix_fuzz -lz -lpthread
+/tmp/radix_fuzz
+
 # Sparse-mismatch Hamming fast path: bit-exact vs the dense scan across
 # densities and degenerate scoring (incl. an ASan pass for the masked
 # loads + position extraction)

@@ -20,6 +20,11 @@ g++ -O2 -march=native -std=c++17 ssw_simd_fuzz.cpp -o /tmp/ssw_fuzz -lz
 # distributions and thread counts (the .sti interop contract)
 g++ -O2 -march=native -std=c++17 radix_fuzz.cpp -o /tmp/radix_fuzz -lz -lpthread
 /tmp/radix_fuzz
+# ... and a TSan pass over the same trials (the sort's parallel scatter
+# and work-stealing partition loop write to shared arrays by design)
+g++ -O1 -g -fsanitize=thread -march=native -std=c++17 radix_fuzz.cpp \
+    -o /tmp/radix_tsan -lz -lpthread
+/tmp/radix_tsan
 
 # Sparse-mismatch Hamming fast path: bit-exact vs the dense scan across
 # densities and degenerate scoring (incl. an ASan pass for the masked

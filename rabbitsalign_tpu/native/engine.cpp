@@ -2107,15 +2107,8 @@ static void nams_for_read(EngineC& eng, const u8* seq, i64 len,
         if (nsy > 0) {
             // both the pre-pass flat array and ss.sync satisfy the
             // LINK_PAD contract -> 8-lane linker
-            link_strobes_p(sy, nsy, sp.wmin, sp.wmax, sp.qmask, sp.max_dist,
-                           sp.k, false, ss.qrs, true);
-            ss.sync_rc.resize(nsy + LINK_PAD);
-            for (i64 i = 0; i < nsy; ++i) {
-                const Syncmer& m = sy[nsy - 1 - i];
-                ss.sync_rc[i] = {m.hash, len - m.pos - sp.k};
-            }
-            link_strobes_p(ss.sync_rc.data(), nsy, sp.wmin, sp.wmax,
-                           sp.qmask, sp.max_dist, sp.k, true, ss.qrs, true);
+            link_query_both(sy, nsy, len, sp.wmin, sp.wmax, sp.qmask,
+                            sp.max_dist, sp.k, ss.sync_rc, ss.qrs);
         }
     }
     ReadResult& rr = ss.rr;
@@ -3576,7 +3569,11 @@ static void sort_recs_radix(std::vector<RefRec>& recs, int nt) {
             RefRec* src = tmp.data() + lo;
             RefRec* fin = recs.data() + lo;
             if (m < 64) {
-                std::sort(src, src + m, by_hash_pos);
+                // stable: (hash, pos) repeats across contigs when the
+                // genome contains duplicated sequence, and the contract
+                // is np.lexsort's stable order (ref_id rides in packed,
+                // not in the key)
+                std::stable_sort(src, src + m, by_hash_pos);
                 std::copy(src, src + m, fin);
                 continue;
             }
@@ -4090,7 +4087,11 @@ struct FxAsync {
             ch->reset();
             bool got = fx_produce(r, ch);
             std::unique_lock<std::mutex> lk(mu);
-            if (!got) {
+            if (!got || r->error) {
+                // an errored produce can carry a PARTIAL chunk — never
+                // surface it: the synchronous path frees it and raises,
+                // so records from the failing chunk are not emitted and
+                // output ends at a chunk boundary in both modes
                 pool.push_back(ch);
                 eof = true;
                 cv_cons.notify_all();
@@ -4281,17 +4282,9 @@ void* engine_fx_seed_only(void* e, void* c_) {
         if (len >= sp.wmax && psync.start[r] >= 0) {
             const Syncmer* sy = psync.flat.data() + psync.start[r];
             i64 nsy = psync.count[r];
-            if (nsy > 0) {
-                link_strobes_p(sy, nsy, sp.wmin, sp.wmax, sp.qmask,
-                               sp.max_dist, sp.k, false, qrs, true);
-                sync_rc.resize(nsy + LINK_PAD);
-                for (i64 i = 0; i < nsy; ++i) {
-                    const Syncmer& m = sy[nsy - 1 - i];
-                    sync_rc[i] = {m.hash, len - m.pos - sp.k};
-                }
-                link_strobes_p(sync_rc.data(), nsy, sp.wmin, sp.wmax,
-                               sp.qmask, sp.max_dist, sp.k, true, qrs, true);
-            }
+            if (nsy > 0)
+                link_query_both(sy, nsy, len, sp.wmin, sp.wmax, sp.qmask,
+                                sp.max_dist, sp.k, sync_rc, qrs);
         }
         res->counts[r] = (int32_t)qrs.size();
         res->offsets[r] = (i64)res->hash.size();

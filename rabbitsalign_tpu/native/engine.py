@@ -564,12 +564,15 @@ class NativeReader:
               else self.lib.fastx_error)
         while True:
             ch = nx(self.handle)
-            # with the producer thread, the error may be set while valid
-            # chunks parsed BEFORE the error point are still queued —
-            # drain them first (the synchronous path behaves the same:
-            # records before the error are yielded, then the raise)
+            # error contract (both modes): COMPLETE chunks parsed before
+            # the error point are yielded, the partial chunk from the
+            # failing parse is never surfaced (the producer thread frees
+            # it; the sync path frees it here), then the raise
+            err = er(self.handle)
+            if err and not self.use_producer and ch:
+                self.lib.fastx_chunk_free(ch)
+                ch = None
             if not ch:
-                err = er(self.handle)
                 if err:
                     raise ValueError(
                         {1: "malformed FASTQ record header",

@@ -17,7 +17,9 @@
 #include <cstring>
 #include <vector>
 
-#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#if defined(__AVX512F__) && defined(__AVX512DQ__) && defined(__AVX512BW__)
+// BW is required too: the x8 linker's popcount path uses byte-granular
+// shuffles/adds/psadbw (_mm512_shuffle_epi8 / _mm512_sad_epu8)
 #include <immintrin.h>
 #define SEEDNAM_AVX512 1
 #endif
@@ -49,6 +51,31 @@ inline u64 xxh64(u64 x) {
     return r;
 }
 
+#ifdef SEEDNAM_AVX512
+// xxh64 on 8 u64 lanes in-register (same chain as xxh64 above) — the
+// ONE vectorized copy of the hash; xxh64_many and the x8 automaton both
+// call it so the chain can never silently fork
+inline __m512i xxh64_vec(__m512i x) {
+    const __m512i vP1 = _mm512_set1_epi64((long long)0x9E3779B185EBCA87ULL);
+    const __m512i vP2 = _mm512_set1_epi64((long long)0xC2B2AE3D27D4EB4FULL);
+    const __m512i vP3 = _mm512_set1_epi64((long long)0x165667B19E3779F9ULL);
+    const __m512i vP4 = _mm512_set1_epi64((long long)0x85EBCA77C2B2AE63ULL);
+    const __m512i vR0 =
+        _mm512_set1_epi64((long long)(0x27D4EB2F165667C5ULL + 8));
+    x = _mm512_mullo_epi64(x, vP2);
+    x = _mm512_rol_epi64(x, 31);
+    __m512i r = _mm512_xor_si512(vR0, _mm512_mullo_epi64(x, vP1));
+    r = _mm512_rol_epi64(r, 27);
+    r = _mm512_add_epi64(_mm512_mullo_epi64(r, vP1), vP4);
+    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 33));
+    r = _mm512_mullo_epi64(r, vP2);
+    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 29));
+    r = _mm512_mullo_epi64(r, vP3);
+    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 32));
+    return r;
+}
+#endif
+
 // hash a contiguous array in place: out[i] = xxh64(in[i]). The s-mer
 // hash is the per-base hot loop of seeding (reference hashes every
 // s-mer position the same way, src/randstrobes.cpp:33-50); on AVX-512
@@ -57,26 +84,10 @@ inline u64 xxh64(u64 x) {
 inline void xxh64_many(const u64* in, u64* out, i64 n) {
     i64 i = 0;
 #ifdef SEEDNAM_AVX512
-    const __m512i vP1 = _mm512_set1_epi64((long long)0x9E3779B185EBCA87ULL);
-    const __m512i vP2 = _mm512_set1_epi64((long long)0xC2B2AE3D27D4EB4FULL);
-    const __m512i vP3 = _mm512_set1_epi64((long long)0x165667B19E3779F9ULL);
-    const __m512i vP4 = _mm512_set1_epi64((long long)0x85EBCA77C2B2AE63ULL);
-    const __m512i vR0 = _mm512_set1_epi64(
-        (long long)(0x27D4EB2F165667C5ULL + 8));
-    for (; i + 8 <= n; i += 8) {
-        __m512i x = _mm512_loadu_si512((const void*)(in + i));
-        x = _mm512_mullo_epi64(x, vP2);
-        x = _mm512_rol_epi64(x, 31);
-        __m512i r = _mm512_xor_si512(vR0, _mm512_mullo_epi64(x, vP1));
-        r = _mm512_rol_epi64(r, 27);
-        r = _mm512_add_epi64(_mm512_mullo_epi64(r, vP1), vP4);
-        r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 33));
-        r = _mm512_mullo_epi64(r, vP2);
-        r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 29));
-        r = _mm512_mullo_epi64(r, vP3);
-        r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 32));
-        _mm512_storeu_si512((void*)(out + i), r);
-    }
+    for (; i + 8 <= n; i += 8)
+        _mm512_storeu_si512(
+            (void*)(out + i),
+            xxh64_vec(_mm512_loadu_si512((const void*)(in + i))));
 #endif
     for (; i < n; ++i) out[i] = xxh64(in[i]);
 }
@@ -224,27 +235,6 @@ static void syncmers_of(const u8* seq, i64 n, int k, int s, int t,
 }
 
 #ifdef SEEDNAM_AVX512
-// xxh64 on 8 u64 lanes in-register (same chain as xxh64 above)
-inline __m512i xxh64_vec(__m512i x) {
-    const __m512i vP1 = _mm512_set1_epi64((long long)0x9E3779B185EBCA87ULL);
-    const __m512i vP2 = _mm512_set1_epi64((long long)0xC2B2AE3D27D4EB4FULL);
-    const __m512i vP3 = _mm512_set1_epi64((long long)0x165667B19E3779F9ULL);
-    const __m512i vP4 = _mm512_set1_epi64((long long)0x85EBCA77C2B2AE63ULL);
-    const __m512i vR0 =
-        _mm512_set1_epi64((long long)(0x27D4EB2F165667C5ULL + 8));
-    x = _mm512_mullo_epi64(x, vP2);
-    x = _mm512_rol_epi64(x, 31);
-    __m512i r = _mm512_xor_si512(vR0, _mm512_mullo_epi64(x, vP1));
-    r = _mm512_rol_epi64(r, 27);
-    r = _mm512_add_epi64(_mm512_mullo_epi64(r, vP1), vP4);
-    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 33));
-    r = _mm512_mullo_epi64(r, vP2);
-    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 29));
-    r = _mm512_mullo_epi64(r, vP3);
-    r = _mm512_xor_si512(r, _mm512_srli_epi64(r, 32));
-    return r;
-}
-
 // 8 reads through the syncmer automaton in AVX-512 lockstep, one read
 // per 64-bit lane. Bit-exact with syncmers_of: the data-dependent
 // branches become lane masks —
@@ -534,6 +524,29 @@ static inline void link_strobes(const std::vector<Syncmer>& sync, int wmin,
                                 std::vector<QueryRandstrobe>& out) {
     link_strobes(sync.data(), (i64)sync.size(), wmin, wmax, qmask, max_dist,
                  k, is_reverse, out);
+}
+
+// THE query-side fw+rc linking contract (reference randstrobes_query,
+// src/randstrobes.cpp:207-253): link the forward strand, then link the
+// reverse strand from the same canonical syncmers reversed with
+// positions mirrored to len - pos - k. `sy` must satisfy the LINK_PAD
+// readable-rows contract; `sync_rc` is caller-owned scratch (its pad
+// rows only need to be dereferenceable, resize() guarantees that).
+// Every host seeding path calls THIS helper so the fw/rc discipline can
+// never fork between the engine, the preseed pass, and seednam_chunk.
+static inline void link_query_both(const Syncmer* sy, i64 nsy, i64 len,
+                                   int wmin, int wmax, u64 qmask,
+                                   int max_dist, int k,
+                                   std::vector<Syncmer>& sync_rc,
+                                   std::vector<QueryRandstrobe>& out) {
+    link_strobes_p(sy, nsy, wmin, wmax, qmask, max_dist, k, false, out, true);
+    sync_rc.resize(nsy + LINK_PAD);
+    for (i64 i = 0; i < nsy; ++i) {
+        const Syncmer& m = sy[nsy - 1 - i];
+        sync_rc[i] = {m.hash, len - m.pos - k};
+    }
+    link_strobes_p(sync_rc.data(), nsy, wmin, wmax, qmask, max_dist, k, true,
+                   out, true);
 }
 
 // appends LINK_PAD sentinel entries WITHOUT growing the logical length
@@ -1220,16 +1233,8 @@ void* seednam_chunk(
             if (!sync.empty()) {
                 i64 nsy = (i64)sync.size();
                 pad_syncmers(sync);
-                link_strobes_p(sync.data(), nsy, wmin, wmax, qmask, max_dist,
-                               k, false, qrs, true);
-                // reverse-complement strand: reverse + mirror positions
-                sync_rc.resize(nsy + LINK_PAD);
-                for (i64 i2 = 0; i2 < nsy; ++i2) {
-                    const Syncmer& m = sync[nsy - 1 - i2];
-                    sync_rc[i2] = {m.hash, len - m.pos - k};
-                }
-                link_strobes_p(sync_rc.data(), nsy, wmin, wmax, qmask,
-                               max_dist, k, true, qrs, true);
+                link_query_both(sync.data(), nsy, len, wmin, wmax, qmask,
+                                max_dist, k, sync_rc, qrs);
             }
         }
         find_nams_one(ix, qrs, rr, nsc);

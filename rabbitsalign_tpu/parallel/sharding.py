@@ -137,6 +137,16 @@ class ShardedIndex:
             if starts[s] < n:
                 sh[s] = index.hashes[starts[s]]
         self._start_hash = sh
+        # Defensive: route only to non-empty shards. By construction the
+        # current cut rule cannot leave a TRAILING shard empty (cuts are
+        # run starts, always < n) and side="right" already routes a tied
+        # key past middle empties to the real owner — but the routed
+        # lookup's correctness should not hinge on that cut-rule detail,
+        # and 0xFFFF...F is both a legal hash and the empty-shard marker.
+        ends = np.concatenate([starts[1:], [n]])
+        nonempty = starts < ends
+        self._route_nonempty = np.maximum.accumulate(
+            np.where(nonempty, np.arange(n_shards), 0))
 
     def k(self) -> int:
         return self._k
@@ -192,6 +202,7 @@ class ShardedIndex:
         ns = self.n_shards
         owner = np.searchsorted(self._start_hash, keys, side="right") - 1
         np.clip(owner, 0, ns - 1, out=owner)
+        owner = self._route_nonempty[owner]  # never route to an empty shard
         order = np.argsort(owner, kind="stable")
         counts = np.bincount(owner, minlength=ns)
         width = int(counts.max()) if nq else 1

@@ -2,8 +2,10 @@
 // EXACTLY the stable_sort order of (hash, pos) — the .sti byte-interop
 // contract rides on it. Covers degenerate hash distributions (uniform,
 // top-bit-clustered into one giant partition, few distinct hashes,
-// all-equal hash) and thread counts, with unique (hash, pos) keys as the
-// builder guarantees (one record per strobe1 position).
+// all-equal hash) and thread counts. (hash, pos) keys REPEAT across
+// contigs when a genome contains duplicated sequence (pos is ref-local;
+// ref_id rides in the payload), so trials include duplicate-key records
+// whose relative input order must survive — the stability contract.
 #define RABBIT_ENGINE_FUZZ
 #include "../../rabbitsalign_tpu/native/engine.cpp"
 
@@ -32,11 +34,17 @@ int main() {
                 case 3: h = 0xDEADBEEFCAFEF00DULL; break;      // all equal
                 default: h = rng() >> (rng() % 48); break;     // skewed magnitudes
             }
-            recs[i] = {h, (u32)i, (u32)rng()};  // pos=i keeps (hash,pos) unique
+            recs[i] = {h, (u32)i, (u32)rng()};
         }
         // shuffle pos so input order is not already sorted by pos
         for (size_t i = n; i > 1; --i)
             std::swap(recs[i - 1].pos, recs[rng() % i].pos);
+        // duplicated-contig simulation: clone ~1/8 of the records with a
+        // different payload (same (hash, pos) key, later input order)
+        size_t base = n;
+        for (size_t i = 0; i + 7 < base; i += 8)
+            recs.push_back({recs[i].hash, recs[i].pos, ~recs[i].packed});
+        n = recs.size();
         std::vector<engine::RefRec> want(recs);
         std::stable_sort(want.begin(), want.end(),
                          [](const engine::RefRec& a, const engine::RefRec& b) {

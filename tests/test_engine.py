@@ -671,6 +671,52 @@ def test_engine_edge_cases(world, tmp_path):
     reader.close()
 
 
+@pytest.mark.parametrize("producer", [False, True])
+def test_native_reader_error_contract(tmp_path, producer):
+    """Malformed input: COMPLETE chunks parsed before the error are
+    yielded, the partial chunk from the failing parse is never surfaced,
+    then ValueError — identical in the sync and producer-thread modes."""
+    from rabbitsalign_tpu.native.engine import NativeReader, engine_available
+
+    if not engine_available():
+        pytest.skip("native engine unavailable")
+
+    fq = tmp_path / "bad.fq"
+    with open(fq, "wb") as f:
+        for i in range(25):
+            f.write(b"@r%d\nACGTACGTACGT\n+\nIIIIIIIIIIII\n" % i)
+        f.write(b"not-a-header\nACGT\n+\nIIII\n")
+
+    reader = NativeReader(str(fq), "", False, 10, producer=producer)
+    seen = []
+    with pytest.raises(ValueError, match="malformed FASTQ"):
+        for ci, ch, n_pairs, n_singles in reader:
+            seen.append((ci, n_pairs, n_singles))
+            reader.free_chunk(ch)
+    reader.close()
+    # chunks 0 and 1 (10 records each) are complete; the third chunk
+    # contains the failing record and must not surface its 5 good reads
+    assert seen == [(0, 0, 10), (1, 0, 10)]
+
+    # PE length mismatch (error 3): same contract
+    fq1 = tmp_path / "p1.fq"
+    fq2 = tmp_path / "p2.fq"
+    with open(fq1, "wb") as f:
+        for i in range(12):
+            f.write(b"@p%d\nACGTACGTACGT\n+\nIIIIIIIIIIII\n" % i)
+    with open(fq2, "wb") as f:
+        for i in range(7):
+            f.write(b"@p%d\nACGTACGTACGT\n+\nIIIIIIIIIIII\n" % i)
+    reader = NativeReader(str(fq1), str(fq2), False, 10, producer=producer)
+    seen = []
+    with pytest.raises(ValueError, match="different lengths"):
+        for ci, ch, n_pairs, n_singles in reader:
+            seen.append((ci, n_pairs, n_singles))
+            reader.free_chunk(ch)
+    reader.close()
+    assert seen == []  # pair 8 of chunk 0 fails -> whole chunk dropped
+
+
 @pytest.mark.parametrize("cfg", [
     # (k, s, l, u, A, B, O, E, L)
     (18, 14, 0, 7, 1, 4, 6, 2, 5),

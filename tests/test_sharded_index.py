@@ -299,6 +299,61 @@ def test_shard_index_production_pipeline(world, sharded, tmp_path):
     assert c_pe["feed_miss"] == 0
 
 
+def test_find_runs_routed_sentinel_hash():
+    """0xFFFF...F is a legal hash value but also the routing table's
+    'empty shard' marker: a key at the very top of the hash space must
+    still route to the shard that holds its run even when shard cuts
+    collapse onto the top run's start and several shards come out empty
+    (the route must not depend on the cut rule's no-trailing-empties
+    detail)."""
+    import jax
+
+    from rabbitsalign_tpu.parallel.sharding import ShardedIndex, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+
+    top = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # a few small runs, then a long run of the SENTINEL hash at the top
+    # (long enough that shard cuts collapse onto its start and the last
+    # shards come out empty)
+    hashes = np.concatenate([
+        np.repeat(np.uint64(5), 2),
+        np.repeat(np.uint64(1) << np.uint64(40), 3),
+        np.repeat(np.uint64(7) << np.uint64(60), 1),
+        np.repeat(top, 10),
+    ])
+    n = hashes.shape[0]
+    positions = np.arange(n, dtype=np.uint32)
+    packed = (np.arange(n, dtype=np.uint32) << 8) | 1
+
+    class _FakeIndex:
+        bits = 4
+        filter_cutoff = 30
+
+        def __init__(self):
+            self.hashes = hashes
+            self.positions = positions
+            self.packed = packed
+            tops = (hashes >> np.uint64(64 - self.bits)).astype(np.int64)
+            counts = np.bincount(tops + 1, minlength=(1 << self.bits) + 1)
+            self.randstrobe_start_indices = np.cumsum(counts).astype(np.uint64)
+
+        def k(self):
+            return 20
+
+    sharded = ShardedIndex(make_mesh(8), _FakeIndex())
+    assert (sharded._start_hash == top).sum() > 1  # empty shards share it
+    keys = np.array([5, 1 << 40, 7 << 60, 0xFFFFFFFFFFFFFFFF, 12345],
+                    dtype=np.uint64)
+    a = sharded.find_runs(keys, 30)
+    b = sharded.find_runs_routed(keys, 30)
+    for k in ("position", "count", "filtered"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # and the sentinel key is genuinely FOUND, with its full run
+    assert a["position"][3] == 6 and a["count"][3] == 10
+
+
 def test_find_runs_routed_matches_psum(world, sharded):
     """The host-routed lookup (zero-collective) must return exactly what
     the psum lookup returns for every key, including misses, repetitive

@@ -292,6 +292,12 @@ def upload_index_split(index, device=None):
     n = index.hashes.shape[0]
     if n >= (1 << 31):  # pragma: no cover - deployment guard
         raise ValueError("split lookup needs n < 2^31 entries per shard")
+    if n and int(index.positions.max()) >= (1 << 31):  # pragma: no cover
+        # the run walk and hit rows carry genome positions as int32; a
+        # >2 Gbp genome needs the sharded/paged deployment (the extend
+        # path's pack_ref_pages is int32-safe, this front end is not)
+        raise ValueError("composed front end needs genome positions < 2^31; "
+                         "shard the index (--shard-index) for larger genomes")
     hi, lo = split_hash_u64(index.hashes)
 
     def pad(a, fill):

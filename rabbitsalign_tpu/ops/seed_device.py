@@ -498,6 +498,15 @@ def randstrobes_query_vec(codes, lengths, k: int, s: int, t: int,
 
     qmask = jnp.uint64(q)
 
+    # packed tie key = popcount * mult + window offset: mult must exceed
+    # the window width or a low-popcount candidate at a high offset
+    # collides with the next popcount class (reachable with custom -l/-u
+    # giving u - l >= 16) and the argmin diverges from the host's
+    # leftmost-min rule
+    key_mult = 1
+    while key_mult < (w_max - w_min + 1):
+        key_mult *= 2
+
     def link(pos, hsh, n):
         res_h = jnp.zeros((B, M), jnp.uint64)
         res_e = jnp.zeros((B, M), jnp.int32)
@@ -508,7 +517,7 @@ def randstrobes_query_vec(codes, lengths, k: int, s: int, t: int,
             jh = jnp.roll(hsh, -d, axis=1)
             ok = (midx + d < n[:, None]) & (jpos <= pos + max_dist)
             pc = jax.lax.population_count((hsh ^ jh) & qmask).astype(jnp.int32)
-            key = jnp.where(ok, pc * 16 + (d - w_min), 0x7FFFFFFF)
+            key = jnp.where(ok, pc * key_mult + (d - w_min), 0x7FFFFFFF)
             upd = key < best_key
             best_key = jnp.where(upd, key, best_key)
             res_h = jnp.where(upd, hsh + jh, res_h)

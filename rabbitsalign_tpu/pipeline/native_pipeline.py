@@ -13,6 +13,7 @@ path as well.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, Iterable, Tuple
 
 import numpy as np
@@ -79,23 +80,30 @@ def _enable_compilation_cache() -> None:
 
 
 _RESIDENT_CACHE: dict = {}
+_SEED_IX_CACHE: dict = {}  # (id(index), device) -> uploaded index arrays
+_RESIDENT_LOCK = threading.Lock()
 
 
 def _resident_ref_codes(references, engine, devices):
+    # the lock matters: threaded workers construct their pipelines
+    # concurrently, and pack_ref_pages + the ~25ms-latency device_put
+    # release the GIL — an unlocked miss path would upload N full
+    # genome copies and pin N x genome-size HBM for the whole run
     key = id(references)
-    cached = _RESIDENT_CACHE.get(key)
-    if cached is not None and len(cached[1]) == len(devices):
-        return cached[1]
-    import jax
+    with _RESIDENT_LOCK:
+        cached = _RESIDENT_CACHE.get(key)
+        if cached is not None and len(cached[1]) == len(devices):
+            return cached[1]
+        import jax
 
-    from ..ops.extend_device import pack_ref_pages
+        from ..ops.extend_device import pack_ref_pages
 
-    pages = pack_ref_pages(engine.ref_codes())
-    arrs = [jax.device_put(pages, dev) for dev in devices]
-    # keep a strong ref to `references` so the id() key stays valid
-    _RESIDENT_CACHE.clear()  # one genome per run; don't hold stale copies
-    _RESIDENT_CACHE[key] = (references, arrs)
-    return arrs
+        pages = pack_ref_pages(engine.ref_codes())
+        arrs = [jax.device_put(pages, dev) for dev in devices]
+        # keep a strong ref to `references` so the id() key stays valid
+        _RESIDENT_CACHE.clear()  # one genome per run; no stale copies
+        _RESIDENT_CACHE[key] = (references, arrs)
+        return arrs
 
 
 class NativePipeline:
@@ -191,11 +199,24 @@ class NativePipeline:
         from ..ops.seed_device import seed_and_find
 
         if self._seed_ix is None:
+            # shared across threaded workers (same pattern as the
+            # resident genome): the hash array is GB-scale for a
+            # whole-genome index, one upload + one HBM copy per device
             dev = self._devices[0]
-            self._seed_ix = (
-                jax.device_put(self._index.hashes, dev),
-                jax.device_put(self._index.randstrobe_start_indices, dev),
-            )
+            key = (id(self._index), dev)
+            with _RESIDENT_LOCK:
+                cached = _SEED_IX_CACHE.get(key)
+                if cached is None:
+                    # one index per run: drop other indexes' uploads
+                    for k in [k for k in _SEED_IX_CACHE if k[0] != key[0]]:
+                        del _SEED_IX_CACHE[k]
+                    cached = _SEED_IX_CACHE[key] = (
+                        self._index,  # strong ref keeps the id() valid
+                        jax.device_put(self._index.hashes, dev),
+                        jax.device_put(self._index.randstrobe_start_indices,
+                                       dev),
+                    )
+            self._seed_ix = (cached[1], cached[2])
         codes, lens = self.engine.fx_codes(fx, n_records, self.SEED_L)
         # pad the batch rows to a power-of-two floor so chunk-size
         # variations reuse a handful of compiled programs (every distinct
@@ -331,7 +352,13 @@ class NativePipeline:
                     c = cnt[g]
                     n0 = int((c <= cutoff).sum())
                     if n0 >= 5:
-                        take = g[:n0]
+                        # the engine's walk hard-stops at count > 1000
+                        # regardless of the cutoff (reference nam.cpp
+                        # take-rule `|| rh.count > 1000`), so strobes
+                        # past that are never consumed — and prefetching
+                        # them would overflow the cap_r=1024 run packing
+                        # when -R pushes cutoff past 1024
+                        take = g[: int((c <= min(cutoff, 1000)).sum())]
                     else:
                         ok = g[c <= 1000]
                         k = min(len(ok), 5)
@@ -571,15 +598,17 @@ def _pipeline_map_file(self, path1, path2, interleaved, chunk_size, write,
             n_reads += 2 * n_pairs + n_singles
             if progress is not None:
                 progress(n_reads)
-            if self.shard_index:
-                chunk = self._shard_chunk_a(fx, 2 * n_pairs + n_singles,
-                                            chunk_index)
-            elif self.device_seed:
-                chunk = self._preseed(fx, 2 * n_pairs + n_singles,
-                                      chunk_index)
-            else:
-                chunk = self.engine.chunk_a_fx(fx, chunk_index)
-            reader.free_chunk(fx)
+            try:
+                if self.shard_index:
+                    chunk = self._shard_chunk_a(fx, 2 * n_pairs + n_singles,
+                                                chunk_index)
+                elif self.device_seed:
+                    chunk = self._preseed(fx, 2 * n_pairs + n_singles,
+                                          chunk_index)
+                else:
+                    chunk = self.engine.chunk_a_fx(fx, chunk_index)
+            finally:
+                reader.free_chunk(fx)  # pooled buffer must always return
             pending = []
             if self.use_device and chunk.n_jobs:
                 for idxs, Q, T, B, sub in self.engine.plan_batches(chunk, self.batch_size):
@@ -669,6 +698,11 @@ class ThreadedNativePipeline:
 
         from ..native.engine import NativeReader
 
+        # per-run telemetry: a reused pipeline object must not report
+        # the previous map_file call's counters twice
+        self._counters = []
+        self._timers = []
+
         # deterministic mode: one queue per worker, chunks routed by
         # index % n_workers; default: one shared queue, first free worker
         if self.deterministic:
@@ -693,11 +727,15 @@ class ThreadedNativePipeline:
         def worker(wid):
             boost_mapping_thread()
             in_q = in_qs[wid % len(in_qs)]
-            pipe = self._mk()
+            pipe = None
             prev = None  # (ci, state): per-worker double buffering — the
             # device extends this worker's chunk i while it seeds i+1
             # (the reference's per-worker E1/SEED/E2 rotation)
             try:
+                # inside the try: a construction failure (device OOM,
+                # backend init) must reach `errors`, or the producer's
+                # bounded put would retry forever against a dead worker
+                pipe = self._mk()
                 while True:
                     item = in_q.get()
                     if item is None:
@@ -735,8 +773,9 @@ class ThreadedNativePipeline:
                 with out_lock:
                     out_lock.notify_all()
             finally:
-                self._counters.append(pipe.counters())
-                self._timers.append(pipe.engine.timers())
+                if pipe is not None:
+                    self._counters.append(pipe.counters())
+                    self._timers.append(pipe.engine.timers())
 
         reader = NativeReader(path1, path2, interleaved, chunk_size)
         threads = [

@@ -166,6 +166,63 @@ def test_randstrobes_query_vec_matches_host():
     assert checked > 80  # the vast majority is covered by the fast path
 
 
+def test_randstrobes_query_vec_wide_window():
+    """Strobe windows wider than 16 (custom -l/-u): the packed tie key
+    must keep popcount classes disjoint — a low-popcount candidate at a
+    high window offset must beat a higher-popcount one at offset 0
+    (regression: the fixed *16 key multiplier collided them)."""
+    import random
+
+    import jax.numpy as jnp
+
+    from rabbitsalign_tpu.ops.seed_device import randstrobes_query_vec
+    from rabbitsalign_tpu.seed.randstrobes import randstrobes_query
+
+    # -l 0 -u 19 gives a window width of 20 > 16; -m 255 lifts max_dist
+    # so the far window offsets are actually reachable (the r150 default
+    # max_dist ~80 masks them, which is what hid the key collision)
+    p = IndexParameters.from_read_length(150, l=0, u=19, max_seed_len=255)
+    sp, rp = p.syncmer, p.randstrobe
+    assert rp.w_max - rp.w_min + 1 > 16
+    r = random.Random(23)
+    reads = []
+    for i in range(96):
+        if i % 2 == 0:
+            # tandem repeats place an EQUAL-hash partner (popcount 0) at
+            # a far window offset, where the old *16 key collided it
+            # into the next popcount class
+            unit = "".join(r.choice("ACGT")
+                           for _ in range(r.choice([100, 110, 120, 130])))
+            reads.append((unit * 2)[:150])
+        else:
+            reads.append("".join(r.choice("ACGT") for _ in range(150)))
+    M = 64
+    MP = {"A": 0, "C": 1, "G": 2, "T": 3}
+    codes = np.full((len(reads), 150), 4, np.uint8)
+    lens = np.full(len(reads), 150, np.int32)
+    for i, sq in enumerate(reads):
+        codes[i] = [MP[c] for c in sq]
+    h, st, en, nf, nr, tie = [
+        np.asarray(x)
+        for x in randstrobes_query_vec(
+            jnp.asarray(codes), jnp.asarray(lens), sp.k, sp.s, sp.t_syncmer,
+            rp.w_min, rp.w_max, rp.q, rp.max_dist, M,
+        )
+    ]
+    checked = 0
+    for i, sq in enumerate(reads):
+        if tie[i]:
+            continue
+        g = randstrobes_query(sq, p)
+        mh = list(h[i, : nf[i]]) + list(h[i, M : M + nr[i]])
+        ms = list(st[i, : nf[i]]) + list(st[i, M : M + nr[i]])
+        me = list(en[i, : nf[i]]) + list(en[i, M : M + nr[i]])
+        assert mh == list(g.hash), f"read {i} hashes differ"
+        assert ms == list(g.start) and me == list(g.end), f"read {i} coords"
+        checked += 1
+    assert checked > 60
+
+
 def test_index_find_device_split_matches_u64():
     """The 32-bit (hi, lo) split lookup must equal the u64 searchsorted
     lookup (and therefore StrobemerIndex.find) for hits, misses, empty

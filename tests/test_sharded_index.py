@@ -299,6 +299,83 @@ def test_shard_index_production_pipeline(world, sharded, tmp_path):
     assert c_pe["feed_miss"] == 0
 
 
+def test_shard_index_rescue_cutoff_above_run_cap(tmp_path):
+    """-R can push rescue_cutoff past 1000 (runner matches reference
+    main.cpp:415, no clamp). The engine's rescue walk hard-stops at
+    count > 1000, so equal-hash runs in (1024, cutoff] are never
+    consumed — but the host preflight used to PREFETCH them, overflowing
+    the cap_r=1024 run packing and shifting every later strobe's run
+    records (silent RunFeed corruption). Regression: byte-identity with
+    runs of ~1060 and rescue_cutoff=1100."""
+    import jax
+
+    from rabbitsalign_tpu.map.common import MappingParameters
+    from rabbitsalign_tpu.parallel.sharding import ShardedIndex, make_mesh
+    from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+
+    r = random.Random(77)
+    unit = random_dna(300, seed=78)
+    unit2 = random_dna(280, seed=79)
+    genome = (
+        random_dna(30000, seed=80)
+        + unit * 1080          # equal-hash runs ~1060 > the 1024 run cap
+        + random_dna(30000, seed=81)
+        + unit2 * 60           # moderate runs the rescue DOES take
+        + random_dna(30000, seed=82)
+    )
+    refs = References()
+    refs.add("chrC", genome.encode())
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    assert int(np.max(np.diff(np.flatnonzero(
+        np.concatenate(([True], index.hashes[1:] != index.hashes[:-1],
+                        [True])))))) > 1024, "need runs past the cap"
+    sharded = ShardedIndex(make_mesh(8), index)
+
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = 1100  # e.g. -R 11 with filter_cutoff 100
+
+    big = (30000, 30000 + 300 * 1080)
+    mod = (big[1] + 30000, big[1] + 30000 + 280 * 60)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    lines = []
+    for i in range(180):
+        if i % 3 == 0:
+            st = r.randrange(*big)
+        elif i % 3 == 1:
+            st = r.randrange(*mod)
+        else:
+            st = r.randrange(0, len(genome) - 200)
+        s = list(genome[st : st + 150])
+        s[r.randrange(150)] = r.choice("ACGT")
+        s = "".join(s)
+        if i % 5 == 4:
+            s = "".join(comp[c] for c in reversed(s))
+        lines.append((f"q{i}", s))
+    fq = tmp_path / "bigrun.fq"
+    fq.write_bytes(b"".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n".encode() for n, s in lines))
+
+    def run(shard):
+        out = []
+        pipe = NativePipeline(index, params, refs, ap, mp, use_device=False,
+                              shard_index=shard,
+                              sharded_index=sharded if shard else None)
+        pipe.map_file(str(fq), "", False, 60, out.append)
+        return b"".join(out), pipe.counters()
+
+    host, _ = run(False)
+    shard, c = run(True)
+    assert shard == host
+    assert c["feed_miss"] == 0
+    assert c["nam_rescue"] > 0
+
+
 def test_find_runs_routed_sentinel_hash():
     """0xFFFF...F is a legal hash value but also the routing table's
     'empty shard' marker: a key at the very top of the hash space must

@@ -52,7 +52,7 @@ class BatchAligner:
         self,
         parameters: AlignmentParameters,
         batch_size: int = 512,
-        buckets: Tuple[Tuple[int, int], ...] = DEFAULT_BUCKETS,
+        buckets: Tuple[Tuple[int, int, int], ...] = DEFAULT_BUCKETS,
         golden_check: bool = False,
     ):
         self.parameters = parameters
@@ -98,7 +98,7 @@ class BatchAligner:
         results: List[Optional[AlignmentInfo]] = [None] * len(jobs)
 
         # group by bucket
-        grouped: Dict[Tuple[int, int], List[int]] = {}
+        grouped: Dict[Tuple[int, int, int], List[int]] = {}
         for i, job in enumerate(jobs):
             bucket = self._bucket_for(job)
             if bucket is None:
@@ -113,7 +113,6 @@ class BatchAligner:
             B = min(self.batch_size, bcap)
             for start in range(0, len(idxs), B):
                 chunk = idxs[start : start + B]
-                buf = np.zeros((Q + T + 4, B), dtype=np.uint8)
                 qlen = np.zeros(B, dtype=np.int32)
                 tlen = np.zeros(B, dtype=np.int32)
                 q_t = np.full((Q, B), 4, dtype=np.uint8)

@@ -160,6 +160,54 @@ def merge_hits_device(hits, seg_start, valid, k: int, cap: int):
     return rows, mask, final["overflow"]
 
 
+def merge_stream_device_padded(stream, seg, k: int, cap: int):
+    """Run the jitted sweep merge over an ordered hit stream padded to a
+    power-of-two length: every distinct raw length would otherwise be a
+    fresh trace + XLA compile (20-40 s per shape on TPU). Shared by the
+    standalone device chain and the composed front end so the padding
+    discipline cannot drift. Returns (rows, mask, H, Hp, overflow) with
+    rows/mask as numpy; the end-of-stream flush row is at index Hp."""
+    H = len(stream)
+    Hp = 16
+    while Hp < H:
+        Hp *= 2
+    hits_arr = np.zeros((Hp, 4), dtype=np.int32)
+    hits_arr[:H] = np.asarray(stream, dtype=np.int32)
+    seg_p = np.zeros(Hp, dtype=bool)
+    seg_p[:H] = seg
+    valid_p = np.zeros(Hp, dtype=bool)
+    valid_p[:H] = True
+    rows, mask, ovf = merge_hits_device(
+        jnp.asarray(hits_arr), jnp.asarray(seg_p), jnp.asarray(valid_p),
+        k, cap,
+    )
+    return np.asarray(rows), np.asarray(mask), H, Hp, bool(ovf)
+
+
+def iter_merged_nam_rows(rows, mask, seg, H: int, Hp: int):
+    """Yield (group_index, qs, qe, rs, re, n_hits) for every NAM row the
+    padded merge emitted, in flush order, applying the attribution rule:
+    a segment-boundary step's rows belong to the PRECEDING group; sweep
+    flushes and the end-of-stream flush (row Hp) to the current group.
+    Shared by find_nams_device_chain and ops/front_device."""
+    grp_of = np.zeros(H, dtype=np.int64)
+    g = -1
+    for s_i in range(H):
+        if seg[s_i]:
+            g += 1
+        grp_of[s_i] = g
+    for s_i in list(range(H)) + [Hp]:
+        if not mask[s_i].any():
+            continue
+        if s_i < H and seg[s_i]:
+            gi = int(grp_of[s_i]) - 1
+        else:
+            gi = g if s_i >= H else int(grp_of[s_i])
+        for c in np.flatnonzero(mask[s_i]):
+            qs, qe, rs, re, nh = (int(v) for v in rows[s_i, c])
+            yield gi, qs, qe, rs, re, nh
+
+
 def find_nams_device_chain(query_randstrobes, index, cap: int = 32):
     """find_nams (reference src/nam.cpp:771-926) with the sweep-line NAM
     merge running on the accelerator: host-side lookups + hit collection
@@ -220,47 +268,21 @@ def find_nams_device_chain(query_randstrobes, index, cap: int = 32):
     if not stream:
         return nonrep, []
 
-    H = len(stream)
-    hits_arr = np.asarray(stream, dtype=np.int32)
     seg_arr = np.asarray(seg, dtype=bool)
-    valid = np.ones(H, dtype=bool)
-    rows, mask, overflow = merge_hits_device(
-        jnp.asarray(hits_arr), jnp.asarray(seg_arr), jnp.asarray(valid),
-        index.k(), cap,
-    )
-    if bool(overflow):
+    rows, mask, H, Hp, overflow = merge_stream_device_padded(
+        stream, seg_arr, index.k(), cap)
+    if overflow:
         return find_nams(query_randstrobes, index)  # host fallback
 
-    rows = np.asarray(rows)
-    mask = np.asarray(mask)
-    # per-step group attribution: the segment flush at step s emits NAMs
-    # of the group PRECEDING the segment boundary; sweep flushes emit
-    # from the current group. Track the active group per step.
-    grp_of_step = np.zeros(H + 1, dtype=np.int64)
-    g = -1
-    for s_i in range(H):
-        if seg_arr[s_i]:
-            g += 1
-        grp_of_step[s_i] = g
-    grp_of_step[H] = g
-    # rows emitted by a segment-boundary step belong to the previous
-    # group; rows emitted by the end step / sweep steps to the current
     nams: List[Nam] = []
-    for s_i in range(H + 1):
-        if not mask[s_i].any():
-            continue
-        if s_i < H and seg_arr[s_i]:
-            gi = grp_of_step[s_i] - 1
-        else:
-            gi = grp_of_step[s_i]
+    for gi, qs, qe, rs, re, nh in iter_merged_nam_rows(
+            rows, mask, seg_arr, H, Hp):
         ref_id, is_rc, _ = groups[gi]
-        for c in np.flatnonzero(mask[s_i]):
-            qs, qe, rs, re, nh = (int(v) for v in rows[s_i, c])
-            n = Nam(
-                nam_id=len(nams), query_start=qs, query_end=qe,
-                ref_start=rs, ref_end=re, n_hits=nh, ref_id=ref_id,
-                is_rc=is_rc,
-            )
-            n.score = host_score(n)
-            nams.append(n)
+        n = Nam(
+            nam_id=len(nams), query_start=qs, query_end=qe,
+            ref_start=rs, ref_end=re, n_hits=nh, ref_id=ref_id,
+            is_rc=is_rc,
+        )
+        n.score = host_score(n)
+        nams.append(n)
     return nonrep, nams

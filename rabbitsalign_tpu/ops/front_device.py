@@ -160,7 +160,7 @@ def find_nams_composed_batch(seqs: List[bytes], index_dev, params,
     iters) device arrays from `upload_index_split`."""
     from ..chain.nams import Nam, _nam_score, _rh_items
     from ..utils.sorting import introsort
-    from .chain_device import merge_hits_device
+    from .chain_device import iter_merged_nam_rows, merge_stream_device_padded
 
     idx_hi, idx_lo, idx_pos, idx_packed, bucket_starts, bits, iters = index_dev
     sp = params.syncmer
@@ -230,48 +230,19 @@ def find_nams_composed_batch(seqs: List[bytes], index_dev, params,
                     stream.append(x)
                     seg.append(j == 0)
                 metas.append(rid)
-            H = len(stream)
-            # pad the stream to a power-of-two length so the per-read
-            # merge reuses a handful of compiled programs (every distinct
-            # H is otherwise a fresh 20-40 s XLA compile on TPU)
-            Hp = 16
-            while Hp < H:
-                Hp *= 2
-            hits_arr = np.zeros((Hp, 4), dtype=np.int32)
-            hits_arr[:H] = np.asarray(stream, dtype=np.int32)
-            seg_arr_p = np.zeros(Hp, dtype=bool)
-            seg_arr_p[:H] = seg
-            valid_p = np.zeros(Hp, dtype=bool)
-            valid_p[:H] = True
-            rws, mask, ovf = merge_hits_device(
-                jnp.asarray(hits_arr), jnp.asarray(seg_arr_p),
-                jnp.asarray(valid_p), sp.k, merge_cap)
-            if bool(ovf):
+            seg_arr = np.asarray(seg, dtype=bool)
+            rws, mask, H, Hp, ovf = merge_stream_device_padded(
+                stream, seg_arr, sp.k, merge_cap)
+            if ovf:
                 bad = True
                 break
-            rws = np.asarray(rws)
-            mask = np.asarray(mask)
-            seg_arr = np.asarray(seg, dtype=bool)
-            grp_of_step = {}
-            g = -1
-            for s_i in range(H):
-                if seg_arr[s_i]:
-                    g += 1
-                grp_of_step[s_i] = g
-            grp_of_step[Hp] = g  # end-of-stream flush (last padded step)
-            for s_i in list(range(H)) + [Hp]:
-                if not mask[s_i].any():
-                    continue
-                gi = (grp_of_step[s_i] - 1
-                      if s_i < H and seg_arr[s_i] else grp_of_step[s_i])
-                rid = metas[gi]
-                for c in np.flatnonzero(mask[s_i]):
-                    qs, qe, rs_, re_, nhh = (int(v) for v in rws[s_i, c])
-                    nm = Nam(nam_id=len(nams), query_start=qs, query_end=qe,
-                             ref_start=rs_, ref_end=re_, n_hits=nhh,
-                             ref_id=rid, is_rc=bool(rc))
-                    nm.score = _nam_score(nm)
-                    nams.append(nm)
+            for gi, qs, qe, rs_, re_, nhh in iter_merged_nam_rows(
+                    rws, mask, seg_arr, H, Hp):
+                nm = Nam(nam_id=len(nams), query_start=qs, query_end=qe,
+                         ref_start=rs_, ref_end=re_, n_hits=nhh,
+                         ref_id=metas[gi], is_rc=bool(rc))
+                nm.score = _nam_score(nm)
+                nams.append(nm)
         out.append(None if bad else (nonrep, nams))
     return out
 

@@ -73,10 +73,20 @@ def probe_int16_lowering() -> bool:
         "RABBITSALIGN_TPU_CACHE", os.path.expanduser("~/.cache/rabbitsalign_tpu"))
     plat = _jax.devices()[0].platform
     path = os.path.join(cache_dir, f"int16_probe_{key}_{plat}.json")
+    def _warn_unlocked():
+        from ..utils.logger import logger
+
+        logger.warning(
+            "this toolchain now lowers ordered int16 vector compares — "
+            "flip ops/sw_pallas._pick_dtype to int16 for ~2x extend-kernel "
+            "throughput (body is dtype-generic; see docs/PERF.md)")
+
     try:
         with open(path) as f:
             ok = bool(json.load(f)["ordered_i16_compare"])
         _INT16_PROBE[key] = ok
+        if ok:
+            _warn_unlocked()  # keep warning every session until claimed
         return ok
     except Exception:
         pass
@@ -105,12 +115,7 @@ def probe_int16_lowering() -> bool:
     except Exception:
         pass
     if ok:
-        from ..utils.logger import logger
-
-        logger.warning(
-            "this toolchain now lowers ordered int16 vector compares — "
-            "flip ops/sw_pallas._pick_dtype to int16 for ~2x extend-kernel "
-            "throughput (body is dtype-generic; see docs/PERF.md)")
+        _warn_unlocked()
     return ok
 
 
@@ -379,8 +384,10 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
     t_end = jnp.min(t_cand, axis=0)
     q_end = jnp.argmax(is_best & (best_t == t_end[None, :]), axis=0).astype(jnp.int32)
     # dirs stay in their native (D, Q, B) layout — transposing 50MB of
-    # uint8 on-device costs more than the whole DP
-    return score, t_end, q_end, dirs, q_t.astype(jnp.int32), t_t.astype(jnp.int32)
+    # uint8 on-device costs more than the whole DP. The returned code
+    # planes are the PAD-ENFORCED ones (code 4 past qlen/tlen) so a
+    # consumer reading past the lengths can never see a fake match.
+    return score, t_end, q_end, dirs, q_acc.astype(jnp.int32), t_i32
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -111,6 +111,13 @@ class ShardedIndex:
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         n_shards = n_shards or mesh.devices.size
+        if n_shards != mesh.devices.size:
+            # the shard_map locals read exactly one shard row each
+            # (h_sh[0]); several shards per device would be silently
+            # dropped from every lookup
+            raise ValueError(
+                f"n_shards ({n_shards}) must equal the mesh size "
+                f"({mesh.devices.size}): one shard per device")
         h, p, k, r, starts = shard_index_by_hash(
             index.hashes, index.positions, index.packed, n_shards,
             _bucket_reachable(index),

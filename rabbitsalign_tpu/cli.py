@@ -61,6 +61,19 @@ class CommandLineOptions:
     reads_filename2: str = ""
     is_SE: bool = True
     is_interleaved: bool = False
+    # TPU-native extensions (declared here so programmatic callers get
+    # the SAME defaults the CLI sets — the getattr fallbacks in
+    # pipeline/runner.py had drifted to different values)
+    tpu_batch: int = 1024
+    use_tpu: bool = True
+    deterministic: bool = False
+    pe_ref_async: bool = False
+    device_seed: bool = False
+    shard_index: bool = False
+    profile_dir: Optional[str] = None
+    num_nodes: int = 1
+    node_id: int = 0
+    coordinator: Optional[str] = None
 
 
 def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLineOptions:
@@ -149,7 +162,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
                    help="Round-robin chunk handout to worker threads so "
                         "N-thread PE output is reproducible run to run")
     p.add_argument("--tpu-batch", type=int, default=None, metavar="INT",
-                   help="TPU extension batch size [512]")
+                   help="TPU extension batch size cap [1024]")
     p.add_argument("--no-tpu", action="store_true",
                    help="Disable the TPU extend path (host alignment only)")
     p.add_argument("--profile", metavar="DIR", default=None,
@@ -224,12 +237,18 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     opt.reads_filename1 = args.reads1
     opt.is_interleaved = args.interleaved
     if args.reads2:
+        if args.interleaved:
+            # reference src/main.cpp:138 rejects the combination; two
+            # files + the flag would otherwise silently pair positionally
+            p.error("Cannot specify both --interleaved and two read files")
         opt.reads_filename2 = args.reads2
         opt.is_SE = False
     elif args.interleaved:
         opt.is_SE = False
 
     opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 1024
+    if opt.tpu_batch < 8:
+        p.error("--tpu-batch must be at least 8")
     opt.deterministic = args.deterministic
     opt.pe_ref_async = args.pe_ref_async
     opt.device_seed = args.device_seed

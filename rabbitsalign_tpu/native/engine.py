@@ -391,6 +391,8 @@ class NativeEngine:
         kernel runs per `sub`-column group inside one dispatch. Jobs that
         fit no bucket — or tiny leftover batches not worth a round trip —
         resolve natively in phase B."""
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
         if chunk.n_jobs == 0:
             return []
         q = chunk.qlens[: chunk.n_jobs]

@@ -495,7 +495,8 @@ def native_pipeline_available() -> bool:
 
 
 def prewarm_extend_programs(aln_params, batch_size: int = 1024,
-                            ref_codes=None, r: int = 150):
+                            ref_codes=None, r: int = 150,
+                            ref_len: int = None):
     """Compile (or cache-load) the device extend programs for every
     bucket shape in a daemon thread, so the work overlaps reference
     loading / index building instead of stalling the first chunks
@@ -543,14 +544,16 @@ def prewarm_extend_programs(aln_params, batch_size: int = 1024,
                         break
                     g *= 2
                 for B in sorted(shapes):
-                    if ref_codes is not None:
+                    if ref_codes is not None or ref_len is not None:
                         # production layout (device-resident reference):
-                        # AOT lower+compile from shapes only, so the
-                        # genome is never uploaded just to warm the cache
+                        # AOT lower+compile from shapes only — only the
+                        # genome LENGTH matters, so callers can pass
+                        # ref_len and skip materializing a coded copy
                         from ..ops.extend_device import (
                             REF_PAGE_OVERLAP, REF_PAGE_SIZE)
 
-                        n = int(ref_codes.shape[0])
+                        n = (int(ref_len) if ref_len is not None
+                             else int(ref_codes.shape[0]))
                         n_pages = max(1, -(-n // REF_PAGE_SIZE))
                         width = (min(REF_PAGE_SIZE, max(n, 1))
                                  + REF_PAGE_OVERLAP)
@@ -692,7 +695,8 @@ class ThreadedNativePipeline:
         self._counters = []
         self._timers = []
 
-    def map_file(self, path1, path2, interleaved, chunk_size, write) -> int:
+    def map_file(self, path1, path2, interleaved, chunk_size, write,
+                 progress=None) -> int:
         import queue
         import threading
 
@@ -787,6 +791,8 @@ class ThreadedNativePipeline:
         try:
             for ci, fx, np_, ns in reader:
                 n_reads[0] += 2 * np_ + ns
+                if progress is not None:
+                    progress(n_reads[0])
                 q_i = ci % len(in_qs)
                 # bounded put that cannot deadlock if all workers died
                 while True:

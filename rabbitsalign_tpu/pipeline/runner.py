@@ -78,20 +78,16 @@ def run_aligner(opt: CommandLineOptions) -> int:
         f"({len(references)} contig{'s' if len(references) != 1 else ''})"
     )
 
-    if getattr(opt, "use_tpu", False):
+    if getattr(opt, "use_tpu", False) and not opt.only_gen_index:
         # compile/cache-load the device extend programs (production layout:
         # device-resident reference, so the program shape depends on the
-        # genome length) while the host builds or reads the index
+        # genome length) while the host builds or reads the index. Only
+        # the genome LENGTH is needed — no coded copy. An -i run never
+        # maps, so it must not pay (or block exit on) these compiles.
         from .native_pipeline import prewarm_extend_programs
 
-        _table = np.full(256, 4, dtype=np.uint8)
-        for _c, _v in ((65, 0), (67, 1), (71, 2), (84, 3)):
-            _table[_c] = _v
-            _table[_c + 32] = _v
-        _codes = _table[np.frombuffer(b"".join(references.sequences),
-                                      dtype=np.uint8)]
-        prewarm_extend_programs(aln_params, getattr(opt, "tpu_batch", 512),
-                                ref_codes=_codes, r=opt.r)
+        prewarm_extend_programs(aln_params, getattr(opt, "tpu_batch", 1024),
+                                r=opt.r, ref_len=references.total_length())
 
     index = StrobemerIndex(references, index_parameters, opt.bits)
     if opt.use_index:
@@ -197,9 +193,13 @@ def _map_reads(
     except Exception:  # pragma: no cover - defensive
         native_pipeline_available = lambda: False  # noqa: E731
 
-    multihost = (
-        native_pipeline_available() and getattr(opt, "num_nodes", 1) > 1
-    )
+    multihost = getattr(opt, "num_nodes", 1) > 1
+    if multihost and not native_pipeline_available():
+        # N pod hosts silently falling back to the single-node path would
+        # all map the full input into the SAME output file concurrently
+        raise RuntimeError(
+            "--num-nodes > 1 requires the native engine; it failed to "
+            "build/load on this host")
     if map_param.is_sam_out and not multihost:
         cmd_line = " ".join(sys.argv)
         out.write(
@@ -230,7 +230,12 @@ def _map_reads(
             index, index_parameters, references, aln_params, map_param,
             opt.read_group_id, use_device=use_tpu,
             batch_size=getattr(opt, "tpu_batch", 1024),
+            device_seed=getattr(opt, "device_seed", False),
+            shard_index=getattr(opt, "shard_index", False),
         )
+        if opt.n_threads > 1 or getattr(opt, "deterministic", False):
+            logger.info("multi-host mode runs one mapping thread per host; "
+                        "-t/--deterministic apply to single-host runs")
         writer = ShardWriter(opt.output_file_name, pid, pcount)
         t0 = time.perf_counter()
         n_reads = pipeline.map_file_sharded(
@@ -272,7 +277,7 @@ def _map_reads(
             t0 = time.perf_counter()
             n_reads = pipeline.map_file(
                 opt.reads_filename1, opt.reads_filename2, opt.is_interleaved,
-                opt.chunk_size, out.write,
+                opt.chunk_size, out.write, progress=_make_progress(opt, t0),
             )
             elapsed = time.perf_counter() - t0
         else:
@@ -285,14 +290,14 @@ def _map_reads(
             )
             t0 = time.perf_counter()
             progress = _make_progress(opt, t0)
-            try:
-                # fully-native input path (C++ chunked FASTQ reader)
-                n_reads = pipeline.map_file(
-                    opt.reads_filename1, opt.reads_filename2, opt.is_interleaved,
-                    opt.chunk_size, out.write, progress=progress,
-                )
-            except RuntimeError:  # pragma: no cover - reader unavailable
-                n_reads = pipeline.map_all(input_buffer.chunks(), out.write)
+            # fully-native input path (C++ chunked FASTQ reader). No
+            # retry-from-scratch fallback here: map_file writes output
+            # incrementally, so re-running after a mid-run failure would
+            # append duplicate records — let the error propagate.
+            n_reads = pipeline.map_file(
+                opt.reads_filename1, opt.reads_filename2, opt.is_interleaved,
+                opt.chunk_size, out.write, progress=progress,
+            )
             elapsed = time.perf_counter() - t0
         c = pipeline.counters()
         logger.info(f"Mapped {n_reads} reads in {elapsed:.2f} s "

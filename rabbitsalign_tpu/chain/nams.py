@@ -324,8 +324,14 @@ def find_nams_rescue(
         else:
             hits_fw.append(rh)
 
-    introsort(hits_fw, [(r[0] << 32) | (r[1] << 16) | r[2] for r in hits_fw], False)
-    introsort(hits_rc, [(r[0] << 32) | (r[1] << 16) | r[2] for r in hits_rc], False)
+    # 24-bit query-coordinate fields (16-bit would alias for >=64 kbp
+    # reads); the count clamps to 16 bits to fit uint64 — order within
+    # counts >= 65535 is unobservable, the take-rule walk hard-stops at
+    # the first count > 1000 (reference nam.cpp:992), and (qs, qe) is
+    # unique per strand so the observable region has no ties
+    key = lambda r: (min(r[0], 0xFFFF) << 48) | (r[1] << 24) | r[2]
+    introsort(hits_fw, [key(r) for r in hits_fw], False)
+    introsort(hits_rc, [key(r) for r in hits_rc], False)
 
     rhs: List[List[Tuple[int, int, int, int]]] = [[], []]
     for is_revcomp, rescue_hits in enumerate((hits_fw, hits_rc)):

@@ -162,10 +162,13 @@ def find_nams_rescue_sharded(
 
     # 24-bit fields for the query coordinates so the packed key orders
     # exactly like the reference's (count, qs, qe) tuple compare for any
-    # read length (Python ints don't overflow; 16-bit fields would
-    # alias for reads >= 64 kbp)
-    introsort(hits_fw, [(r[0] << 48) | (r[1] << 24) | r[2] for r in hits_fw], False)
-    introsort(hits_rc, [(r[0] << 48) | (r[1] << 24) | r[2] for r in hits_rc], False)
+    # read length (16-bit fields would alias for reads >= 64 kbp). The
+    # count clamps to 16 bits to keep the key inside uint64: relative
+    # order WITHIN counts >= 65535 is unobservable — the take-rule walk
+    # hard-stops at the first count > 1000 (reference nam.cpp:992)
+    key = lambda r: (min(r[0], 0xFFFF) << 48) | (r[1] << 24) | r[2]
+    introsort(hits_fw, [key(r) for r in hits_fw], False)
+    introsort(hits_rc, [key(r) for r in hits_rc], False)
 
     rhs: List[List[Tuple[int, int, int, int]]] = [[], []]
     for is_revcomp, rescue_hits in enumerate((hits_fw, hits_rc)):

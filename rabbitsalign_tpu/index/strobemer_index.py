@@ -254,6 +254,14 @@ class StrobemerIndex:
             self.randstrobe_start_indices = np.full(n_buckets + 1, 0, dtype=np.uint64)
             return
         change = np.flatnonzero(self.hashes[1:] != self.hashes[:-1]) + 1
+        if change.shape[0] == 0:
+            # all hashes equal (e.g. one randstrobe from a tiny contig):
+            # the reference loop `continue`s every position, leaving all
+            # buckets at the end guard — the single run is unreachable,
+            # per the first-run quirk above
+            self.randstrobe_start_indices = np.full(
+                n_buckets + 1, n, dtype=np.uint64)
+            return
         tops_at_change = (self.hashes[change] >> np.uint64(64 - self.bits)).astype(np.uint64)
         wanted = np.arange(n_buckets + 1, dtype=np.uint64)
         idx = np.searchsorted(tops_at_change, wanted, side="left")

@@ -40,14 +40,21 @@ class References:
 
     @staticmethod
     def from_fasta(path: str) -> "References":
-        opener = gzip.open if str(path).endswith(".gz") else open
+        # gzip detected by magic bytes like the reference's zstr (an
+        # extension check would reject a gzipped file named *.fa)
+        with open(path, "rb") as probe:
+            magic = probe.read(2)
+        opener = gzip.open if magic == b"\x1f\x8b" else open
         refs = References()
         name = None
         chunks: List[bytes] = []
         with opener(path, "rb") as f:
             first = True
             for raw in f:
-                line = raw.rstrip(b"\r\n")
+                # reference getline strips ONLY '\n': a CRLF file keeps
+                # its '\r' bytes in names and sequences (where they act
+                # as non-ACGT junk), and byte parity includes that
+                line = raw.rstrip(b"\n")
                 if first:
                     if not line.startswith(b">"):
                         raise InvalidFasta(

@@ -45,7 +45,12 @@ def parse_fastx(path: str) -> Iterator[SamRecord]:
                 qual = f.readline().rstrip(b"\r\n")
                 if not plus:
                     break
-                yield SamRecord(name.split()[0].decode() if name else "", seq, qual)
+                if not plus.startswith(b"+"):
+                    # wrapped-sequence or corrupt records: fail loudly
+                    # instead of consuming the wrong line as quality
+                    raise ValueError("malformed FASTQ record header")
+                parts = name.split()
+                yield SamRecord(parts[0].decode() if parts else "", seq, qual)
                 header = f.readline()
                 if not header:
                     break
@@ -57,21 +62,24 @@ def parse_fastx(path: str) -> Iterator[SamRecord]:
 
 
 def _fasta_record(name: bytes, chunks: List[bytes]) -> SamRecord:
-    return SamRecord(name.split()[0].decode() if name else "", b"".join(chunks), b"")
+    parts = name.split()
+    return SamRecord(parts[0].decode() if parts else "", b"".join(chunks), b"")
 
 
 def same_name(n1: str, n2: str) -> bool:
-    """Names equal, or equal except for a trailing 1/2 after a separator
-    (reference src/pc.cpp:23-36)."""
+    """reference src/pc.cpp:23-36, exactly: names of length <= 2 compare
+    plainly; otherwise equal prefixes, then a trailing /1 vs /2 pairs
+    ONLY when the '/' separator is present (READ_A1/READ_A2 are two
+    single-end reads in the reference, not a pair)."""
     if len(n1) != len(n2):
         return False
-    if n1 == n2:
-        return True
-    if len(n1) < 2:
-        return False
+    if len(n1) <= 2:
+        return n1 == n2
     if n1[:-1] != n2[:-1]:
         return False
-    return n1[-1] == "1" and n2[-1] == "2"
+    if n1[-2] == "/" and n1[-1] == "1" and n2[-1] == "2":
+        return True
+    return n1[-1] == n2[-1]
 
 
 class InputBuffer:
@@ -98,7 +106,14 @@ class InputBuffer:
                     try:
                         r1.append(next(it1))
                     except StopIteration:
-                        break
+                        # symmetric check: extra mates in file2 are an
+                        # error too, not silently dropped
+                        try:
+                            next(it2)
+                        except StopIteration:
+                            break
+                        raise ValueError(
+                            "paired input files have different lengths")
                     try:
                         r2.append(next(it2))
                     except StopIteration:
@@ -108,38 +123,38 @@ class InputBuffer:
                 yield idx, r1, r2, []
                 idx += 1
         elif self.is_interleaved:
+            # reference pc.cpp:90-92: each chunk is EXACTLY 2*chunk_size
+            # RAW records (not chunk_size pairs), and pairing is
+            # batch-local — a pair straddling the chunk boundary becomes
+            # two single-end reads (distribute_interleaved's lookahead
+            # carry is dead code: its scan loop always consumes the last
+            # record into records3 first)
             it = parse_fastx(self.path1)
             idx = 0
-            pending: Optional[SamRecord] = None
-            done = False
-            while not done:
+            while True:
+                raw: List[SamRecord] = []
+                for _ in range(2 * self.chunk_size):
+                    try:
+                        raw.append(next(it))
+                    except StopIteration:
+                        break
+                if not raw:
+                    break
                 r1: List[SamRecord] = []
                 r2: List[SamRecord] = []
                 r3: List[SamRecord] = []
-                while len(r1) + len(r3) < self.chunk_size:
-                    if pending is None:
-                        try:
-                            pending = next(it)
-                        except StopIteration:
-                            done = True
-                            break
-                    try:
-                        nxt = next(it)
-                    except StopIteration:
-                        r3.append(pending)
-                        pending = None
-                        done = True
-                        break
-                    if same_name(pending.name, nxt.name):
-                        r1.append(pending)
-                        r2.append(nxt)
-                        pending = None
+                i = 0
+                while i < len(raw):
+                    if i + 1 < len(raw) and same_name(raw[i].name,
+                                                      raw[i + 1].name):
+                        r1.append(raw[i])
+                        r2.append(raw[i + 1])
+                        i += 2
                     else:
-                        r3.append(pending)
-                        pending = nxt
-                if r1 or r3:
-                    yield idx, r1, r2, r3
-                    idx += 1
+                        r3.append(raw[i])
+                        i += 1
+                yield idx, r1, r2, r3
+                idx += 1
         else:
             it = parse_fastx(self.path1)
             idx = 0
@@ -156,13 +171,19 @@ class InputBuffer:
                 idx += 1
 
 
-def estimate_read_length(path1: str, path2: str = "") -> int:
-    """Average length of the first 500 records (reference src/readlen.cpp)."""
+def estimate_read_length(path1: str, path2: str = "",
+                         interleaved: bool = False) -> int:
+    """Average length of one read_records(500) chunk (reference
+    src/readlen.cpp): 500 records for SE, 500 from each file for PE,
+    and 2*500 raw records for interleaved input."""
     tot = 0
     n = 0
-    for path in filter(None, [path1, path2]):
+    limit1 = 1000 if interleaved else 500
+    for path, limit in ((path1, limit1), (path2, 500)):
+        if not path:
+            continue
         for i, rec in enumerate(parse_fastx(path)):
-            if i >= 500:
+            if i >= limit:
                 break
             tot += len(rec.seq)
             n += 1

@@ -3847,7 +3847,13 @@ struct FxParser {
         rec.name.assign(line, 1, line.size() - 1);
         cut_name(rec.name);
         if (!rd.getline(rec.seq)) return false;
-        if (!rd.getline(line)) return false;  // +
+        if (!rd.getline(line)) return false;  // + separator
+        if (line.empty() || line[0] != '+') {
+            // wrapped-sequence or corrupt records: fail loudly instead
+            // of consuming the wrong line as quality
+            error = 1;
+            return false;
+        }
         if (!rd.getline(rec.qual)) {
             rec.qual.clear();
             return true;
@@ -3856,13 +3862,17 @@ struct FxParser {
     }
 };
 
-// reference src/pc.cpp:23-36 same_name
+// reference src/pc.cpp:23-36, exactly: length <= 2 compares plainly;
+// otherwise equal prefixes, and the trailing 1/2 pairs ONLY after a '/'
+// separator (READ_A1/READ_A2 are two singles in the reference)
 static bool fx_same_name(const std::string& n1, const std::string& n2) {
     if (n1.size() != n2.size()) return false;
-    if (n1 == n2) return true;
-    if (n1.size() < 2) return false;
-    if (n1.compare(0, n1.size() - 1, n2, 0, n2.size() - 1) != 0) return false;
-    return n1.back() == '1' && n2.back() == '2';
+    if (n1.size() <= 2) return n1 == n2;
+    size_t last = n1.size() - 1;
+    if (n1.compare(0, last, n2, 0, last) != 0) return false;
+    if (n1[last - 1] == '/' && n1[last] == '1' && n2[last] == '2')
+        return true;
+    return n1[last] == n2[last];
 }
 
 struct FxChunk {
@@ -3899,8 +3909,6 @@ struct FxReader {
     bool interleaved = false;
     i64 chunk_reads = 10000;
     int error = 0;
-    bool have_pending = false;
-    FxRecord pending;
     bool done = false;
 };
 
@@ -3943,6 +3951,9 @@ static bool fx_produce(engine::FxReader* r, engine::FxChunk* ch) {
         for (i64 i = 0; i < r->chunk_reads; ++i) {
             if (!r->p1.next(rec1)) {
                 r->done = true;
+                // symmetric check: extra mates in file2 are an error
+                // too, not silently dropped
+                if (r->p2.next(rec2)) r->error = 3;
                 break;
             }
             if (!r->p2.next(rec2)) {
@@ -3954,34 +3965,34 @@ static bool fx_produce(engine::FxReader* r, engine::FxChunk* ch) {
             ch->n_pairs++;
         }
     } else if (r->interleaved) {
-        // reference src/pc.cpp:42-72 distribute_interleaved: pairs by
-        // consecutive same-name records, leftovers become singles.
+        // reference pc.cpp:90-92 + distribute_interleaved (:42-72): a
+        // chunk is EXACTLY 2*chunk_reads RAW records, paired by
+        // consecutive same-name WITHIN the batch only — a pair
+        // straddling the chunk boundary becomes two single-end reads
+        // (the reference's lookahead carry is dead code: the scan loop
+        // always consumes the batch's last record into records3 first).
         // Pairs must precede singles in the blob, so collect separately.
-        engine::FxChunk pairs, singles;
-        while (pairs.n_pairs + singles.n_singles < r->chunk_reads) {
-            if (!r->have_pending) {
-                if (!r->p1.next(r->pending)) {
-                    r->done = true;
-                    break;
-                }
-                r->have_pending = true;
-            }
-            if (!r->p1.next(rec2)) {
-                singles.push(r->pending);
-                singles.n_singles++;
-                r->have_pending = false;
+        std::vector<engine::FxRecord> raw;
+        raw.reserve((size_t)(2 * r->chunk_reads));
+        for (i64 i = 0; i < 2 * r->chunk_reads; ++i) {
+            if (!r->p1.next(rec1)) {
                 r->done = true;
                 break;
             }
-            if (engine::fx_same_name(r->pending.name, rec2.name)) {
-                pairs.push(r->pending);
-                pairs.push(rec2);
+            raw.push_back(std::move(rec1));
+        }
+        engine::FxChunk pairs, singles;
+        for (size_t i = 0; i < raw.size();) {
+            if (i + 1 < raw.size() &&
+                engine::fx_same_name(raw[i].name, raw[i + 1].name)) {
+                pairs.push(raw[i]);
+                pairs.push(raw[i + 1]);
                 pairs.n_pairs++;
-                r->have_pending = false;
+                i += 2;
             } else {
-                singles.push(r->pending);
+                singles.push(raw[i]);
                 singles.n_singles++;
-                r->pending = rec2;
+                i += 1;
             }
         }
         // concatenate pairs then singles

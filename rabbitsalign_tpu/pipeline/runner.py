@@ -38,7 +38,8 @@ def run_aligner(opt: CommandLineOptions) -> int:
         raise ValueError("c must be greater than 0 and less than 64")
 
     if not opt.r_set and opt.reads_filename1:
-        opt.r = estimate_read_length(opt.reads_filename1, opt.reads_filename2)
+        opt.r = estimate_read_length(opt.reads_filename1, opt.reads_filename2,
+                                     opt.is_interleaved)
         logger.info(f"Estimated read length: {opt.r} bp")
 
     index_parameters = IndexParameters.from_read_length(

@@ -21,13 +21,16 @@ def introsort(lst: list, keys, descending: bool) -> None:
     perm = None
     try:
         from ..native import sort_perm
-
+    except Exception:  # pragma: no cover - native library unavailable
+        perm = None
+    else:
+        # key-conversion errors (e.g. a packed key overflowing uint64)
+        # must PROPAGATE: silently falling back to the stable sort would
+        # lose the std::sort tie permutation this module exists for
         perm = sort_perm(
             np.asarray(keys, dtype=np.float64 if descending else np.uint64),
             descending,
         )
-    except Exception:  # pragma: no cover - defensive
-        perm = None
     if perm is None:
         perm = sorted(range(len(lst)),
                       key=(lambda i: -keys[i]) if descending else (lambda i: keys[i]))

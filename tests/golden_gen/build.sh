@@ -53,6 +53,9 @@ echo built ssw_golden
 # exact function bodies are extracted at build time — fixture generation
 # against the read-only reference, like every other golden here.
 sed -n '177,368p' /root/reference/src/pc.cpp > pc_part2.inc
+# the reference's interleaved pairing rules (same_name +
+# distribute_interleaved), compiled verbatim for map_golden's ilv mode
+sed -n '23,72p' /root/reference/src/pc.cpp > pc_interleave.inc
 # gasal2_ssw.h is neutralized by pre-defining its header guard and
 # forward-declaring the one type used as an opaque pointer.
 cat > gasal_stub.h <<'HDR'

@@ -35,6 +35,11 @@
 // compiled: RabbitFX + CUDA dependencies).
 #include "pc_part2.inc"
 
+// The reference's interleaved pairing rules (same_name +
+// distribute_interleaved, src/pc.cpp:23-72), extracted the same way.
+#include <optional>
+#include "pc_interleave.inc"
+
 static bool read_fastq(std::istream& in, klibpp::KSeq& rec) {
     std::string header, seq, plus, qual;
     if (!std::getline(in, header)) return false;
@@ -314,6 +319,48 @@ int main(int argc, char** argv) {
         }
         flush_chunk();
         fwrite(sam_out.data(), 1, sam_out.size(), stdout);
+        return 0;
+    }
+
+    if (mode == "ilv") {
+        // Interleaved input driven by the REFERENCE's own batching: a
+        // chunk is EXACTLY 2*chunk_size raw records (pc.cpp:90-92) and
+        // distribute_interleaved (compiled verbatim above) pairs
+        // consecutive same-name records batch-locally; per chunk the
+        // worker maps pairs first (uppercased) then singles
+        // (pc.cpp:408-421), RNG seeded with the chunk index like the
+        // async workers (pc.cpp:583,706).
+        std::optional<klibpp::KSeq> lookahead1;
+        bool eof = false;
+        while (!eof) {
+            std::vector<klibpp::KSeq> raw;
+            for (int i = 0; i < 2 * chunk_size; ++i) {
+                if (!read_fastq(f1, rec1)) {
+                    eof = true;
+                    break;
+                }
+                raw.push_back(rec1);
+            }
+            std::vector<klibpp::KSeq> recs1, recs2, recs3;
+            distribute_interleaved(raw, recs1, recs2, recs3, lookahead1);
+            if (recs1.empty() && recs3.empty()) break;
+            engine.seed((unsigned)chunk_index);
+            for (size_t i = 0; i < recs1.size(); ++i) {
+                auto r1c = recs1[i];
+                auto r2c = recs2[i];
+                to_uppercase(r1c.seq);
+                to_uppercase(r2c.seq);
+                align_PE_read(r1c, r2c, sam, outstring, stats, isize,
+                              aligner, mp, ip, references, index, engine);
+            }
+            for (size_t i = 0; i < recs3.size(); ++i) {
+                align_SE_read(recs3[i], sam, outstring, stats, aligner, mp,
+                              ip, references, index, engine);
+            }
+            chunk_index++;
+        }
+        fwrite(sam_out.data(), 1, sam_out.size(), stdout);
+        fwrite(outstring.data(), 1, outstring.size(), stdout);
         return 0;
     }
 

@@ -3,7 +3,10 @@
 // rabbitsalign_tpu's index writer. Reads FASTA path, output path, f and
 // read-length from argv.
 //
-// Usage: sti_golden <ref.fa> <out.sti> <f> <read_length>
+// Usage: sti_golden <ref.fa> <out.sti> <f> <read_length> [diag.csv]
+// The optional 5th argument also writes the reference's
+// --index-statistics CSV (StrobemerIndex::print_diagnostics) for
+// byte-comparison with index/diagnostics.py.
 
 #include <cstdio>
 #include <cstdlib>
@@ -24,6 +27,7 @@ int main(int argc, char** argv) {
     StrobemerIndex index(refs, params);
     index.populate(f, 1);
     index.write(argv[2]);
+    if (argc > 5) index.print_diagnostics(argv[5], params.syncmer.k);
     printf("bits %d filter_cutoff %u size %zu\n", index.get_bits(), index.filter_cutoff, index.size());
     return 0;
 }

@@ -263,6 +263,83 @@ def test_pe_lowercase_concordance(world):
 COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
 
 
+def test_interleaved_concordance(world, tmp_path):
+    """Interleaved input against the reference's OWN batching/pairing
+    code (map_golden 'ilv' mode compiles pc.cpp's same_name +
+    distribute_interleaved verbatim): chunks are 2*chunk_size RAW
+    records, pairing is batch-local (a pair straddling the boundary
+    becomes two singles), names pair on equality or a '/1'-'/2' suffix
+    ONLY (A1/A2 without the separator stay single-end). Mixed input with
+    orphans exercises all of it; Python layer and native engine must
+    both match byte for byte."""
+    tmp, genome, ref, refs, params, index = world
+    r = random.Random(99)
+    lines = []
+    k = 0
+    for i in range(420):
+        st = r.randrange(0, len(genome) - 900)
+        ins = max(180, min(600, int(r.gauss(300, 50))))
+        a = list(genome[st : st + 150])
+        a[r.randrange(150)] = r.choice("ACGT")
+        a = "".join(a)
+        b = "".join(COMP[c] for c in reversed(genome[st + ins - 150 : st + ins]))
+        kind = i % 7
+        if kind < 3:  # proper pair, /1 /2 names
+            lines += [(f"p{k}/1", a), (f"p{k}/2", b)]
+        elif kind == 3:  # pair via EQUAL names
+            lines += [(f"e{k}", a), (f"e{k}", b)]
+        elif kind == 4:  # orphan single
+            lines += [(f"s{k}", a)]
+        elif kind == 5:  # 1/2 suffix WITHOUT '/': reference treats as singles
+            lines += [(f"n{k}x1", a), (f"n{k}x2", b)]
+        else:  # two singles with different names
+            lines += [(f"u{k}a", a), (f"u{k}b", b)]
+        k += 1
+    fq = tmp_path / "ilv.fq"
+    write_fq(fq, lines)
+    golden = run_golden(ref, fq, None, "ilv")
+
+    from rabbitsalign_tpu.io.fastq import InputBuffer
+
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = 2 * index.filter_cutoff
+    aligner = Aligner(AlignmentParameters())
+    stats = AlignmentStatistics()
+    isize = InsertSizeDistribution()
+    sam = Sam(refs, CIGAR_OPS_M, "", mp.output_unmapped, mp.details)
+    engine = MinstdRand(0)
+    for ci, r1, r2, r3 in InputBuffer(str(fq), "", CHUNK, True).chunks():
+        engine.seed(ci)
+        for rec1, rec2 in zip(r1, r2):
+            a1 = SamRecord(rec1.name, rec1.seq.upper(), rec1.qual)
+            a2 = SamRecord(rec2.name, rec2.seq.upper(), rec2.qual)
+            align_PE_read(a1, a2, sam, [], stats, isize, aligner, mp,
+                          params, refs, index, engine)
+        for rec in r3:
+            align_SE_read(rec, sam, [], stats, aligner, mp, params, refs,
+                          index, engine)
+    ours = sam.take()
+    assert golden == ours, diff_head(golden, ours)
+
+    # native engine through its own interleaved reader
+    from rabbitsalign_tpu.native.engine import (
+        NativeEngine,
+        NativeReader,
+        engine_available,
+    )
+
+    if engine_available():
+        eng = NativeEngine(index, params, refs, AlignmentParameters(), mp, "")
+        reader = NativeReader(str(fq), "", True, CHUNK)
+        texts = []
+        for ci, fx, _, _ in reader:
+            ch = eng.chunk_a_fx(fx, ci)
+            reader.free_chunk(fx)
+            texts.append(eng.chunk_b(ch))
+        reader.close()
+        assert golden == "".join(texts), diff_head(golden, "".join(texts))
+
+
 @pytest.mark.parametrize("read_len", [50, 100, 300])
 def test_profile_concordance(tmp_path, read_len):
     """Non-default read-length profiles: the reference picks (k, s, l, u)

@@ -716,6 +716,13 @@ def test_native_reader_error_contract(tmp_path, producer):
     reader.close()
     assert seen == []  # pair 8 of chunk 0 fails -> whole chunk dropped
 
+    # symmetric: file2 LONGER is an error too, not silently dropped
+    reader = NativeReader(str(fq2), str(fq1), False, 10, producer=producer)
+    with pytest.raises(ValueError, match="different lengths"):
+        for ci, ch, n_pairs, n_singles in reader:
+            reader.free_chunk(ch)
+    reader.close()
+
 
 @pytest.mark.parametrize("cfg", [
     # (k, s, l, u, A, B, O, E, L)

@@ -12,8 +12,8 @@ from rabbitsalign_tpu.io.fasta import References
 from .util import build_golden, have_reference, random_dna
 
 
-def make_refs(tmp_path, contigs):
-    path = tmp_path / "ref.fa"
+def make_refs(tmp_path, contigs, name="ref.fa"):
+    path = tmp_path / name
     with open(path, "w") as f:
         for i, seq in enumerate(contigs):
             f.write(f">c{i} desc here\n")
@@ -91,8 +91,10 @@ def test_sti_byte_identical_with_reference(tmp_path):
     ]
     path = make_refs(tmp_path, contigs)
     golden_sti = tmp_path / "golden.sti"
+    golden_csv = tmp_path / "golden.csv"
     subprocess.run(
-        [str(binary), str(path), str(golden_sti), "0.0002", "150"],
+        [str(binary), str(path), str(golden_sti), "0.0002", "150",
+         str(golden_csv)],
         check=True,
         capture_output=True,
     )
@@ -103,3 +105,50 @@ def test_sti_byte_identical_with_reference(tmp_path):
     mine_sti = tmp_path / "mine.sti"
     idx.write(str(mine_sti))
     assert golden_sti.read_bytes() == mine_sti.read_bytes()
+
+    # --index-statistics CSV: byte-identical to the reference's
+    # print_diagnostics (suffix get_count, integer-division e_count,
+    # always-zero median — replicated bug-for-bug)
+    from rabbitsalign_tpu.index.diagnostics import print_diagnostics
+
+    mine_csv = tmp_path / "mine.csv"
+    print_diagnostics(idx, str(mine_csv), params.syncmer.k)
+    assert golden_csv.read_bytes() == mine_csv.read_bytes()
+
+    # CRLF line endings: the reference's getline strips only '\n', so
+    # '\r' bytes stay in names and sequences (junk bases at every line
+    # break) — byte parity includes that quirk
+    crlf = tmp_path / "crlf.fa"
+    seq = random_dna(3000, seed=55)
+    crlf.write_bytes(b">cr1 desc\r\n" + b"\r\n".join(
+        seq[j : j + 60].encode() for j in range(0, len(seq), 60)) + b"\r\n")
+    golden_crlf = tmp_path / "golden_crlf.sti"
+    subprocess.run(
+        [str(binary), str(crlf), str(golden_crlf), "0.0002", "150"],
+        check=True, capture_output=True,
+    )
+    refs_c = References.from_fasta(str(crlf))
+    assert refs_c.names[0] == "cr1"  # name cut at the space before '\r'
+    assert b"\r" in refs_c.sequences[0] or b"\x0d" in refs_c.sequences[0]
+    idx_c = StrobemerIndex(refs_c, params)
+    idx_c.populate(0.0002)
+    mine_crlf = tmp_path / "mine_crlf.sti"
+    idx_c.write(str(mine_crlf))
+    assert golden_crlf.read_bytes() == mine_crlf.read_bytes()
+
+    # degenerate: one tiny contig whose index has a single hash value, so
+    # the bucket pass sees zero hash changes (regression: the vectorized
+    # bucket build crashed; the reference leaves every bucket at the end
+    # guard)
+    path2 = make_refs(tmp_path, [random_dna(50, seed=77)], name="tiny.fa")
+    golden2 = tmp_path / "golden2.sti"
+    subprocess.run(
+        [str(binary), str(path2), str(golden2), "0.0002", "150"],
+        check=True, capture_output=True,
+    )
+    refs2 = References.from_fasta(str(path2))
+    idx2 = StrobemerIndex(refs2, params)
+    idx2.populate(0.0002)
+    mine2 = tmp_path / "mine2.sti"
+    idx2.write(str(mine2))
+    assert golden2.read_bytes() == mine2.read_bytes()

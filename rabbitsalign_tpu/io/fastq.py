@@ -49,9 +49,14 @@ def parse_fastx(path: str) -> Iterator[SamRecord]:
                     # wrapped-sequence or corrupt records: fail loudly
                     # instead of consuming the wrong line as quality
                     raise ValueError("malformed FASTQ record header")
-                parts = name.split()
-                yield SamRecord(parts[0].decode() if parts else "", seq, qual)
-                header = f.readline()
+                yield SamRecord(_cut_name(name), seq, qual)
+                # skip blank lines at the header position (trailing
+                # newlines are ubiquitous; same rule as the native
+                # parser)
+                while True:
+                    header = f.readline()
+                    if not header or header.rstrip(b"\r\n"):
+                        break
                 if not header:
                     break
                 if not header.startswith(b"@"):
@@ -61,9 +66,15 @@ def parse_fastx(path: str) -> Iterator[SamRecord]:
             raise ValueError(f"{path}: not a FASTA or FASTQ file")
 
 
+def _cut_name(name: bytes) -> str:
+    """QNAME tokenization, identical to the native parser's cut_name:
+    truncate at the first ' ' or '\\t' (no leading-whitespace strip —
+    '@ read1' has the empty QNAME in both layers)."""
+    return name.split(b" ", 1)[0].split(b"\t", 1)[0].decode()
+
+
 def _fasta_record(name: bytes, chunks: List[bytes]) -> SamRecord:
-    parts = name.split()
-    return SamRecord(parts[0].decode() if parts else "", b"".join(chunks), b"")
+    return SamRecord(_cut_name(name), b"".join(chunks), b"")
 
 
 def same_name(n1: str, n2: str) -> bool:

@@ -3839,8 +3839,14 @@ struct FxParser {
             return true;
         }
         // FASTQ
-        if (!rd.getline(line)) return false;  // @header
-        if (line.empty() || line[0] != '@') {
+        // skip blank lines at the header position: trailing newlines
+        // are ubiquitous (RabbitFX treats a blank line as EOF; kseq
+        // skips junk — skipping blanks covers both without silently
+        // truncating at a mid-file blank the way RabbitFX does)
+        do {
+            if (!rd.getline(line)) return false;  // EOF
+        } while (line.empty());
+        if (line[0] != '@') {
             error = 1;
             return false;
         }
@@ -3908,8 +3914,13 @@ struct FxReader {
     bool paired = false;
     bool interleaved = false;
     i64 chunk_reads = 10000;
-    int error = 0;
+    // atomic: the async producer writes it mid-produce while the
+    // consumer polls fastx_error_async (codes: 1 malformed, 2 unknown
+    // format, 3 paired length mismatch)
+    std::atomic<int> error{0};
     bool done = false;
+    std::vector<FxRecord> ilv_raw;  // interleaved batch scratch
+    std::vector<u8> ilv_pair;
 };
 
 }  // namespace engine
@@ -3936,9 +3947,12 @@ void* fastx_open(const char* path1, const char* path2, int interleaved,
     return r;
 }
 
-int fastx_error(void* r_) { 
+int fastx_error(void* r_) {
+    // reads ONLY the folded atomic: the per-file error fields are
+    // written by the producer thread mid-produce (fx_produce folds them
+    // into r->error before returning, so nothing is lost)
     auto* r = (engine::FxReader*)r_;
-    return r->error ? r->error : (r->p1.error | r->p2.error);
+    return r->error.load(std::memory_order_acquire);
 }
 
 // fill `ch` with the next chunk; returns false when nothing was read
@@ -3971,41 +3985,45 @@ static bool fx_produce(engine::FxReader* r, engine::FxChunk* ch) {
         // straddling the chunk boundary becomes two single-end reads
         // (the reference's lookahead carry is dead code: the scan loop
         // always consumes the batch's last record into records3 first).
-        // Pairs must precede singles in the blob, so collect separately.
-        std::vector<engine::FxRecord> raw;
-        raw.reserve((size_t)(2 * r->chunk_reads));
+        // Pairs must precede singles in the blob, so mark pair starts
+        // first, then push straight into the pooled chunk in two passes
+        // (no intermediate chunks or record copies: raw is reusable
+        // reader scratch whose strings keep their capacity, preserving
+        // the DataPool no-steady-state-allocation discipline).
+        auto& raw = r->ilv_raw;
+        i64 nraw = 0;
         for (i64 i = 0; i < 2 * r->chunk_reads; ++i) {
-            if (!r->p1.next(rec1)) {
+            if ((size_t)nraw == raw.size()) raw.emplace_back();
+            if (!r->p1.next(raw[nraw])) {
                 r->done = true;
                 break;
             }
-            raw.push_back(std::move(rec1));
+            ++nraw;
         }
-        engine::FxChunk pairs, singles;
-        for (size_t i = 0; i < raw.size();) {
-            if (i + 1 < raw.size() &&
-                engine::fx_same_name(raw[i].name, raw[i + 1].name)) {
-                pairs.push(raw[i]);
-                pairs.push(raw[i + 1]);
-                pairs.n_pairs++;
+        auto& is_pair = r->ilv_pair;  // 1 = first record of a pair
+        is_pair.assign((size_t)nraw, 0);
+        for (i64 i = 0; i + 1 < nraw;) {
+            if (engine::fx_same_name(raw[i].name, raw[i + 1].name)) {
+                is_pair[i] = 1;
                 i += 2;
             } else {
-                singles.push(raw[i]);
-                singles.n_singles++;
                 i += 1;
             }
         }
-        // concatenate pairs then singles
-        *ch = std::move(pairs);
-        for (i64 s = 0; s < singles.n_singles; ++s) {
-            engine::FxRecord tmp;
-            tmp.name.assign(singles.names, singles.name_off[s],
-                            singles.name_off[s + 1] - singles.name_off[s]);
-            tmp.seq.assign(singles.seqs, singles.seq_off[s],
-                           singles.seq_off[s + 1] - singles.seq_off[s]);
-            tmp.qual.assign(singles.quals, singles.qual_off[s],
-                            singles.qual_off[s + 1] - singles.qual_off[s]);
-            ch->push(tmp);
+        for (i64 i = 0; i < nraw; ++i) {
+            if (is_pair[i]) {
+                ch->push(raw[i]);
+                ch->push(raw[i + 1]);
+                ch->n_pairs++;
+                ++i;
+            }
+        }
+        for (i64 i = 0; i < nraw; ++i) {
+            if (is_pair[i]) {
+                ++i;  // skip both members of the pair
+                continue;
+            }
+            ch->push(raw[i]);
             ch->n_singles++;
         }
     } else {
@@ -4018,7 +4036,9 @@ static bool fx_produce(engine::FxReader* r, engine::FxChunk* ch) {
             ch->n_singles++;
         }
     }
-    if (r->p1.error || r->p2.error) r->error = r->p1.error | r->p2.error;
+    if (r->p1.error || r->p2.error)
+        r->error.store(r->p1.error ? r->p1.error : r->p2.error,
+                       std::memory_order_release);
     return ch->n_pairs != 0 || ch->n_singles != 0;
 }
 

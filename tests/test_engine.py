@@ -723,6 +723,25 @@ def test_native_reader_error_contract(tmp_path, producer):
             reader.free_chunk(ch)
     reader.close()
 
+    # trailing blank lines are NOT an error (ubiquitous in real files;
+    # the reference's production RabbitFX parser stops cleanly there)
+    ok = tmp_path / "trail.fq"
+    with open(ok, "wb") as f:
+        for i in range(12):
+            f.write(b"@t%d\nACGTACGTACGT\n+\nIIIIIIIIIIII\n" % i)
+        f.write(b"\n\n")
+    reader = NativeReader(str(ok), "", False, 10, producer=producer)
+    total = 0
+    for ci, ch, n_pairs, n_singles in reader:
+        total += n_singles
+        reader.free_chunk(ch)
+    reader.close()
+    assert total == 12
+
+    from rabbitsalign_tpu.io.fastq import parse_fastx
+
+    assert len(list(parse_fastx(str(ok)))) == 12  # Python twin agrees
+
 
 @pytest.mark.parametrize("cfg", [
     # (k, s, l, u, A, B, O, E, L)

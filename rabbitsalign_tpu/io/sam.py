@@ -337,7 +337,12 @@ def is_proper_pair(alignment1: Alignment, alignment2: Alignment, mu: float, sigm
     r1_r2 = (not alignment1.is_rc) and alignment2.is_rc and dist >= 0
     r2_r1 = (not alignment2.is_rc) and alignment1.is_rc and dist <= 0
     rel_orientation_good = r1_r2 or r2_r1
-    insert_good = abs(dist) <= mu + 6 * sigma
+    # float32 window AND float32 distance, like the reference's
+    # int <= float compare (coordinates past 2^24 round)
+    import numpy as np
+
+    f = np.float32
+    insert_good = f(abs(dist)) <= f(f(mu) + f(6) * f(sigma))
     return both_aligned and insert_good and rel_orientation_good
 
 

@@ -4,8 +4,10 @@ orientation fixing, seed extension (reference src/aln.{hpp,cpp})."""
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
 
 from ..align.aligner import Aligner
 from ..align.hamming import AlignmentInfo, hamming_align, hamming_distance
@@ -13,8 +15,18 @@ from ..chain.nams import Nam
 from ..io.fasta import References
 from ..io.sam import Alignment
 from ..utils.dna import Read
-from ..utils.sorting import introsort
 from .randomness import MinstdRand, shuffle
+
+F32 = np.float32
+
+
+def f32_window(mu: float, sigma: float, k: int):
+    """``mu + k * sigma`` with the reference's float32 arithmetic. The
+    reference computes every insert-size window in `float` (aln.cpp
+    rescue/pairing/proper-pair sites), so a coordinate or distance
+    compared against it is ALSO rounded to float32 — observable at
+    reference positions past 2^24 bp and under estimator drift."""
+    return F32(F32(mu) + F32(k) * F32(sigma))
 
 
 @dataclass
@@ -45,27 +57,32 @@ class MappingParameters:
 
 class InsertSizeDistribution:
     """Online mean/stddev estimator (reference src/aln.hpp:79-89, update at
-    src/aln.cpp:1880-1903)."""
+    src/aln.cpp:1880-1903). State and arithmetic are FLOAT32 like the
+    reference's `float` members: a double-accumulated twin drifts ~1e-4
+    after a few hundred updates, enough to flip the int-truncated rescue
+    and proper-pair windows built from mu + k*sigma. The two spots where
+    the reference mixes in a double literal (V's and sample_size's
+    ``1.0``) promote and round back exactly as C++ does."""
 
     def __init__(self):
-        self.sample_size = 1.0
-        self.mu = 300.0
-        self.sigma = 100.0
-        self.V = 10000.0
-        self.SSE = 10000.0
+        self.sample_size = F32(1.0)
+        self.mu = F32(300.0)
+        self.sigma = F32(100.0)
+        self.V = F32(10000.0)
+        self.SSE = F32(10000.0)
 
     def update(self, dist: int) -> None:
         if dist >= 2000:
             return
-        e = dist - self.mu
-        self.mu += e / self.sample_size
-        self.SSE += e * (dist - self.mu)
+        e = F32(F32(dist) - self.mu)
+        self.mu = F32(self.mu + F32(e / self.sample_size))
+        self.SSE = F32(self.SSE + F32(e * F32(F32(dist) - self.mu)))
         if self.sample_size > 1:
-            self.V = self.SSE / (self.sample_size - 1.0)
+            self.V = F32(float(self.SSE) / (float(self.sample_size) - 1.0))
         else:
             self.V = self.SSE
-        self.sigma = math.sqrt(self.V)
-        self.sample_size += 1.0
+        self.sigma = F32(np.sqrt(self.V))
+        self.sample_size = F32(float(self.sample_size) + 1.0)
 
 
 def reverse_nam_if_needed(nam: Nam, read: Read, references: References, k: int) -> bool:
@@ -152,13 +169,18 @@ def extend_seed(
 
 
 def get_mapq(nams: List[Nam], n_max: Nam) -> int:
-    """NAM-based mapq, minimap2-style (reference src/aln.cpp:493-503)."""
+    """NAM-based mapq, minimap2-style (reference src/aln.cpp:493-503).
+    The reference's s1/s2/min_matches are float32 and the WHOLE product
+    chain is float32, including log(s1): aln.cpp includes <math.h>,
+    whose C++ global float overload makes its unqualified log(float) a
+    float log (probe-verified)."""
     if len(nams) <= 1:
         return 60
-    s1 = n_max.score
-    s2 = nams[1].score
-    min_matches = min(n_max.n_hits / 10.0, 1.0)
-    uncapped_mapq = int(40 * (1 - s2 / s1) * min_matches * math.log(s1))
+    s1 = F32(n_max.score)
+    s2 = F32(nams[1].score)
+    min_matches = F32(min(n_max.n_hits / 10.0, 1.0))
+    x = F32(F32(F32(40) * F32(F32(1) - F32(s2 / s1))) * min_matches)
+    uncapped_mapq = int(F32(x * F32(np.log(s1))))
     return min(uncapped_mapq, 60)
 
 
@@ -190,8 +212,6 @@ def shuffle_top_nams(nams: List[Nam], random_engine: MinstdRand) -> None:
 
 def normal_pdf(x: float, mu: float, sigma: float) -> float:
     """float32-precision normal pdf (reference src/aln.cpp:529-534)."""
-    import numpy as np
-
-    inv_sqrt_2pi = np.float32(0.3989422804014327)
-    a = (np.float32(x) - np.float32(mu)) / np.float32(sigma)
-    return float(inv_sqrt_2pi / np.float32(sigma) * np.exp(np.float32(-0.5) * a * a))
+    inv_sqrt_2pi = F32(0.3989422804014327)
+    a = (F32(x) - F32(mu)) / F32(sigma)
+    return float(inv_sqrt_2pi / F32(sigma) * np.exp(F32(-0.5) * a * a))

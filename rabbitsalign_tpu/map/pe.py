@@ -10,9 +10,8 @@ the online insert-size estimator (in common.py).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -27,9 +26,11 @@ from ..align.cigar import Cigar
 from ..utils.dna import Read
 from ..utils.sorting import introsort
 from .common import (
+    F32,
     InsertSizeDistribution,
     MappingParameters,
     extend_seed,
+    f32_window,
     get_mapq,
     normal_pdf,
     reverse_nam_if_needed,
@@ -59,10 +60,11 @@ def is_proper_nam_pair(nam1: Nam, nam2: Nam, mu: float, sigma: float) -> bool:
         return False
     a = max(0, nam1.ref_start - nam1.query_start)
     b = max(0, nam2.ref_start - nam2.query_start)
-    r1_r2 = nam2.is_rc and (a <= b) and (b - a < mu + 10 * sigma)
+    w = f32_window(mu, sigma, 10)  # float32 window: distances round too
+    r1_r2 = nam2.is_rc and (a <= b) and (F32(b - a) < w)
     if r1_r2:
         return True
-    r2_r1 = nam1.is_rc and (b <= a) and (a - b < mu + 10 * sigma)
+    r2_r1 = nam1.is_rc and (b <= a) and (F32(a - b) < w)
     return r2_r1
 
 
@@ -86,19 +88,23 @@ def get_best_scoring_nam_pairs(
     for lst in nams2_sorted:
         introsort(lst, [max(0, n.ref_start - n.query_start) for n in lst], False)
 
-    window = mu + 10 * sigma
+    # reference aln.cpp:651-653,712-713: the window and BOTH edges are
+    # float32, and the int projected starts convert to float32 in every
+    # compare — coordinates past 2^24 bp round (the 1e-6 epsilon breaks
+    # promote back to double)
+    window = f32_window(mu, sigma, 10)
     for nam1 in nams1:
         nam1_val = max(0, nam1.ref_start - nam1.query_start)
         if nam1.is_rc:
             lst = nams2_sorted[0]
-            L_val = nam1_val - window
-            R_val = float(nam1_val)
+            L_val = F32(F32(nam1_val) - window)
+            R_val = F32(nam1_val)
             # first index with val > L_val
             lo, hi, ans_pos = 0, len(lst) - 1, len(lst)
             while lo <= hi:
                 mid = (lo + hi) // 2
                 now_val = max(0, lst[mid].ref_start - lst[mid].query_start)
-                if now_val > L_val:
+                if F32(now_val) > L_val:
                     hi = mid - 1
                     ans_pos = mid
                 else:
@@ -110,23 +116,23 @@ def get_best_scoring_nam_pairs(
                     continue
                 a = max(0, nam1.ref_start - nam1.query_start)
                 b = max(0, nam2.ref_start - nam2.query_start)
-                if b > R_val - 1e-6:
+                if b > float(R_val) - 1e-6:
                     break
-                r2_r1 = (a - b >= 0) and (a - b < window)
+                r2_r1 = (a - b >= 0) and (F32(a - b) < window)
                 if r2_r1:
                     joint_nam_scores.append(NamPair(joint_hits, nam1, nam2))
                     added_n1.add(nam1.nam_id)
                     added_n2.add(nam2.nam_id)
         else:
             lst = nams2_sorted[1]
-            L_val = float(nam1_val)
-            R_val = nam1_val + window
+            L_val = F32(nam1_val)
+            R_val = F32(F32(nam1_val) + window)
             # first index with val >= L_val
             lo, hi, ans_pos = 0, len(lst) - 1, len(lst)
             while lo <= hi:
                 mid = (lo + hi) // 2
                 now_val = max(0, lst[mid].ref_start - lst[mid].query_start)
-                if now_val >= L_val:
+                if F32(now_val) >= L_val:
                     hi = mid - 1
                     ans_pos = mid
                 else:
@@ -138,9 +144,9 @@ def get_best_scoring_nam_pairs(
                     continue
                 a = max(0, nam1.ref_start - nam1.query_start)
                 b = max(0, nam2.ref_start - nam2.query_start)
-                if b >= R_val - 1e-6:
+                if b >= float(R_val) - 1e-6:
                     break
-                r1_r2 = (b - a >= 0) and (b - a < window)
+                r1_r2 = (b - a >= 0) and (F32(b - a) < window)
                 if r1_r2:
                     joint_nam_scores.append(NamPair(joint_hits, nam1, nam2))
                     added_n1.add(nam1.nam_id)
@@ -193,14 +199,15 @@ def rescue_mate(
     """Windowed alignment of the unplaced mate near its partner's NAM
     (reference src/aln.cpp:1079-1143)."""
     read_len = read.size()
+    w5 = f32_window(mu, sigma, 5)  # float32 like the reference's int=float
     if nam.is_rc:
         r_tmp = read.seq
-        a = int(nam.ref_start - nam.query_start - (mu + 5 * sigma))
+        a = int(F32(F32(nam.ref_start - nam.query_start) - w5))
         b = nam.ref_start - nam.query_start + read_len // 2
     else:
         r_tmp = read.rc
         a = nam.ref_end + (read_len - nam.query_end) - read_len // 2
-        b = int(nam.ref_end + (read_len - nam.query_end) + (mu + 5 * sigma))
+        b = int(F32(F32(nam.ref_end + (read_len - nam.query_end)) + w5))
 
     ref_len = references.lengths[nam.ref_id]
     ref_start = max(0, min(a, ref_len))
@@ -236,12 +243,14 @@ def get_best_scoring_pairs(
 ) -> List[ScoredAlignmentPair]:
     """reference src/aln.cpp:536-558"""
     pairs = []
+    w4 = f32_window(mu, sigma, 4)
     for a1 in alignments1:
         for a2 in alignments2:
-            dist = abs(a1.ref_start - a2.ref_start)
+            # reference: `float dist = abs(...)` — rounds past 2^24
+            dist = F32(abs(a1.ref_start - a2.ref_start))
             score = float(a1.score + a2.score)
-            if (a1.is_rc != a2.is_rc) and (dist < mu + 4 * sigma):
-                score += float(np.log(np.float32(normal_pdf(dist, mu, sigma))))
+            if (a1.is_rc != a2.is_rc) and (dist < w4):
+                score += float(np.log(np.float32(normal_pdf(float(dist), mu, sigma))))
             else:
                 score -= 10
             pairs.append(ScoredAlignmentPair(score, a1, a2))
@@ -369,7 +378,7 @@ def rescue_read(
     else:
         max_out = min(len(high_scores), max_secondary)
         is_primary = True
-        s_max = high_scores[0].score
+        s_max = F32(high_scores[0].score)  # reference: float s_max
         for i in range(max_out):
             if i > 0:
                 is_primary = False
@@ -377,7 +386,7 @@ def rescue_read(
                 mapq2 = 0
             pair = high_scores[i]
             a1, a2 = pair.alignment1, pair.alignment2
-            if s_max - pair.score < secondary_dropoff:
+            if float(F32(s_max - F32(pair.score))) < secondary_dropoff:
                 if swap_r1r2:
                     sam.add_pair(
                         a2, a1, record2, record1, read2.rc, read1.rc, mapq2, mapq1,
@@ -541,11 +550,12 @@ def align_PE(
         if a2.score > a2_indv_max.score:
             a2_indv_max = a2
 
+        w10 = f32_window(mu, sigma, 10)
         r1_r2 = a2.is_rc and (a1.ref_start <= a2.ref_start) and (
-            (a2.ref_start - a1.ref_start) < mu + 10 * sigma
+            F32(a2.ref_start - a1.ref_start) < w10
         )
         r2_r1 = a1.is_rc and (a2.ref_start <= a1.ref_start) and (
-            (a1.ref_start - a2.ref_start) < mu + 10 * sigma
+            F32(a1.ref_start - a2.ref_start) < w10
         )
 
         if r1_r2 or r2_r1:
@@ -579,7 +589,7 @@ def align_PE(
         )
     else:
         max_out = min(len(high_scores), max_secondary)
-        s_max = best.score
+        s_max = F32(best.score)  # reference: float s_max / float s_score
         is_primary = True
         for i in range(max_out):
             pair = high_scores[i]
@@ -588,7 +598,7 @@ def align_PE(
                 is_primary = False
                 mapq1 = 255
                 mapq2 = 255
-            if s_max - pair.score < secondary_dropoff:
+            if float(F32(s_max - F32(pair.score))) < secondary_dropoff:
                 is_proper = is_proper_pair(alignment1, alignment2, mu, sigma)
                 sam.add_pair(
                     alignment1, alignment2, record1, record2, read1.rc, read2.rc,

@@ -1105,25 +1105,38 @@ struct ReadC {
 
 // ------------------------------------------------------------------
 // Insert-size estimator (map/common.py InsertSizeDistribution /
-// reference src/aln.cpp:1880-1903). Double math, exact order.
+// reference src/aln.cpp:1880-1903). FLOAT state and arithmetic, exact
+// op order, like the reference's `float` members: a double twin drifts
+// ~1e-4 after a few hundred updates — enough to flip the int-truncated
+// rescue/proper-pair windows built from mu + k*sigma. The two double
+// promotions (V's and sample_size's `1.0` literals) are kept.
 
 struct InsertSizeC {
-    double sample_size = 1.0;
-    double mu = 300.0;
-    double sigma = 100.0;
-    double V = 10000.0;
-    double SSE = 10000.0;
+    float sample_size = 1.0f;
+    float mu = 300.0f;
+    float sigma = 100.0f;
+    float V = 10000.0f;
+    float SSE = 10000.0f;
 
     void update(i64 dist) {
         if (dist >= 2000) return;
-        double e = (double)dist - mu;
+        const float e = (float)((int)dist) - mu;
         mu += e / sample_size;
-        SSE += e * ((double)dist - mu);
-        V = sample_size > 1.0 ? SSE / (sample_size - 1.0) : SSE;
+        SSE += e * ((float)((int)dist) - mu);
+        V = sample_size > 1
+                ? (float)((double)SSE / ((double)sample_size - 1.0))
+                : SSE;
         sigma = std::sqrt(V);
-        sample_size += 1.0;
+        sample_size = (float)((double)sample_size + 1.0);
     }
 };
+
+// mu + k*sigma with the reference's float32 arithmetic — every window
+// comparison also converts its int distance/coordinate operand to
+// float32 (observable past 2^24 bp)
+static inline float f32_window(double mu, double sigma, int k) {
+    return (float)mu + (float)k * (float)sigma;
+}
 
 // ------------------------------------------------------------------
 // Details / statistics (io/sam.py Details, map/stats.py).
@@ -1431,7 +1444,7 @@ static bool is_proper_pair_c(const AlignmentC& a1, const AlignmentC& a2,
     bool r1_r2 = !a1.is_rc && a2.is_rc && dist >= 0;
     bool r2_r1 = !a2.is_rc && a1.is_rc && dist <= 0;
     bool orient = r1_r2 || r2_r1;
-    bool insert_good = (double)std::abs(dist) <= mu + 6.0 * sigma;
+    bool insert_good = (float)std::abs(dist) <= f32_window(mu, sigma, 6);
     return both && insert_good && orient;
 }
 
@@ -1486,10 +1499,13 @@ static bool reverse_nam_if_needed(NamT& nam, const ReadC& read,
 // NAM-based mapq (map/common.py get_mapq / reference src/aln.cpp:493-503)
 static int get_mapq(const std::vector<NamT>& nams, const NamT& n_max) {
     if (nams.size() <= 1) return 60;
-    double s1 = n_max.score;
-    double s2 = nams[1].score;
-    double min_matches = std::min((double)n_max.n_hits / 10.0, 1.0);
-    int uncapped = (int)(40.0 * (1.0 - s2 / s1) * min_matches * std::log(s1));
+    // reference: float s1/s2/min_matches and a FLOAT log(s1) (aln.cpp's
+    // <math.h> float overload, probe-verified) — the whole product
+    // chain is float32 before the int truncation
+    float s1 = n_max.score;
+    float s2 = nams[1].score;
+    float min_matches = (float)std::min((double)n_max.n_hits / 10.0, 1.0);
+    int uncapped = (int)(40 * (1 - s2 / s1) * min_matches * std::log(s1));
     return std::min(uncapped, 60);
 }
 
@@ -1532,9 +1548,9 @@ static bool is_proper_nam_pair(const NamT& nam1, const NamT& nam2, double mu,
     if (nam1.ref_id != nam2.ref_id || nam1.is_rc == nam2.is_rc) return false;
     i64 a = std::max(0, nam1.ref_start - nam1.query_start);
     i64 b = std::max(0, nam2.ref_start - nam2.query_start);
-    double window = mu + 10.0 * sigma;
-    if (nam2.is_rc && a <= b && (double)(b - a) < window) return true;
-    if (nam1.is_rc && b <= a && (double)(a - b) < window) return true;
+    float window = f32_window(mu, sigma, 10);
+    if (nam2.is_rc && a <= b && (float)(b - a) < window) return true;
+    if (nam1.is_rc && b <= a && (float)(a - b) < window) return true;
     return false;
 }
 
@@ -1546,14 +1562,15 @@ static inline i64 projected_start(const NamT& n) {
 
 // First position in `lst` (sorted by projected start) whose projection
 // clears the window's left edge: strictly past it when `left_open`, at
-// or past it otherwise. Plain lower-bound over the projection; the
-// float compare mirrors the Python layer's.
-static i64 first_past_left_edge(const std::vector<NamT*>& lst, double left,
+// or past it otherwise. Plain lower-bound over the projection. The
+// compares are FLOAT32 like the reference's (int vs float promotes the
+// coordinate to float, rounding past 2^24 bp).
+static i64 first_past_left_edge(const std::vector<NamT*>& lst, float left,
                                 bool left_open) {
     i64 lo = 0, hi = (i64)lst.size();
     while (lo < hi) {
         i64 mid = (lo + hi) / 2;
-        double proj = (double)projected_start(*lst[mid]);
+        float proj = (float)projected_start(*lst[mid]);
         bool cleared = left_open ? proj > left : proj >= left;
         if (cleared)
             hi = mid;
@@ -1597,7 +1614,11 @@ static void get_best_scoring_nam_pairs(std::vector<NamT>& nams1,
                    std::max(0, y->ref_start - y->query_start);
         });
 
-    double window = mu + 10.0 * sigma;
+    // windows and edges are FLOAT32 like the reference's `float L_val /
+    // R_val` (aln.cpp:651-653, 712-713): projections past 2^24 bp round
+    // in every compare; only the right-edge 1e-6 epsilon break promotes
+    // back to double (the reference's double literal).
+    float window = f32_window(mu, sigma, 10);
     // For an rc nam1 the mate must project UPSTREAM of it (within
     // `window` before its projection, window left-open); for a fw nam1
     // the mate projects DOWNSTREAM (at-or-after, closed left edge, and
@@ -1606,9 +1627,9 @@ static void get_best_scoring_nam_pairs(std::vector<NamT>& nams1,
     for (auto& nam1 : nams1) {
         bool mate_upstream = nam1.is_rc != 0;
         const auto& lst = nams2_sorted[mate_upstream ? 0 : 1];
-        double proj1 = (double)projected_start(nam1);
-        double left = mate_upstream ? proj1 - window : proj1;
-        double right = mate_upstream ? proj1 : proj1 + window;
+        float proj1 = (float)projected_start(nam1);
+        float left = mate_upstream ? proj1 - window : proj1;
+        float right = mate_upstream ? proj1 : proj1 + window;
         i64 at = first_past_left_edge(lst, left, mate_upstream);
         for (; at < (i64)lst.size(); ++at) {
             NamT* nam2 = lst[at];
@@ -1618,11 +1639,11 @@ static void get_best_scoring_nam_pairs(std::vector<NamT>& nams1,
             if (nam1.ref_id != nam2->ref_id) continue;
             i64 p1 = projected_start(nam1);
             i64 p2 = projected_start(*nam2);
-            if (mate_upstream ? (double)p2 > right - 1e-6
-                              : (double)p2 >= right - 1e-6)
+            if (mate_upstream ? (double)p2 > (double)right - 1e-6
+                              : (double)p2 >= (double)right - 1e-6)
                 break;
             i64 gap = mate_upstream ? p1 - p2 : p2 - p1;
-            if (gap >= 0 && (double)gap < window) {
+            if (gap >= 0 && (float)gap < window) {
                 joint.push_back({joint_hits, &nam1, nam2});
                 added_n1[nam1.nam_id] = 1;
                 added_n2[nam2->nam_id] = 1;
@@ -2202,13 +2223,13 @@ static void rescue_window(const EngineC& eng, const NamT& nam, i64 read_len,
                           double mu, double sigma, i64& ref_start,
                           i64& ref_end) {
     i64 a, b;
+    float w5 = f32_window(mu, sigma, 5);  // float32 like the reference
     if (nam.is_rc) {
-        a = (i64)((double)(nam.ref_start - nam.query_start) - (mu + 5.0 * sigma));
+        a = (i64)((float)(nam.ref_start - nam.query_start) - w5);
         b = (i64)nam.ref_start - nam.query_start + read_len / 2;
     } else {
         a = (i64)nam.ref_end + (read_len - nam.query_end) - read_len / 2;
-        b = (i64)((double)(nam.ref_end + (read_len - nam.query_end)) +
-                  (mu + 5.0 * sigma));
+        b = (i64)((float)(nam.ref_end + (read_len - nam.query_end)) + w5);
     }
     i64 ref_len = eng.refs.len(nam.ref_id);
     ref_start = std::max((i64)0, std::min(a, ref_len));
@@ -2619,9 +2640,12 @@ static void get_best_scoring_pairs(const std::vector<const AlignmentC*>& as1,
         for (const AlignmentC* a2 : as2) {
             i64 dist = std::abs((i64)a1->ref_start - a2->ref_start);
             double score = (double)(a1->score + a2->score);
-            if ((a1->is_rc != a2->is_rc) && ((double)dist < mu + 4.0 * sigma))
-                score += (double)std::log(
-                    normal_pdf_f32((float)dist, (float)mu, (float)sigma));
+            // float32 distance + window; FLOAT log of the float pdf
+            // (aln.cpp's <math.h> float overload, probe-verified)
+            if ((a1->is_rc != a2->is_rc) &&
+                ((float)dist < f32_window(mu, sigma, 4)))
+                score += (double)std::log(normal_pdf_f32(
+                    (float)dist, (float)mu, (float)sigma));
             else
                 score -= 10.0;
             pairs.push_back({score, a1, a2});
@@ -2734,7 +2758,7 @@ static void rescue_read_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam,
     }
     i64 max_out = std::min((i64)high_scores.size(), eng.mp.max_secondary);
     bool is_primary = true;
-    double s_max = high_scores[0].score;
+    float s_max = (float)high_scores[0].score;  // reference: float s_max
     for (i64 i = 0; i < max_out; ++i) {
         if (i > 0) {
             is_primary = false;
@@ -2742,7 +2766,7 @@ static void rescue_read_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam,
             mapq2 = 0;
         }
         const ScoredPairC& pair = high_scores[i];
-        if (s_max - pair.score < secondary_dropoff) {
+        if ((double)(s_max - (float)pair.score) < secondary_dropoff) {
             if (swap_r1r2)
                 sam.add_pair(*pair.a2, *pair.a1, record2, record1,
                              (const u8*)read2.rc.data(),
@@ -2845,15 +2869,19 @@ static void align_PE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
         }
         if (a2->score > a2_indv_max->score) a2_indv_max = a2;
 
+        float w10 = f32_window(mu, sigma, 10);
         bool r1_r2 = a2->is_rc && (a1->ref_start <= a2->ref_start) &&
-                     ((double)(a2->ref_start - a1->ref_start) < mu + 10.0 * sigma);
+                     ((float)(a2->ref_start - a1->ref_start) < w10);
         bool r2_r1 = a1->is_rc && (a2->ref_start <= a1->ref_start) &&
-                     ((double)(a1->ref_start - a2->ref_start) < mu + 10.0 * sigma);
+                     ((float)(a1->ref_start - a2->ref_start) < w10);
         double combined_score;
         if (r1_r2 || r2_r1) {
             i64 x = std::abs((i64)a1->ref_start - a2->ref_start);
-            double lp =
-                (double)std::log(normal_pdf_f32((float)x, (float)mu, (float)sigma));
+            // FLOAT log of the float pdf: aln.cpp includes <math.h>,
+            // whose C++ global float overload makes its unqualified
+            // log(float) a float log (probe-verified)
+            double lp = (double)std::log(
+                normal_pdf_f32((float)x, (float)mu, (float)sigma));
             combined_score = (double)a1->score + (double)a2->score +
                              std::max((double)(-20.0f + 0.001f), lp);
         } else {
@@ -2881,7 +2909,7 @@ static void align_PE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
                      mapq1, mapq2, is_proper, true, w.det1, w.det2);
     } else {
         i64 max_out = std::min((i64)high_scores.size(), max_secondary);
-        double s_max = best.score;
+        float s_max = (float)best.score;  // reference: float s_max/s_score
         bool is_primary = true;
         for (i64 i = 0; i < max_out; ++i) {
             const ScoredPairC& pair = high_scores[i];
@@ -2890,7 +2918,7 @@ static void align_PE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
                 mapq1 = 255;
                 mapq2 = 255;
             }
-            if (s_max - pair.score < secondary_dropoff) {
+            if ((double)(s_max - (float)pair.score) < secondary_dropoff) {
                 bool is_proper = is_proper_pair_c(*pair.a1, *pair.a2, mu, sigma);
                 sam.add_pair(*pair.a1, *pair.a2, record1, record2,
                              (const u8*)read1.rc.data(),

@@ -35,8 +35,10 @@ from ..io.fasta import References
 from ..io.paf import output_hits_paf, output_hits_paf_PE
 from ..io.sam import Alignment, Details, Sam, SamRecord, is_proper_pair
 from ..map.common import (
+    F32,
     InsertSizeDistribution,
     MappingParameters,
+    f32_window,
     get_mapq,
     reverse_nam_if_needed,
     top_dropoff,
@@ -177,14 +179,15 @@ def rescue_mate_part(
     """reference src/aln.cpp:1015-1076 + src/pc.cpp:333-368. Returns True
     when the mate is (already known) unaligned."""
     read_len = read.size()
+    w5 = f32_window(mu, sigma, 5)  # float32 like the reference's int=float
     if nam.is_rc:
         r_tmp = read.seq
-        a = int(nam.ref_start - nam.query_start - (mu + 5 * sigma))
+        a = int(F32(F32(nam.ref_start - nam.query_start) - w5))
         b = nam.ref_start - nam.query_start + read_len // 2
     else:
         r_tmp = read.rc
         a = nam.ref_end + (read_len - nam.query_end) - read_len // 2
-        b = int(nam.ref_end + (read_len - nam.query_end) + (mu + 5 * sigma))
+        b = int(F32(F32(nam.ref_end + (read_len - nam.query_end)) + w5))
 
     ref_len = references.lengths[nam.ref_id]
     ref_start = max(0, min(a, ref_len))
@@ -471,7 +474,7 @@ def rescue_read_last(
         return
     max_out = min(len(high_scores), max_secondary)
     is_primary = True
-    s_max = high_scores[0].score
+    s_max = F32(high_scores[0].score)  # reference: float s_max
     for i in range(max_out):
         if i > 0:
             is_primary = False
@@ -479,7 +482,7 @@ def rescue_read_last(
             mapq2 = 0
         pair = high_scores[i]
         a1, a2 = pair.alignment1, pair.alignment2
-        if s_max - pair.score < secondary_dropoff:
+        if float(F32(s_max - F32(pair.score))) < secondary_dropoff:
             if swap_r1r2:
                 sam.add_pair(
                     a2, a1, record2, record1, read2.rc, read1.rc, mapq2, mapq1,
@@ -740,15 +743,19 @@ def align_PE_last(
         if a2.score > a2_indv_max.score:
             a2_indv_max = a2
 
+        w10 = f32_window(mu, sigma, 10)
         r1_r2 = a2.is_rc and (a1.ref_start <= a2.ref_start) and (
-            (a2.ref_start - a1.ref_start) < mu + 10 * sigma
+            F32(a2.ref_start - a1.ref_start) < w10
         )
         r2_r1 = a1.is_rc and (a2.ref_start <= a1.ref_start) and (
-            (a1.ref_start - a2.ref_start) < mu + 10 * sigma
+            F32(a1.ref_start - a2.ref_start) < w10
         )
         if r1_r2 or r2_r1:
             x = abs(a1.ref_start - a2.ref_start)
             with np.errstate(divide="ignore"):
+                # float32 log: aln.cpp includes <math.h>, whose C++
+                # global float overload makes unqualified log(float) a
+                # FLOAT log (verified by probe)
                 lp = float(np.log(np.float32(normal_pdf(x, mu, sigma))))
             combined_score = float(a1.score) + float(a2.score) + max(
                 float(np.float32(-20.0) + np.float32(0.001)), lp
@@ -775,7 +782,7 @@ def align_PE_last(
         )
     else:
         max_out = min(len(high_scores), max_secondary)
-        s_max = best.score
+        s_max = F32(best.score)  # reference: float s_max / float s_score
         is_primary = True
         for i in range(max_out):
             pair = high_scores[i]
@@ -784,7 +791,7 @@ def align_PE_last(
                 is_primary = False
                 mapq1 = 255
                 mapq2 = 255
-            if s_max - pair.score < secondary_dropoff:
+            if float(F32(s_max - F32(pair.score))) < secondary_dropoff:
                 is_proper = is_proper_pair(alignment1, alignment2, mu, sigma)
                 sam.add_pair(
                     alignment1, alignment2, record1, record2, read1.rc, read2.rc,

@@ -421,6 +421,63 @@ def test_profile_concordance(tmp_path, read_len):
             diff_head(golden_split, "".join(texts))
 
 
+def test_big_coordinate_concordance(tmp_path):
+    """Reference positions past 2^24 bp: the reference computes every
+    insert-size window (rescue mu+5s, pairing mu+10s, proper-pair mu+6s)
+    and its coordinate compares in FLOAT32, so projected starts and
+    window edges ROUND up there — and the insert-size estimator itself
+    accumulates in float32. A double-precision twin diverges byte-wise
+    on a 17 Mbp genome (this test fails against the pre-float32 port)."""
+    import numpy as np
+
+    n_bp = 17_500_000  # crosses 2^24 = 16.78 Mbp
+    rng_np = np.random.RandomState(97)
+    garr = rng_np.randint(0, 4, n_bp, dtype=np.uint8)
+    # duplicated blocks, one copy below 2^24 and one above: reads from
+    # them map ambiguously, producing near-tied pair scores and huge
+    # inter-candidate distances whose float32 rounding is score-visible
+    garr[16_900_000:16_903_000] = garr[1_000_000:1_003_000]
+    garr[17_100_000:17_102_000] = garr[2_000_000:2_002_000]
+    genome = (garr.tobytes().translate(
+        bytes.maketrans(bytes(range(4)), b"ACGT"))).decode()
+    ref = tmp_path / "big.fa"
+    with open(ref, "w") as f:
+        f.write(">cbig\n")
+        f.write(genome)
+        f.write("\n")
+    refs = References.from_fasta(str(ref))
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    world = (tmp_path, genome, str(ref), refs, params, index)
+
+    # pairs in the >2^24 region, with junk mates to force mate rescue
+    # (the float32 rescue window is where rounding bites first)
+    r = random.Random(7)
+    lo = 16_800_000
+    pairs = []
+    for i in range(1500):
+        if i % 3 == 2:  # ambiguous: read from a duplicated block
+            st = r.choice([16_900_000, 17_100_000]) + r.randrange(0, 1500)
+        else:
+            st = r.randrange(lo, n_bp - 900)
+        ins = max(180, min(600, int(r.gauss(300, 50))))
+        a = list(genome[st : st + 150])
+        a[r.randrange(150)] = r.choice("ACGT")
+        a = "".join(a)
+        b = "".join(COMP[c] for c in reversed(genome[st + ins - 150 : st + ins]))
+        if i % 5 == 1:  # junk mate -> rescue
+            b = "".join(r.choice("ACGT") for _ in range(150))
+        pairs.append((f"b{i}", a, b))
+    fq1 = tmp_path / "big.1.fq"
+    fq2 = tmp_path / "big.2.fq"
+    write_fq(fq1, [(n + "/1", a) for n, a, _ in pairs])
+    write_fq(fq2, [(n + "/2", b) for n, _, b in pairs])
+    golden = run_golden(str(ref), fq1, fq2, "sam")
+    ours = run_python_pe(world, pairs, "sam")
+    assert golden == ours, diff_head(golden, ours)
+
+
 def test_repetitive_genome_concordance(tmp_path):
     """Tandem-repeat-heavy genome: exercises the repetitive-seed filter
     and the NAM-rescue take rules (count<=cutoff / first-5 / hard stop at

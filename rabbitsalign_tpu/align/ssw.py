@@ -12,8 +12,10 @@ semantics used by the reference aligner (/root/reference/ext/ssw/ssw.c):
 
 The forward/reverse passes are numpy-vectorized along the query dimension
 (per reference column), using the prefix-max formulation of the in-column
-gap recurrence (exact for gap_open >= gap_extend; a sequential fallback
-covers the exotic opposite case). `banded_sw` is a literal port — its band
+gap recurrence — exact for gap_open >= gap_extend, which the CLI enforces
+(probed: for O < E real ssw.c's lazy-F loop produces yet another
+semantics that neither this form nor the engine's scalar recurrence
+matches). `banded_sw` is a literal port — its band
 is tiny (|refLen-readLen|+1 wide) so Python loops are fine; it is only
 used as the host-side golden/fallback, the production extend path runs on
 TPU (ops/sw_kernel.py).

@@ -249,6 +249,11 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     opt.tpu_batch = args.tpu_batch if args.tpu_batch is not None else 1024
     if opt.tpu_batch < 8:
         p.error("--tpu-batch must be at least 8")
+    if opt.E > opt.O:
+        # gap-open cheaper than extension flips SSW's in-column gap
+        # semantics (probed: real ssw.c diverges from its own documented
+        # recurrence there); every aligner layer here assumes O >= E
+        p.error("gap extension penalty (-E) must not exceed gap open (-O)")
     opt.deterministic = args.deterministic
     opt.pe_ref_async = args.pe_ref_async
     opt.device_seed = args.device_seed

@@ -33,11 +33,14 @@ class Cigar:
             self.ops = list(ops)
 
     def _parse(self, cig: str) -> None:
-        """reference src/cigar.cpp:55-90"""
+        """reference src/cigar.cpp:55-90, incl. its zero-count quirks: a
+        bare '0' count is NOT consumed by the following op (it neither
+        pushes nor resets, so '0M5I' folds the 0 into the next number and
+        '0M' alone throws the trailing-number error)."""
         number = -1
         for c in cig:
             if c.isdigit():
-                number = (c and int(c)) if number == -1 else number * 10 + int(c)
+                number = int(c) if number == -1 else number * 10 + int(c)
             else:
                 if c == " ":
                     continue
@@ -49,8 +52,6 @@ class Cigar:
                     self.push(op, 1)
                 elif number > 0:
                     self.push(op, number)
-                    number = -1
-                else:
                     number = -1
         if number != -1:
             raise ValueError("CIGAR must not end with a number")

@@ -53,6 +53,11 @@ class MappingParameters:
     def verify(self) -> None:
         if self.max_tries < 1:
             raise ValueError("max_tries must be greater than zero")
+        if not (0.0 <= self.dropoff_threshold <= 1.0):
+            # a threshold above 1 makes even the best NAM fail its own
+            # dropoff (ratio exactly 1.0) so no alignment is ever tried —
+            # the reference hits undefined behavior there; fail instead
+            raise ValueError("dropoff threshold (-S) must be within [0, 1]")
 
 
 class InsertSizeDistribution:

@@ -378,7 +378,9 @@ def rescue_read(
     else:
         max_out = min(len(high_scores), max_secondary)
         is_primary = True
-        s_max = F32(high_scores[0].score)  # reference: float s_max
+        # rescue_read keeps DOUBLE scores here (reference aln.cpp:1327
+        # `auto s_max`), unlike align_PE's explicit `float s_max`
+        s_max = high_scores[0].score
         for i in range(max_out):
             if i > 0:
                 is_primary = False
@@ -386,7 +388,7 @@ def rescue_read(
                 mapq2 = 0
             pair = high_scores[i]
             a1, a2 = pair.alignment1, pair.alignment2
-            if float(F32(s_max - F32(pair.score))) < secondary_dropoff:
+            if s_max - pair.score < secondary_dropoff:
                 if swap_r1r2:
                     sam.add_pair(
                         a2, a1, record2, record1, read2.rc, read1.rc, mapq2, mapq1,

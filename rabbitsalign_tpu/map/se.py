@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from ..align.aligner import Aligner
 from ..chain.nams import Nam, find_nams, find_nams_rescue
@@ -98,10 +98,13 @@ def align_SE(
     if max_secondary == 0:
         return
 
-    # secondary alignments (reference src/aln.cpp:348-372)
+    # secondary alignments (reference src/aln.cpp:348-372); the empty
+    # guard matches the batched twin (unreachable after verify() bounds
+    # -S/-M, where the reference hits UB)
     if len(alignments) > 1:
         alignments[best_index], alignments[-1] = alignments[-1], alignments[best_index]
-    alignments.pop()
+    if alignments:
+        alignments.pop()
     introsort(alignments, [a.score for a in alignments], True)
     n = 0
     for alignment in alignments:
@@ -122,7 +125,6 @@ def get_nams_for_read(
     map_param: MappingParameters,
     random_engine: MinstdRand,
     details: Details,
-    statistics=None,
 ) -> List[Nam]:
     """Seeding + NAM finding + optional rescue + score sort + tie shuffle —
     the common prologue of align_{SE,PE}_read (reference src/aln.cpp:2429-2454)."""

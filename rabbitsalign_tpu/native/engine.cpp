@@ -2566,8 +2566,14 @@ static void align_SE_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam) {
         const NamT& nam = tmp.todo_nams[i];
         double score_dropoff = (double)nam.n_hits / (double)n_max.n_hits;
         if (tries >= max_tries || (tries > 1 && best_edit_distance == 0) ||
-            score_dropoff < eng.mp.dropoff_threshold)
+            score_dropoff < eng.mp.dropoff_threshold) {
+            // uncount pre-aligned jobs the break skips (reference
+            // aln.cpp:175-180): keeps 'Total calls to ssw' comparable
+            // between the split and monolithic paths
+            for (size_t j = i; j < tmp.todo_nams.size(); ++j)
+                if (!tmp.done_align[j]) eng.aligner.calls--;
             break;
+        }
         details.nam_inconsistent += tmp.consistent_nam[i] ? 0 : 1;
         const AlignmentC& alignment = tmp.align_res[i];
         details.tried_alignment += 1;
@@ -2758,7 +2764,9 @@ static void rescue_read_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam,
     }
     i64 max_out = std::min((i64)high_scores.size(), eng.mp.max_secondary);
     bool is_primary = true;
-    float s_max = (float)high_scores[0].score;  // reference: float s_max
+    // rescue_read keeps DOUBLE scores here (reference aln.cpp:1327/2049
+    // `auto s_max`), unlike align_PE's explicit `float s_max`
+    double s_max = high_scores[0].score;
     for (i64 i = 0; i < max_out; ++i) {
         if (i > 0) {
             is_primary = false;
@@ -2766,7 +2774,7 @@ static void rescue_read_last(EngineC& eng, ChunkC& ch, WorkItem& w, SamC& sam,
             mapq2 = 0;
         }
         const ScoredPairC& pair = high_scores[i];
-        if ((double)(s_max - (float)pair.score) < secondary_dropoff) {
+        if (s_max - pair.score < secondary_dropoff) {
             if (swap_r1r2)
                 sam.add_pair(*pair.a2, *pair.a1, record2, record1,
                              (const u8*)read2.rc.data(),

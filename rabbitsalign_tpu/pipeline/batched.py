@@ -332,6 +332,11 @@ def align_SE_last(
             or (tries > 1 and best_edit_distance == 0)
             or score_dropoff < map_param.dropoff_threshold
         ):
+            # (the reference uncounts pre-aligned jobs the break skips,
+            # aln.cpp:175-180; here the batch jobs were counted on the
+            # BatchAligner's INTERNAL aligner, not this one, so there is
+            # nothing to compensate — the native engine, whose single
+            # counter does include every job, performs the decrement)
             break
         consistent_nam = tmp.consistent_nam[i]
         details.nam_inconsistent += not consistent_nam
@@ -474,7 +479,9 @@ def rescue_read_last(
         return
     max_out = min(len(high_scores), max_secondary)
     is_primary = True
-    s_max = F32(high_scores[0].score)  # reference: float s_max
+    # rescue_read_last keeps DOUBLE scores here (reference aln.cpp:2049
+    # `auto s_max`), unlike align_PE_read_last's explicit `float s_max`
+    s_max = high_scores[0].score
     for i in range(max_out):
         if i > 0:
             is_primary = False
@@ -482,7 +489,7 @@ def rescue_read_last(
             mapq2 = 0
         pair = high_scores[i]
         a1, a2 = pair.alignment1, pair.alignment2
-        if float(F32(s_max - F32(pair.score))) < secondary_dropoff:
+        if s_max - pair.score < secondary_dropoff:
             if swap_r1r2:
                 sam.add_pair(
                     a2, a1, record2, record1, read2.rc, read1.rc, mapq2, mapq1,

@@ -19,6 +19,30 @@ from .randomness import MinstdRand, shuffle
 
 F32 = np.float32
 
+# float32 transcendentals through glibc's libm: the reference binds
+# logf/expf (math.h float overloads) and numpy's own float32 log/exp
+# differ from glibc by 1 ulp on ~4% of inputs — enough to flip a tie or
+# an int-truncated mapq (probed; sqrt needs no shim, IEEE requires
+# correct rounding so every implementation agrees)
+import ctypes as _ct
+import ctypes.util as _ctu
+
+_libm = _ct.CDLL(_ctu.find_library("m") or "libm.so.6")
+_libm.logf.restype = _ct.c_float
+_libm.logf.argtypes = [_ct.c_float]
+_libm.expf.restype = _ct.c_float
+_libm.expf.argtypes = [_ct.c_float]
+
+
+def logf(x) -> np.float32:
+    """glibc logf, bit-exact with the reference's float log."""
+    return F32(_libm.logf(float(x)))
+
+
+def expf(x) -> np.float32:
+    """glibc expf, bit-exact with the reference's float exp."""
+    return F32(_libm.expf(float(x)))
+
 
 def f32_window(mu: float, sigma: float, k: int):
     """``mu + k * sigma`` with the reference's float32 arithmetic. The
@@ -185,7 +209,7 @@ def get_mapq(nams: List[Nam], n_max: Nam) -> int:
     s2 = F32(nams[1].score)
     min_matches = F32(min(n_max.n_hits / 10.0, 1.0))
     x = F32(F32(F32(40) * F32(F32(1) - F32(s2 / s1))) * min_matches)
-    uncapped_mapq = int(F32(x * F32(np.log(s1))))
+    uncapped_mapq = int(F32(x * logf(s1)))
     return min(uncapped_mapq, 60)
 
 
@@ -216,7 +240,8 @@ def shuffle_top_nams(nams: List[Nam], random_engine: MinstdRand) -> None:
 
 
 def normal_pdf(x: float, mu: float, sigma: float) -> float:
-    """float32-precision normal pdf (reference src/aln.cpp:529-534)."""
+    """float32-precision normal pdf (reference src/aln.cpp:529-534);
+    exp routes through glibc expf for bit-exactness."""
     inv_sqrt_2pi = F32(0.3989422804014327)
     a = (F32(x) - F32(mu)) / F32(sigma)
-    return float(inv_sqrt_2pi / F32(sigma) * np.exp(F32(-0.5) * a * a))
+    return float(inv_sqrt_2pi / F32(sigma) * expf(F32(-0.5) * a * a))

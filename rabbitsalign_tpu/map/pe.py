@@ -27,6 +27,7 @@ from ..utils.dna import Read
 from ..utils.sorting import introsort
 from .common import (
     F32,
+    logf,
     InsertSizeDistribution,
     MappingParameters,
     extend_seed,
@@ -250,7 +251,7 @@ def get_best_scoring_pairs(
             dist = F32(abs(a1.ref_start - a2.ref_start))
             score = float(a1.score + a2.score)
             if (a1.is_rc != a2.is_rc) and (dist < w4):
-                score += float(np.log(np.float32(normal_pdf(float(dist), mu, sigma))))
+                score += float(logf(normal_pdf(float(dist), mu, sigma)))
             else:
                 score -= 10
             pairs.append(ScoredAlignmentPair(score, a1, a2))
@@ -562,8 +563,7 @@ def align_PE(
 
         if r1_r2 or r2_r1:
             x = abs(a1.ref_start - a2.ref_start)
-            with np.errstate(divide="ignore"):
-                lp = float(np.log(np.float32(normal_pdf(x, mu, sigma))))
+            lp = float(logf(normal_pdf(x, mu, sigma)))
             combined_score = float(a1.score) + float(a2.score) + max(
                 float(np.float32(-20.0) + np.float32(0.001)), lp
             )

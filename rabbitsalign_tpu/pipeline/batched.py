@@ -36,6 +36,7 @@ from ..io.paf import output_hits_paf, output_hits_paf_PE
 from ..io.sam import Alignment, Details, Sam, SamRecord, is_proper_pair
 from ..map.common import (
     F32,
+    logf,
     InsertSizeDistribution,
     MappingParameters,
     f32_window,
@@ -759,11 +760,8 @@ def align_PE_last(
         )
         if r1_r2 or r2_r1:
             x = abs(a1.ref_start - a2.ref_start)
-            with np.errstate(divide="ignore"):
-                # float32 log: aln.cpp includes <math.h>, whose C++
-                # global float overload makes unqualified log(float) a
-                # FLOAT log (verified by probe)
-                lp = float(np.log(np.float32(normal_pdf(x, mu, sigma))))
+            # glibc logf: bit-exact with the reference's float log
+            lp = float(logf(normal_pdf(x, mu, sigma)))
             combined_score = float(a1.score) + float(a2.score) + max(
                 float(np.float32(-20.0) + np.float32(0.001)), lp
             )

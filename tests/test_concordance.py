@@ -477,6 +477,43 @@ def test_big_coordinate_concordance(tmp_path):
     ours = run_python_pe(world, pairs, "sam")
     assert golden == ours, diff_head(golden, ours)
 
+    # the native engine's float32 window/score edits need the same
+    # big-coordinate coverage (its other byte-identity tests use small
+    # genomes). Compare against the Python SPLIT-PHASE twin — the RNG
+    # draw order of the split paths differs from the monolithic path,
+    # which matters on this test's deliberately tie-heavy data.
+    from rabbitsalign_tpu.map.stats import AlignmentStatistics
+    from rabbitsalign_tpu.native.engine import NativeEngine, engine_available
+    from rabbitsalign_tpu.ops.batch_extend import HostBatchAligner
+    from rabbitsalign_tpu.pipeline.batched import phase_a_chunk, phase_b_chunk
+
+    if engine_available():
+        mp = MappingParameters(r=150)
+        mp.rescue_cutoff = 2 * index.filter_cutoff
+        eng = NativeEngine(index, params, refs, AlignmentParameters(), mp, "")
+        aligner = Aligner(AlignmentParameters())
+        batch = HostBatchAligner(AlignmentParameters())
+        stats = AlignmentStatistics()
+        isize = InsertSizeDistribution()
+        rng_e = MinstdRand(0)
+        py_sam = Sam(refs, CIGAR_OPS_M, "", mp.output_unmapped, mp.details)
+        eng_texts = []
+        pairs_per_chunk = CHUNK // 2
+        for ci in range(0, len(pairs), pairs_per_chunk):
+            part = pairs[ci : ci + pairs_per_chunk]
+            r1 = [SamRecord(n + "/1", a.encode(), b"I" * len(a))
+                  for n, a, _ in part]
+            r2 = [SamRecord(n + "/2", b.encode(), b"I" * len(b))
+                  for n, _, b in part]
+            chunk_i = ci // pairs_per_chunk
+            eng_texts.append(eng.chunk_b(eng.chunk_a(r1, r2, [], chunk_i)))
+            rng_e.seed(chunk_i)
+            work, _ = phase_a_chunk(r1, r2, [], [], isize, aligner, batch,
+                                    mp, params, refs, index, rng_e)
+            phase_b_chunk(work, batch.flush(), py_sam, stats, isize, aligner,
+                          mp, params, refs, rng_e)
+        assert "".join(eng_texts) == py_sam.take()
+
 
 def test_repetitive_genome_concordance(tmp_path):
     """Tandem-repeat-heavy genome: exercises the repetitive-seed filter

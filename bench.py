@@ -44,6 +44,10 @@ PE_GENOME_MB = 40.0
 # cache report a driver-visible at-scale number.
 SCALE_GENOME_MB = 3000.0
 N_SCALE_PAIRS = 16000
+# bump when simulate_pe/np_genome mutation logic changes: cached read
+# FASTQs are keyed on this so a simulator change can't silently reuse
+# stale reads (the .sti already keys on params.filename_extension())
+SIM_VERSION = 2
 
 
 def np_genome(n: int, seed: int) -> bytes:
@@ -368,8 +372,9 @@ def main() -> None:
         os.makedirs(cache_dir, exist_ok=True)
         n_bp = int(SCALE_GENOME_MB * 1e6)
         gpath = os.path.join(cache_dir, f"genome_{n_bp}_9999.bin")
-        q1 = os.path.join(cache_dir, f"reads1_{n_bp}_{N_SCALE_PAIRS}_17.fq")
-        q2 = os.path.join(cache_dir, f"reads2_{n_bp}_{N_SCALE_PAIRS}_17.fq")
+        rkey = f"{n_bp}_{N_SCALE_PAIRS}x{READ_LEN}_v{SIM_VERSION}_17"
+        q1 = os.path.join(cache_dir, f"reads1_{rkey}.fq")
+        q2 = os.path.join(cache_dir, f"reads2_{rkey}.fq")
         t0 = time.perf_counter()
         if os.path.exists(gpath) and os.path.exists(q1) and os.path.exists(q2):
             # genome + simulated reads are pure functions of (size, seed);
@@ -385,11 +390,21 @@ def main() -> None:
             g1, g2 = simulate_pe(genome_g, N_SCALE_PAIRS, seed=17)
             write_fastq(q1 + ".tmp", g1, "g")
             write_fastq(q2 + ".tmp", g2, "h")
-            with open(gpath + ".tmp", "wb") as f:
-                f.write(genome_g)
             os.replace(q1 + ".tmp", q1)
             os.replace(q2 + ".tmp", q2)
-            os.replace(gpath + ".tmp", gpath)
+            try:
+                # ~3 GB cache write — an optimization, not a requirement:
+                # on a small disk keep the in-memory genome and move on
+                with open(gpath + ".tmp", "wb") as f:
+                    f.write(genome_g)
+                os.replace(gpath + ".tmp", gpath)
+            except OSError as e:
+                print(f"bench: genome cache write failed ({e}); "
+                      f"continuing with the in-memory genome", file=sys.stderr)
+                try:
+                    os.unlink(gpath + ".tmp")
+                except OSError:
+                    pass
         refs3, params3, index3 = build_index(genome_g, "grch38",
                                              cache_tag="scale3g")
         del genome_g
@@ -397,7 +412,9 @@ def main() -> None:
                                q1, q2, 3)
     else:
         print("bench: 3 Gbp config skipped (no cached index; "
-              "RSB_BENCH_SCALE=1 builds + caches it once)", file=sys.stderr)
+              "RSB_BENCH_SCALE=1 builds + caches it once — writes ~13 GB "
+              "of index/genome/reads caches under ~/.cache/rabbitsalign_tpu)",
+              file=sys.stderr)
 
     if on_tpu:
         try:

@@ -1731,6 +1731,10 @@ struct EngineC {
     // pe_split golden). cur_isize points at the active estimator.
     int pe_ref_async = 0;
     InsertSizeC* cur_isize = nullptr;
+    // final estimator of the most recent chunk (pe_ref_async mode):
+    // the ACTIVE estimator is per-chunk there, so telemetry must not
+    // report the never-updated cumulative prior
+    InsertSizeC last_chunk_isize;
     i64 fallbacks = 0;  // device results rejected by validation
     i64 feed_miss = 0;  // sharded-run feed rows missing (host bug if >0)
     // phase wall-clock aggregates (reference AlignmentStatistics timers,
@@ -3090,14 +3094,18 @@ void engine_timers(void* e, double* out) {
     out[3] = eng->t_phase_b;
 }
 
-// NOTE: reports the CUMULATIVE estimator only; in pe_ref_async mode the
-// estimator is per-chunk (discarded at chunk end, like the reference's
-// async workers) and this telemetry stays at the prior.
+// Reports the ACTIVE estimator: cumulative in monolithic mode; in
+// pe_ref_async mode the estimator is per-chunk (reset each chunk, like
+// the reference's async workers), so this reports the final state of
+// the most recent chunk's estimator — the one that actually gated the
+// last pairing decisions. out[3] flags the per-chunk mode.
 void engine_isize(void* e, double* out) {
     auto* eng = (engine::EngineC*)e;
-    out[0] = eng->isize.mu;
-    out[1] = eng->isize.sigma;
-    out[2] = eng->isize.sample_size;
+    auto& is = eng->pe_ref_async ? eng->last_chunk_isize : eng->isize;
+    out[0] = is.mu;
+    out[1] = is.sigma;
+    out[2] = is.sample_size;
+    out[3] = (double)eng->pe_ref_async;
 }
 
 static void* engine_chunk_a_impl(void* e, const u8* seqs, const i64* seq_off,
@@ -3485,6 +3493,7 @@ void engine_chunk_b(void* e, void* c) {
             eng->stats.add(w.det2);
         }
     }
+    if (eng->pe_ref_async) eng->last_chunk_isize = ch->isize;
     eng->cur_isize = nullptr;  // see engine_chunk_a_impl: per-call only
     eng->t_phase_b += std::chrono::duration<double>(
                           std::chrono::steady_clock::now() - t_mid)

@@ -513,14 +513,21 @@ class NativeEngine:
         }
 
     def isize(self) -> Tuple[float, float, float]:
-        """(mu, sigma, sample_size) of the cumulative insert-size
-        estimator. In ``--pe-ref-async`` mode the ACTIVE estimator is
-        per-chunk (reset each chunk, like the reference's async workers);
-        this telemetry then reports the cumulative prior, not the
-        estimator that gated the last chunk's pairing decisions."""
-        out = np.zeros(3, dtype=np.float64)
+        """(mu, sigma, sample_size) of the ACTIVE insert-size estimator:
+        the cumulative one in monolithic mode; in ``--pe-ref-async`` mode
+        (per-chunk reset, like the reference's async workers) the final
+        state of the most recent chunk's estimator — the one that gated
+        the last pairing decisions. ``isize_per_chunk()`` tells which."""
+        out = np.zeros(4, dtype=np.float64)
         self.lib.engine_isize(self.handle, out.ctypes.data)
         return float(out[0]), float(out[1]), float(out[2])
+
+    def isize_per_chunk(self) -> bool:
+        """True when isize() reports a per-chunk (``--pe-ref-async``)
+        estimator rather than the cumulative one."""
+        out = np.zeros(4, dtype=np.float64)
+        self.lib.engine_isize(self.handle, out.ctypes.data)
+        return bool(out[3])
 
 
 class NativeReader:

@@ -120,14 +120,29 @@ def main():
             jax.device_get(run(K_LO, *args))  # compile both programs
             jax.device_get(run(K_HI, *args))
             best = {K_LO: 1e9, K_HI: 1e9}
+            # pair each trial's (K_LO, K_HI) measurements: independently-
+            # minimized bests across trials can pair a lucky K_HI window
+            # with an unlucky K_LO floor and bias the slope low (even
+            # negative) when the tunnel swings between trials
+            paired = []
             for _ in range(5):
+                t = {}
                 for K in (K_LO, K_HI):
                     t0 = time.perf_counter()
                     jax.device_get(run(K, *args))
-                    best[K] = min(best[K], time.perf_counter() - t0)
-            per_batch = (best[K_HI] - best[K_LO]) / (K_HI - K_LO)
+                    t[K] = time.perf_counter() - t0
+                    best[K] = min(best[K], t[K])
+                paired.append((t[K_HI] - t[K_LO]) / (K_HI - K_LO))
+            paired.sort()
+            per_batch = paired[len(paired) // 2]  # median of paired slopes
+            if per_batch <= 0 or best[K_HI] < best[K_LO]:
+                print(f"{tag}: WARNING: non-positive slope or inverted "
+                      f"bests — tunnel too noisy this window, numbers "
+                      f"unusable", file=sys.stderr)
             print(f"{tag}: {per_batch / NQ * 1e9:.0f} ns/lookup "
                   f"({per_batch*1e3:.2f} ms per {NQ}-key batch; "
+                  f"paired-slope min={paired[0]*1e3:.2f} ms "
+                  f"median={per_batch*1e3:.2f} ms; "
                   f"t[{K_LO}]={best[K_LO]*1e3:.1f} ms "
                   f"t[{K_HI}]={best[K_HI]*1e3:.1f} ms)")
 

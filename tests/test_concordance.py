@@ -683,9 +683,17 @@ def test_pe_async_concordance_engine(world):
             r2 = [SamRecord(n + "/2", b.encode(), b"I" * len(b))
                   for n, _, b in part]
             texts.append(eng.chunk_b(eng.chunk_a(r1, r2, [], ci // 50)))
-        return "".join(texts)
+        return "".join(texts), eng
 
-    ours_async = run_engine(True)
+    ours_async, eng_async = run_engine(True)
     assert golden_async == ours_async, diff_head(golden_async, ours_async)
-    ours_mono = run_engine(False)
+    ours_mono, eng_mono = run_engine(False)
     assert golden_mono == ours_mono, diff_head(golden_mono, ours_mono)
+
+    # isize telemetry reports the ACTIVE estimator: per-chunk in async
+    # mode (sample_size bounded by one 50-pair chunk's updates), the
+    # cumulative one otherwise (all chunks' updates)
+    assert eng_async.isize_per_chunk() and not eng_mono.isize_per_chunk()
+    n_async = eng_async.isize()[2]
+    n_mono = eng_mono.isize()[2]
+    assert 0 < n_async <= 50 < n_mono

@@ -17,11 +17,14 @@ plane to HBM — the TPU-native replacement for GASAL2's
 one-thread-per-pair CUDA kernel
 (/root/reference/GASAL2/src/kernels/local_kernel_template.h).
 
-The kernel body is dtype-generic with every comparison canonicalized to
-`<`/`==` and every max written as compare+select (the compares double
-as direction bits), so a 16-bit DP drops in by changing `_pick_dtype` —
-but the current Mosaic build cannot lower ordered 16-bit comparisons on
-v5e at all (see `_pick_dtype`), so the accumulator stays int32.
+The kernel body is dtype-complete for int32 AND int16: every ordered
+comparison is canonicalized to `a <= b` (native cmpi sle for i32; a
+sign-bit synthesis from add/xor/and/ne for i16, where Mosaic lowers no
+ordered i16 compare at all), every max is compare+select, and the
+compares double as direction bits. int16 is bit-exact but measured
+SLOWER (the 5-op synthesized compare outweighs the 2x packing — see
+`_pick_dtype` for the on-chip numbers), so production stays int32 with
+i16 behind RSB_SW16=1 until the toolchain lowers i16 compares natively.
 
 Out-of-range cells (q >= qlen, t >= tlen) are NOT masked: both
 sequences are padded with code 4 which never matches (the substitution
@@ -78,8 +81,9 @@ def probe_int16_lowering() -> bool:
 
         logger.warning(
             "this toolchain now lowers ordered int16 vector compares — "
-            "flip ops/sw_pallas._pick_dtype to int16 for ~2x extend-kernel "
-            "throughput (body is dtype-generic; see docs/PERF.md)")
+            "make int16 the _pick_dtype default (kernel body is already "
+            "dtype-complete and bit-exact; native compares remove the "
+            "5-op synthesis that made RSB_SW16 a loss — see docs/PERF.md)")
 
     try:
         with open(path) as f:
@@ -120,28 +124,57 @@ def probe_int16_lowering() -> bool:
 
 
 def _pick_dtype(Q: int, T: int, params: SwParams):
-    """DP accumulator dtype. Always int32 on the current toolchain.
+    """DP accumulator dtype: int32 (production), int16 opt-in.
 
-    int16 DP (2x VPU lanes/cycle, half the VMEM) fits the score range
-    easily — H in [0, A*min(Q,T)] peaks at 1024 under default scoring —
-    but the Mosaic build in this image cannot lower ANY ordered 16-bit
-    vector comparison on v5e (cmpi slt/sle/ult on i16, cmpf on bf16 and
-    f16 all fail with "Target does not support this comparison" /
-    "Unsupported type"; only eq legalizes, and arith.{maxsi,shrsi} on
-    i16 fail too — probed 2026-08, and re-probed automatically once per
-    toolchain version by `probe_int16_lowering`).
-    A DP recurrence without ordered compares or max has no efficient
-    encoding, so the kernel stays int32 until the toolchain catches up;
-    the kernel body below is dtype-generic and already canonicalizes
-    every compare to `<`/`==`, so flipping this function is the only
-    change needed when 16-bit compares land. (The probe runs from the
-    prewarm thread, not here — compiling a probe kernel inside another
-    trace is asking for trouble.)"""
+    Round 2 found Mosaic on v5e cannot lower ANY ordered 16-bit vector
+    comparison (re-probed per toolchain version by
+    `probe_int16_lowering`) and closed the 16-bit door. Round 4 forced
+    it open anyway: the i16 ops that DO legalize (add, xor/and/or, ne
+    against a tensor, select, concat, astype) are enough to SYNTHESIZE
+    the ordered compare from the sign bit — a <= b  ⇔  sign(a + ~b) —
+    valid whenever |a - b| < 2^15, which the DP guarantees under the
+    bounds checked below. The kernel body carries a complete,
+    BIT-EXACT i16 path (validated against the i32 kernel and sw_jax on
+    chip: identical score/t_end/q_end and every dirs byte).
+
+    Measured 2026-08 (docs/PERF.md round 4) it is a REFUTATION, not a
+    win: the 5-op synthesized compare on the ~8-compare/diagonal
+    recurrence outweighs the 2x lane packing — 0.86x at (152,256)xB1024
+    (4.23 vs 3.62 us/pair), 0.74x at (256,512)xB512; doubling B to 2048
+    (halved VMEM allows it) reaches only ~1.07x, inside tunnel noise,
+    and would complicate dispatch geometry. SWAR (2x16 packed in i32
+    lanes by hand) is strictly dominated: its mask production costs 5
+    ops per compare PLUS 3-op arithmetic selects where Mosaic's native
+    i16 select is 1 op, so it lower-bounds above the measured i16 loss.
+
+    Set RSB_SW16=1 to opt in (shapes that fail the range bounds fall
+    back to int32). The day `probe_int16_lowering` starts passing —
+    native i16 compares = 1 op — flip the default: the rest of the
+    kernel is already dtype-complete.
+
+    Bounds (NEG16 = -2^14 is the -inf analog): values live in
+    [NEG16 - Eg - O, A*min(Q,T)], and every compare difference must
+    stay under 2^15; the Eg*(Q+T) term is a conservative envelope for
+    the init-transient decay."""
+    import os
+
+    if not os.environ.get("RSB_SW16"):
+        return jnp.int32
+    worst_h = params.match * min(Q, T)
+    D = Q + T - 1
+    span = (worst_h + (1 << 14) + params.gap_extend * D
+            + params.gap_open + params.mismatch + 64)
+    if span < (1 << 15):
+        return jnp.int16
     return jnp.int32
 
 
 def _kernel(
-    q_ref,  # (Q, B) acc codes (0..4)
+    q_ref,  # (Q, B) acc codes (0..4) — original codes, for the '='-bit
+    qs_ref,  # (Q, B) acc scoring codes: N/pad (4) remapped to 9 so code
+    #          equality IS the substitution rule (no separate q<4 mask —
+    #          a hoisted mask shared across the unrolled diagonals gets a
+    #          replicated layout Mosaic cannot legalize compares in)
     t_ref,  # (R, B) int32: rows of the transposed padded target for this block
     dirs_ref,  # out block (R, Q, B) uint8 — one plane per diagonal
     besth_ref,  # out (Q, B) acc
@@ -169,7 +202,6 @@ def _kernel(
     g = pl.program_id(0)
     Q, B = H1.shape
     zero = acc(0)
-    one = acc(1)
     neg = acc(NEG16 if acc == jnp.int16 else NEG)
     cA = acc(A)
     cB = acc(Bm)
@@ -210,7 +242,50 @@ def _kernel(
     bh = besth_ref[:]
     bt = bestt_ref[:]
     qv = q_ref[:]  # acc dtype
-    qlt4 = qv < acc(4)
+    qsv = qs_ref[:]
+
+    # Every ordered comparison in the recurrence is canonicalized to
+    # `a <= b` so that ONE primitive covers both dtypes:
+    #   * int32: native cmpi sle (boolean-identical to the previous
+    #     `<`/`~` formulation — each rewrite just swaps where() arms)
+    #   * int16: Mosaic cannot lower ANY ordered i16 compare, but
+    #     a <= b  ⇔  a - b - 1 < 0  ⇔  sign(a + ~b), and xor/add/and/
+    #     ne-against-a-tensor all legalize — `_pick_dtype` guarantees
+    #     |a - b| < 2^15 so the sign bit is trustworthy. Constants used
+    #     as where() operands are materialized as tensors (zerot + c):
+    #     i16 selects with splat-immediate operands miscompile on this
+    #     toolchain (probed 2026-08).
+    zerot = qv ^ qv  # all-zeros tensor of the acc dtype
+    if acc == jnp.int16:
+        sign16 = jnp.int16(-32768)
+        neg1_16 = jnp.int16(-1)
+
+        def le(a, b):  # a <= b via the sign bit of a - b - 1
+            return (((a + (b ^ neg1_16)) & sign16)) != zerot
+
+        c_sub_match = zerot + cA
+        c_sub_mis = zerot + acc(-Bm)
+        c_one = zerot + acc(1)
+        c_two = zerot + acc(2)
+        c_three = zerot + acc(3)
+        c_bit2 = zerot + acc(4)
+        c_bit3 = zerot + acc(8)
+        c_bit4 = zerot + acc(16)
+    else:
+
+        def le(a, b):
+            return a <= b
+
+        c_sub_match = cA
+        c_sub_mis = -cB
+        c_one = acc(1)
+        c_two = acc(2)
+        c_three = acc(3)
+        c_bit2 = acc(4)
+        c_bit3 = acc(8)
+        c_bit4 = acc(16)
+
+    c_zero = zerot if acc == jnp.int16 else zero
 
     for j in range(R):
         d = g * jnp.int32(R) + jnp.int32(j)
@@ -226,61 +301,72 @@ def _kernel(
             tcol = t_ref[pl.ds(trow, 1), :]
         rv32 = jnp.where(is_row0, tcol, pltpu.roll(rv32, shift=1, axis=0))
 
-        # every max is compare+select (Mosaic has no 16-bit arith.maxsi)
-        # and every acc-domain comparison is canonicalized to `<` or `==`
-        # (only slt/eq legalize for i16 here) — the compare results
-        # double as the direction bits the traceback needs anyway
+        # every max is compare+select, with every ordered comparison in
+        # `le` polarity (see the le() definitions above) — the compare
+        # results double as the direction bits the traceback needs.
+        # Subtractions of constants are adds of negated constants
+        # (arith.subi does not legalize on i16 either).
         Hm1s = shift_down(h1, zero)
         Em1s = shift_down(e_prev, neg)
-        e_open = Hm1s - cO
-        e_ext_v = Em1s - cE
-        e_opn_w = e_ext_v < e_open  # open strictly wins
-        E = jnp.where(e_opn_w, e_open, e_ext_v)
-        e_is_ext = ~e_opn_w
+        e_open = Hm1s + acc(-O)
+        e_ext_v = Em1s + acc(-Eg)
+        # open strictly wins: extension is taken only when >= open
+        e_is_ext = le(e_open, e_ext_v)
+        E = jnp.where(e_is_ext, e_ext_v, e_open)
 
-        f_open = h1 - cO
-        f_ext_v = f_prev - cE
-        f_opn_w = f_ext_v < f_open
-        F = jnp.where(f_opn_w, f_open, f_ext_v)
-        f_is_ext = ~f_opn_w
+        f_open = h1 + acc(-O)
+        f_ext_v = f_prev + acc(-Eg)
+        f_is_ext = le(f_open, f_ext_v)
+        F = jnp.where(f_is_ext, f_ext_v, f_open)
 
         # H(q-1, t-1) = diagonal d-2 shifted = the Hm1s computed at the
         # previous diagonal, carried in h1s — saves one shift per step
         rv = rv32.astype(acc) if acc != jnp.int32 else rv32
-        is_eq = qv == rv
-        sub = jnp.where(is_eq & qlt4, cA, -cB)
+        if acc == jnp.int16:
+            # only `ne` legalizes on packed i16 (eq does not — probed
+            # 2026-08 at production shapes), so both equality tests are
+            # xor + ne with every consumer's arms swapped. The scoring
+            # test uses the remapped qs plane (9 never equals rv), so no
+            # q<4 mask is needed.
+            s_neq = (qsv ^ rv) != zerot
+            sub = jnp.where(s_neq, c_sub_mis, c_sub_match)
+            eq_neq = (qv ^ rv) != zerot
+            eq_bit = jnp.where(eq_neq, c_zero, c_bit4)
+        else:
+            sub = jnp.where(qsv == rv, c_sub_match, c_sub_mis)
+            eq_bit = jnp.where(qv == rv, c_bit4, c_zero)
         dsub = h1s + sub
 
-        e1 = jnp.where(zero < E, E, zero)
-        f1 = jnp.where(zero < F, F, zero)
-        ef_cmp = f1 < e1  # e1 > f1
-        gap1 = jnp.where(ef_cmp, e1, f1)
-        d_cmp = ~(dsub < gap1)  # dsub >= gap1
-        hm = jnp.where(d_cmp, dsub, gap1)
-        h_pos = zero < hm
-        H = jnp.where(h_pos, hm, zero)
+        e1 = jnp.where(le(E, c_zero), c_zero, E)
+        f1 = jnp.where(le(F, c_zero), c_zero, F)
+        ef_le = le(e1, f1)  # ~(f1 < e1)
+        gap1 = jnp.where(ef_le, f1, e1)
+        d_ge = le(gap1, dsub)  # dsub >= gap1
+        hm = jnp.where(d_ge, dsub, gap1)
+        hm_le0 = le(hm, c_zero)  # ~(0 < hm)
+        H = jnp.where(hm_le0, c_zero, hm)
 
         h_src = jnp.where(
-            ~h_pos,
-            zero,
-            jnp.where(d_cmp, one, jnp.where(ef_cmp, acc(2), acc(3))),
+            hm_le0,
+            c_zero,
+            jnp.where(d_ge, c_one, jnp.where(ef_le, c_three, c_two)),
         )
         dirs = (
             h_src
-            | (e_is_ext.astype(acc) << acc(2))
-            | (f_is_ext.astype(acc) << acc(3))
+            | jnp.where(e_is_ext, c_bit2, c_zero)
+            | jnp.where(f_is_ext, c_bit3, c_zero)
             # bit 4: plain code equality ('='/'X' for the cigar) so the
             # traceback never needs the sequence planes
-            | (is_eq.astype(acc) << acc(4))
+            | eq_bit
         )
         dirs_ref[j] = dirs.astype(jnp.uint8)
 
-        upd = bh < H
-        bh = jnp.where(upd, H, bh)
+        h_le_bh = le(H, bh)  # ~(bh < H): strict > updates
+        bh = jnp.where(h_le_bh, bh, H)
         # per-cell best target index t = d - q (fits int16: t < T <=
         # 2048); strict > keeps the smallest t per row on score ties,
         # matching the SSW tie-break
-        bt = jnp.where(upd, (d - row).astype(acc), bt)
+        bt = jnp.where(h_le_bh, bt, (d - row).astype(acc))
 
         h1s = Hm1s
         h1 = H
@@ -324,6 +410,10 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
     qlen_i = qlen.astype(jnp.int32)
     tlen_i = tlen.astype(jnp.int32)
     q_acc = jnp.where(qi < qlen_i[None, :], q_t, jnp.uint8(4)).astype(acc)
+    # scoring plane: N/pad (code 4) remapped to 9 so it can never equal
+    # a target code — the kernel's substitution rule is then plain code
+    # equality and needs no q<4 mask (see _kernel's qs_ref note)
+    q_score = jnp.where(q_acc == acc(4), acc(9), q_acc)
     t_i32 = jnp.where(ti < tlen_i[None, :], t_t, jnp.uint8(4)).astype(jnp.int32)
     t_pad = jnp.pad(t_i32, ((0, Dpad - T), (0, 0)), constant_values=4)
 
@@ -344,6 +434,7 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
         kernel,
         grid=(Dpad // R,),
         in_specs=[
+            pl.BlockSpec((Q, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, B), (lambda g: (g, 0)) if R == 8 else
                          (lambda g: ((g * R) // 8, 0)),
@@ -369,7 +460,7 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
             pltpu.VMEM((Q, B), acc),  # F1
             pltpu.VMEM((Q, B), jnp.int32),  # revt
         ],
-    )(q_acc, t_pad)
+    )(q_acc, q_score, t_pad)
 
     best_h = best_h.astype(jnp.int32)
     # the kernel stores t = d - q per cell (fits int16: t < T <= 2048);

@@ -235,3 +235,52 @@ def test_pallas_extend_matches_sw_jax_tpu():
     sw2 = SwParams(1, 1, 2, 1)
     out2 = np.asarray(extend_batch_packed(buf, Q, T, sw2))
     _check_extend_parity(pairs, Q, T, out2, sw2)
+
+
+def test_pallas_forward_int16_bitexact_tpu():
+    """The opt-in int16 DP path (RSB_SW16=1; synthesized sign-bit
+    compares, see _pick_dtype) must be BIT-EXACT vs the production
+    int32 kernel: same scores, end coordinates, and every direction
+    byte. Keeps the dormant 2x lever from rotting until the toolchain
+    lowers native i16 compares. Needs a real TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("pallas extend path needs a TPU")
+
+    from rabbitsalign_tpu.ops import sw_pallas
+
+    rng = np.random.RandomState(7)
+    Q, T, B = 152, 256, 256
+    q = rng.randint(0, 5, (Q, B)).astype(np.uint8)  # includes N=4
+    t = rng.randint(0, 5, (T, B)).astype(np.uint8)
+    for i in range(B):  # plant real alignments with mutations
+        ln = rng.randint(20, Q)
+        st = rng.randint(0, T - ln)
+        t[st:st + ln, i] = q[:ln, i]
+        for _ in range(ln // 12):
+            t[st + rng.randint(ln), i] = rng.randint(0, 4)
+    ql = rng.randint(10, Q + 1, B).astype(np.int32)
+    tl = rng.randint(10, T + 1, B).astype(np.int32)
+
+    def run(dtype):
+        orig = sw_pallas._pick_dtype
+        sw_pallas._pick_dtype = lambda _q, _t, _p: dtype
+        try:
+            with jax.enable_x64(False):
+                fn = jax.jit(lambda a, b, c, d:
+                             sw_pallas._sw_forward_pallas_core(
+                                 a, b, c, d, PARAMS))
+                out = fn(jnp.asarray(q), jnp.asarray(t),
+                         jnp.asarray(ql), jnp.asarray(tl))
+                return [np.asarray(x) for x in out[:4]]
+        finally:
+            sw_pallas._pick_dtype = orig
+
+    s32, te32, qe32, d32 = run(jnp.int32)
+    s16, te16, qe16, d16 = run(jnp.int16)
+    assert np.array_equal(s32, s16)
+    assert np.array_equal(te32, te16)
+    assert np.array_equal(qe32, qe16)
+    assert np.array_equal(d32, d16)

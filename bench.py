@@ -179,16 +179,33 @@ def build_index(genome: str, name: str, cache_tag: str = ""):
     if sti and os.path.exists(sti):
         from rabbitsalign_tpu.index.strobemer_index import InvalidIndexFile
         try:
-            index.read(sti)
-            loaded = True
-            print(f"bench: index loaded from cache in "
-                  f"{time.perf_counter() - t0:.2f}s ({len(index)} "
-                  f"randstrobes, {len(genome)/1e6:.0f} Mbp)",
-                  file=sys.stderr)
+            # mmap via the columnar sidecar when present: O(1) open,
+            # pages stream in behind the warmer thread while the warmup
+            # pass runs — a 12 GB index otherwise stalls minutes behind
+            # this disk's ~140 MB/s
+            if index.read_mmap(sti):
+                loaded = True
+                print(f"bench: index mapped from columnar sidecar in "
+                      f"{time.perf_counter() - t0:.2f}s ({len(index)} "
+                      f"randstrobes, {len(genome)/1e6:.0f} Mbp; pages "
+                      f"stream in during warmup)", file=sys.stderr)
+            else:
+                index.read(sti)
+                loaded = True
+                print(f"bench: index loaded from cache in "
+                      f"{time.perf_counter() - t0:.2f}s ({len(index)} "
+                      f"randstrobes, {len(genome)/1e6:.0f} Mbp)",
+                      file=sys.stderr)
+                t1 = time.perf_counter()
+                index.write_columns(sti)
+                print(f"bench: columnar sidecar built in "
+                      f"{time.perf_counter() - t1:.2f}s (next load is "
+                      f"mmap)", file=sys.stderr)
         except InvalidIndexFile as e:  # truncated by a killed run
             print(f"bench: discarding corrupt index cache ({e})",
                   file=sys.stderr)
             os.unlink(sti)
+            loaded = False
     if not loaded:
         index.populate(0.0002)
         print(f"bench: index build {time.perf_counter() - t0:.2f}s "
@@ -198,6 +215,7 @@ def build_index(genome: str, name: str, cache_tag: str = ""):
             # atomic: a killed run must not leave a truncated .sti behind
             index.write(sti + ".tmp")
             os.replace(sti + ".tmp", sti)
+            index.write_columns(sti)
     return refs, params, index
 
 

@@ -396,5 +396,149 @@ class StrobemerIndex:
             if got != 8 * m:
                 raise InvalidIndexFile(
                     f"{filename}: truncated start-index vector")
+
+    # --- columnar mmap sidecar (TPU-native load path) -----------------
+    #
+    # The .sti interleaves 16-byte records, so loading it means a full
+    # sequential read + de-interleave: a 12 GB GRCh38-class index costs
+    # minutes of startup on a ~140 MB/s cloud disk (the reference's
+    # fread load, src/index.cpp:91-132, pays the same). The sidecar
+    # stores each column CONTIGUOUSLY so the index can be np.memmap'd:
+    # open is O(1), pages fault in on demand, and a background warmer
+    # thread streams the files through the page cache at sequential
+    # disk speed so mapping overlaps IO instead of stalling behind it.
+    # The engine's zero-copy pointers work on memmap'd columns
+    # unchanged. The .sti stays the byte-interchange format; the
+    # sidecar is a pure cache, keyed on the .sti's (size, mtime).
+
+    COLS_VERSION = 1
+
+    def _cols_dir(self, filename: str) -> str:
+        return filename + ".cols"
+
+    def write_columns(self, filename: str) -> None:
+        """Write the columnar sidecar next to `filename` (the .sti)."""
+        import json
+        import os
+
+        d = self._cols_dir(filename)
+        tmp = d + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for name, arr in (("hashes", self.hashes),
+                          ("positions", self.positions),
+                          ("packed", self.packed),
+                          ("buckets", self.randstrobe_start_indices)):
+            with open(os.path.join(tmp, name + ".bin"), "wb") as f:
+                f.write(memoryview(np.ascontiguousarray(arr)))
+        st = os.stat(filename)
+        hdr = {
+            "version": self.COLS_VERSION,
+            "n": int(self.hashes.shape[0]),
+            "bits": int(self.bits),
+            "filter_cutoff": int(self.filter_cutoff),
+            "sti_size": st.st_size,
+            "sti_mtime_ns": st.st_mtime_ns,
+        }
+        with open(os.path.join(tmp, "header.json"), "w") as f:
+            json.dump(hdr, f)
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d)
+        os.replace(tmp, d)
+
+    def read_mmap(self, filename: str, warm: bool = True) -> bool:
+        """Open `filename`'s columnar sidecar as read-only memmaps.
+
+        Returns False (caller falls back to `read`) when the sidecar is
+        missing or stale. On success the header fields are set, the
+        column arrays are memmaps, and (with `warm`) a daemon thread
+        streams the files sequentially through the page cache so random
+        faults during mapping hit already-resident pages."""
+        import json
+        import os
+
+        d = self._cols_dir(filename)
+        try:
+            with open(os.path.join(d, "header.json")) as f:
+                hdr = json.load(f)
+            st = os.stat(filename)
+            if (hdr.get("version") != self.COLS_VERSION
+                    or hdr.get("sti_size") != st.st_size
+                    or hdr.get("sti_mtime_ns") != st.st_mtime_ns):
+                return False
+            # the parameter check read() performs must still happen:
+            # parse just the .sti header (a few hundred bytes)
+            with open(filename, "rb") as f:
+                if f.read(4) != STI_MAGIC:
+                    return False
+                (version,) = struct.unpack("<I", f.read(4))
+                if version != STI_FILE_FORMAT_VERSION:
+                    return False
+                (reserved_size,) = struct.unpack("<Q", f.read(8))
+                f.seek(reserved_size, 1)
+                f.seek(8, 1)  # filter_cutoff + bits (sidecar header wins)
+                if IndexParameters.read(f) != self.parameters:
+                    raise InvalidIndexFile(
+                        "Index parameters in .sti file and those specified "
+                        "on command line differ")
+            n = int(hdr["n"])
+            self.bits = int(hdr["bits"])
+            self.filter_cutoff = int(hdr["filter_cutoff"])
+            self.hashes = np.memmap(
+                os.path.join(d, "hashes.bin"), dtype=np.uint64, mode="r",
+                shape=(n,))
+            self.positions = np.memmap(
+                os.path.join(d, "positions.bin"), dtype=np.uint32, mode="r",
+                shape=(n,))
+            self.packed = np.memmap(
+                os.path.join(d, "packed.bin"), dtype=np.uint32, mode="r",
+                shape=(n,))
+            self.randstrobe_start_indices = np.memmap(
+                os.path.join(d, "buckets.bin"), dtype=np.uint64, mode="r",
+                shape=((1 << self.bits) + 1,))
+        except (OSError, ValueError, KeyError):
+            return False
+        for arr in (self.hashes, self.positions, self.packed,
+                    self.randstrobe_start_indices):
+            _madvise_willneed(arr)
+        if warm:
+            import threading
+
+            files = [os.path.join(d, x + ".bin")
+                     for x in ("buckets", "hashes", "positions", "packed")]
+            t = threading.Thread(
+                target=_warm_page_cache, args=(files,), daemon=True)
+            t.start()
+        return True
+
+
+def _madvise_willneed(arr) -> None:
+    """Hint the kernel to schedule readahead for a memmap'd column."""
+    import ctypes
+    import mmap as _mmap
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.madvise(ctypes.c_void_p(arr.ctypes.data),
+                     ctypes.c_size_t(arr.nbytes),
+                     ctypes.c_int(_mmap.MADV_WILLNEED))
+    except Exception:  # pragma: no cover - hint only
+        pass
+
+
+def _warm_page_cache(files) -> None:
+    """Stream files sequentially through the page cache (separate fds;
+    the GIL is released during readinto, so this overlaps compute on a
+    single core — IO wait costs no CPU). Bucket table first: every
+    lookup starts there."""
+    buf = bytearray(32 << 20)
+    for path in files:
+        try:
+            with open(path, "rb", buffering=0) as f:
+                while f.readinto(buf):
+                    pass
+        except OSError:  # pragma: no cover - cache warming only
+            return
             if self.randstrobe_start_indices.shape[0] != (1 << self.bits) + 1:
                 raise InvalidIndexFile("randstrobe_start_indices vector is of the wrong size")

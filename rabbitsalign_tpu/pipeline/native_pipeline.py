@@ -53,6 +53,29 @@ def boost_mapping_thread(level: int = -5) -> bool:
         return False
 
 
+def pin_worker_thread(wid: int):
+    """Pin the CALLING thread to one allowed CPU, round-robin by worker
+    id — the analog of the reference's consumer-thread affinity
+    (/root/reference/src/pc.cpp:519-527 pins worker i to core i). Keeps
+    each worker's index/cache working set on one core and away from the
+    jax client threads on many-core production hosts; correctness-
+    testable anywhere, perf-testable only where cores outnumber workers
+    (this box has one core — see docs/PERF.md). Returns the cpu id, or
+    None when pinning is unavailable (non-Linux, empty mask)."""
+    import os
+
+    try:
+        allowed = sorted(os.sched_getaffinity(0))
+        if not allowed:
+            return None
+        cpu = allowed[wid % len(allowed)]
+        # pid 0 = the calling THREAD for sched_setaffinity on Linux
+        os.sched_setaffinity(0, {cpu})
+        return cpu
+    except (AttributeError, OSError):
+        return None
+
+
 def _enable_compilation_cache() -> None:
     """Persist compiled extend programs across processes: a fresh CLI run
     otherwise pays the ~5-30 s bucket-shape compiles inside the mapping
@@ -675,6 +698,7 @@ class ThreadedNativePipeline:
         deterministic: bool = False,
         device_seed: bool = False,
         shard_index: bool = False,
+        pin_workers: bool = False,
     ):
         sharded = None
         if shard_index:
@@ -692,6 +716,8 @@ class ThreadedNativePipeline:
         self.n_workers = max(1, n_workers)
         self.queue_depth = queue_depth
         self.deterministic = deterministic
+        self.pin_workers = pin_workers
+        self.pinned_cpus = []  # (wid, cpu) telemetry, filled by workers
         self._counters = []
         self._timers = []
 
@@ -729,6 +755,10 @@ class ThreadedNativePipeline:
                 out_lock.notify_all()
 
         def worker(wid):
+            if self.pin_workers:
+                cpu = pin_worker_thread(wid)
+                if cpu is not None:
+                    self.pinned_cpus.append((wid, cpu))
             boost_mapping_thread()
             in_q = in_qs[wid % len(in_qs)]
             pipe = None

@@ -95,7 +95,20 @@ def run_aligner(opt: CommandLineOptions) -> int:
         sti_path = opt.ref_filename + index_parameters.filename_extension()
         logger.info(f"Reading index from {sti_path}")
         t0 = time.perf_counter()
-        index.read(sti_path)
+        # --mmap-index: O(1) open via the columnar sidecar (built on
+        # first use); pages fault in on demand while a warmer thread
+        # streams the files through the page cache, so mapping overlaps
+        # the disk instead of stalling minutes behind a 12 GB fread-
+        # style load at GRCh38 scale
+        if getattr(opt, "mmap_index", False):
+            if not index.read_mmap(sti_path):
+                index.read(sti_path)
+                logger.info("Building mmap sidecar (one-time) ...")
+                index.write_columns(sti_path)
+            else:
+                logger.info("Index mapped from columnar sidecar")
+        else:
+            index.read(sti_path)
         logger.info(f"Total time reading index: {time.perf_counter() - t0:.2f} s")
     else:
         logger.info("Indexing ...")
@@ -274,6 +287,7 @@ def _map_reads(
                 deterministic=getattr(opt, "deterministic", False),
                 device_seed=getattr(opt, "device_seed", False),
                 shard_index=getattr(opt, "shard_index", False),
+                pin_workers=getattr(opt, "pin_workers", False),
             )
             t0 = time.perf_counter()
             n_reads = pipeline.map_file(

@@ -485,6 +485,24 @@ def test_threaded_pipeline_se_identical(world, tmp_path):
         assert n == 500
         assert t == t0
 
+    # --pin-workers: identical output, and each worker actually pinned
+    # to one allowed CPU (round-robin; reference pc.cpp:519-527 analog)
+    import os
+
+    out = []
+    pipe = ThreadedNativePipeline(index, params, refs, ap, mp,
+                                  use_device=False, n_workers=3,
+                                  pin_workers=True)
+    n = pipe.map_file(str(p_se), "", False, 64, out.append)
+    assert n == 500 and b"".join(out) == t0
+    allowed = sorted(os.sched_getaffinity(0))
+    assert len(pipe.pinned_cpus) == 3
+    for wid, cpu in pipe.pinned_cpus:
+        assert cpu == allowed[wid % len(allowed)]
+    # restore this thread's mask in case a worker pin leaked (it must
+    # not: pinning happens on the worker threads)
+    assert sorted(os.sched_getaffinity(0)) == allowed
+
 
 def test_threaded_pipeline_pe_runs(world, tmp_path):
     """PE threaded output depends on worker scheduling (per-worker

@@ -81,6 +81,51 @@ def test_sti_roundtrip(tmp_path):
     assert idx.filter_cutoff == idx2.filter_cutoff
 
 
+def test_columnar_mmap_sidecar(tmp_path):
+    """write_columns/read_mmap: element-identical arrays + header fields,
+    stale-sidecar invalidation on .sti change, and the parameter check
+    read() would have performed."""
+    import os
+
+    from rabbitsalign_tpu.index.strobemer_index import InvalidIndexFile
+
+    contigs = [random_dna(20000, seed=22), random_dna(5000, seed=23)]
+    path = make_refs(tmp_path, contigs)
+    refs = References.from_fasta(str(path))
+    params = IndexParameters.from_read_length(150)
+    idx = StrobemerIndex(refs, params)
+    idx.populate(0.0002)
+    sti = str(tmp_path / "x.sti")
+    idx.write(sti)
+
+    idx2 = StrobemerIndex(refs, params)
+    assert not idx2.read_mmap(sti)  # no sidecar yet -> caller falls back
+    idx.write_columns(sti)
+    assert idx2.read_mmap(sti, warm=False)
+    np.testing.assert_array_equal(idx.hashes, idx2.hashes)
+    np.testing.assert_array_equal(idx.positions, idx2.positions)
+    np.testing.assert_array_equal(idx.packed, idx2.packed)
+    np.testing.assert_array_equal(
+        idx.randstrobe_start_indices, idx2.randstrobe_start_indices)
+    assert idx2.filter_cutoff == idx.filter_cutoff
+    assert idx2.bits == idx.bits
+    # lookup works on the memmapped columns
+    probe = idx.hashes[len(idx) // 2]
+    assert int(idx2.find(probe)) == int(idx.find(probe))
+
+    # parameter mismatch must raise exactly like read()
+    params300 = IndexParameters.from_read_length(300)
+    idx3 = StrobemerIndex(refs, params300)
+    with pytest.raises(InvalidIndexFile):
+        idx3.read_mmap(sti, warm=False)
+
+    # a rewritten .sti invalidates the sidecar (mtime/size key)
+    os.utime(sti, ns=(os.stat(sti).st_atime_ns,
+                      os.stat(sti).st_mtime_ns + 1))
+    idx4 = StrobemerIndex(refs, params)
+    assert not idx4.read_mmap(sti, warm=False)
+
+
 @pytest.mark.skipif(not have_reference(), reason="reference tree not mounted")
 def test_sti_byte_identical_with_reference(tmp_path):
     binary = build_golden("sti_golden")

@@ -1,24 +1,34 @@
 """Exact reimplementation of the SSW (striped Smith-Waterman) library
 semantics used by the reference aligner (/root/reference/ext/ssw/ssw.c):
 
-* forward pass: local affine-gap DP; score1 = global max; ref_end = first
-  reference column attaining it; read_end = first row in that column,
-* reverse pass over the reversed prefix determines (ref_begin, read_begin)
-  — ties resolve to the shortest alignment,
+* forward pass: sw_sse2_byte first (16 lanes, biased saturating u8
+  arithmetic); on saturation (max + bias >= 255) rerun as sw_sse2_word
+  (8 lanes, i16) — exactly ssw_init's score_size=2 adaptive flow,
+* reverse pass over the reversed prefixes (same lane width as the
+  forward winner, terminate = score1) determines (ref_begin, read_begin),
 * cigar from `banded_sw` over the clipped region, band doubling until the
-  banded score reaches score1, with its exact direction-code tie-breaks
-  (diagonal preferred on H ties; F ("D") preferred over E ("I") on gap
-  ties; gap-open preferred only when strictly greater than extension).
+  banded score reaches score1, with its exact direction-code tie-breaks.
 
-The forward/reverse passes are numpy-vectorized along the query dimension
-(per reference column), using the prefix-max formulation of the in-column
-gap recurrence — exact for gap_open >= gap_extend, which the CLI enforces
-(probed: for O < E real ssw.c's lazy-F loop produces yet another
-semantics that neither this form nor the engine's scalar recurrence
-matches). `banded_sw` is a literal port — its band
-is tiny (|refLen-readLen|+1 wide) so Python loops are fine; it is only
-used as the host-side golden/fallback, the production extend path runs on
-TPU (ops/sw_kernel.py).
+The striped kernels are simulated FAITHFULLY, not idealized: ssw.c's
+Farrar formulation is NOT the textbook DP. Its semantics include
+(probed 2026-08 via tests/test_param_fuzz.py, minimal case
+q=AGCNNCGT r=AGCCGT A3 B12 O4 E4 -> ssw 9, textbook 10):
+  * insertion gaps open only from pre-insertion H values (the SWPS3
+    "disallow adjacent insertion then deletion" revision: E is never
+    updated from lazy-F-corrected H),
+  * deletion states update from the MAIN-pass H (in-lane F only, no
+    cross-lane corrections),
+  * the lazy-F loop STOPS GLOBALLY at the first (round, stripe) where
+    no lane has vF > max(H - gapO, 0) — cutting productive pure
+    extensions that the textbook recurrence keeps,
+  * lane geometry (segLen = ceil(readLen/lanes)) decides where in-lane
+    main-pass propagation ends and prunable lazy propagation begins, so
+    BYTE (16-lane) and WORD (8-lane) passes are semantically different
+    programs — which is why both are simulated, adaptively like ssw.c.
+The main pass is numpy-vectorized with the prefix-max formulation of
+the in-lane F chain (exact for gap_open >= gap_extend, which the CLI
+enforces); the lazy pass simulates lane vectors literally (it usually
+terminates within a step or two). `banded_sw` is a literal port.
 
 Zero-score edge case: ssw returns (score1=0, ref_begin=-1, ref_end=-1,
 read_begin=0, read_end=0, cigar="1M"); reproduced verbatim.
@@ -46,42 +56,113 @@ class SswResult:
     cigar: Cigar  # M/I/D ops over the clipped region (no soft clips)
 
 
-def _forward_pass(q: np.ndarray, r: np.ndarray, A: int, B: int, O: int, E: int):
-    """Return (max_score, ref_end, read_end) with SSW tie-breaking.
+def _striped_pass(q: np.ndarray, r: np.ndarray, A: int, B: int, O: int,
+                  E: int, lanes: int, terminate: int):
+    """Faithful simulation of ssw.c sw_sse2_byte (lanes=16) /
+    sw_sse2_word (lanes=8) over code arrays (0..3 bases, 4=N).
 
-    q, r: int8/uint8 code arrays (0..3 bases, 4=N). Matches the 5x5 SSW
-    matrix: +A only for equal codes < 4, else -B.
-    """
-    m = q.shape[0]
-    H = np.zeros(m, dtype=np.int64)
-    F = np.full(m, NEG_INF, dtype=np.int64)
+    Returns (max, end_ref, end_read, overflowed) — `max` is the true
+    (bias-free) score; `overflowed` mirrors the byte pass's
+    max + bias >= 255 break (callers rerun in word mode). `terminate`
+    stops the column loop when a column max equals it (the reverse-pass
+    locate; pass a never-matching value for the forward pass).
+    The ref direction flag of ssw.c is realized by the CALLER passing a
+    reversed r (column work depends only on ref[i], so iterating a
+    reversed array forward is the reversed iteration)."""
+    m = int(q.shape[0])
+    n = int(r.shape[0])
+    byte_mode = lanes == 16
+    bias = B if byte_mode else 0
+    sat = 255 if byte_mode else 32767
+    seg = (m + lanes - 1) // lanes
+
+    # striped position map: stripe j, lane l -> read position j + l*seg
+    idx = np.arange(seg)[:, None] + np.arange(lanes)[None, :] * seg
+    valid = idx < m
+    qs = np.where(valid, q[np.minimum(idx, m - 1)].astype(np.int32), -1)
+    # profile net substitution per target code; PADDED cells score 0
+    # (qP_byte stores `bias` there, qP_word stores 0 — both net 0)
+    prof = np.empty((5, seg, lanes), np.int32)
+    for c in range(5):
+        prof[c] = np.where(valid, np.where((qs == c) & (qs < 4), A, -B), 0)
+
+    H = np.zeros((seg, lanes), np.int32)
+    Eb = np.zeros((seg, lanes), np.int32)
+    Hmax = np.zeros((seg, lanes), np.int32)
     best = 0
-    best_i = -1
-    best_col = None
-    idx = np.arange(m, dtype=np.int64)
-    qv = q.astype(np.int64)
-    for i in range(r.shape[0]):
-        sub = np.where((qv == r[i]) & (qv < 4), A, -B)
-        Hdiag = np.empty(m, dtype=np.int64)
-        Hdiag[0] = 0
-        Hdiag[1:] = H[:-1]
-        F = np.maximum(H - O, F - E)
-        Hhat = np.maximum(np.maximum(Hdiag + sub, F), 0)
-        # in-column gap (E) via prefix max: E[j] = max_{j'<j} Hhat[j'] - O - (j-1-j')*gapE
-        P = np.maximum.accumulate(Hhat + idx * E)
-        Ecol = np.empty(m, dtype=np.int64)
-        Ecol[0] = NEG_INF
-        Ecol[1:] = P[:-1] - O - (idx[1:] - 1) * E
-        H = np.maximum(Hhat, Ecol)
-        cmax = int(H.max())
-        if cmax > best:
-            best = cmax
-            best_i = i
-            best_col = H.copy()
-    if best == 0:
-        return 0, -1, 0
-    read_end = int(np.argmax(best_col == best))
-    return best, best_i, read_end
+    end_ref = -1 if byte_mode else 0
+    end_read = m - 1
+    overflow = False
+
+    for i in range(n):
+        sub = prof[r[i]]
+        # diagonal: H(prev column) shifted one lane at the stripe seam
+        diag = np.empty((seg, lanes), np.int32)
+        diag[1:] = H[:-1]
+        diag[0, 1:] = H[seg - 1, :-1]
+        diag[0, 0] = 0
+        # adds_ep{u8,i16} then (byte) subs_epu8 bias: saturate, debias
+        hd = np.minimum(diag + sub + bias, sat)
+        if byte_mode:
+            hd = np.maximum(hd - bias, 0)
+        # main pass, vectorized: the in-lane vF chain is a prefix-max
+        # over H values EXCLUDING vF (exact for O >= E: reopening from
+        # an F-valued H never beats extending, see module docstring)
+        Hpre = np.maximum(hd, Eb)
+        # F(j) = max_{j'<j} (openv(j') - (j-1-j')*E), clamped >= 0
+        # (saturating u8/u16 decay): with w(j') = openv(j') + j'*E this
+        # is cummax(w)[j-1] - (j-1)*E
+        openv = np.maximum(Hpre - O, 0)
+        dec = (np.arange(seg, dtype=np.int32) * E)[:, None]
+        P = np.maximum.accumulate(openv + dec, axis=0)
+        F = np.zeros((seg, lanes), np.int32)
+        if seg > 1:
+            F[1:] = np.maximum(P[:-1] - dec[:-1], 0)
+        Hm = np.maximum(Hpre, F)
+        Eb = np.maximum(np.maximum(Eb - E, 0), np.maximum(Hm - O, 0))
+        vmaxcol = Hm.max(axis=0)  # per-lane column max so far
+        Hnew = Hm
+        # vF as it leaves the main pass: the chain evaluated one past
+        # each lane's last stripe
+        vF = np.maximum(P[seg - 1] - dec[seg - 1], 0)
+
+        # lazy-F loop: global early stop, no E updates, no reopening
+        done = False
+        for _k in range(lanes):
+            vF = np.concatenate(([0], vF[:-1]))
+            if not vF.any():
+                break
+            for j in range(seg):
+                row = np.maximum(Hnew[j], vF)
+                Hnew[j] = row
+                vmaxcol = np.maximum(vmaxcol, row)
+                vho = np.maximum(row - O, 0)
+                vF = np.maximum(vF - E, 0)
+                if not (vF > vho).any():
+                    done = True
+                    break
+            if done:
+                break
+        H = Hnew
+
+        colmax = int(vmaxcol.max())
+        if colmax > best:
+            best = colmax
+            if byte_mode and best + bias >= 255:
+                overflow = True
+                break
+            end_ref = i
+            Hmax = H.copy()
+        if colmax == terminate:
+            break
+
+    if not overflow:
+        hits = idx[Hmax == best]
+        if hits.size:
+            cand = int(hits.min())
+            if cand < end_read:
+                end_read = cand
+    return best, end_ref, end_read, overflow
 
 
 def banded_sw(
@@ -205,15 +286,24 @@ def banded_sw(
 def ssw_align(
     q: np.ndarray, r: np.ndarray, A: int, B: int, O: int, E: int
 ) -> SswResult:
-    """Port of ssw_align with flag=0x0f (begin + cigar always requested)."""
-    score1, ref_end, read_end = _forward_pass(q, r, A, B, O, E)
+    """Port of ssw_align with flag=0x0f (begin + cigar always requested):
+    byte pass, word rerun on saturation, reverse pass at the winning
+    width with terminate=score1, then banded_sw for the cigar."""
+    score1, ref_end, read_end, overflow = _striped_pass(
+        q, r, A, B, O, E, 16, terminate=255)
+    word = False
+    if overflow:
+        score1, ref_end, read_end, _ = _striped_pass(
+            q, r, A, B, O, E, 8, terminate=-1)
+        word = True
     if score1 == 0:
         return SswResult(0, -1, -1, 0, 0, 0, Cigar([(1 << 4) | CIGAR_MATCH]))
 
-    # reverse pass on reversed prefixes
+    # reverse pass on reversed prefixes, stopped at the known score
     q_rev = q[read_end::-1]
     r_rev = r[ref_end::-1]
-    score_r, rev_ref_end, rev_read_end = _forward_pass(q_rev, r_rev, A, B, O, E)
+    score_r, rev_ref_end, rev_read_end, _ = _striped_pass(
+        q_rev, r_rev, A, B, O, E, 8 if word else 16, terminate=score1)
     ref_begin = ref_end - rev_ref_end
     read_begin = read_end - rev_read_end
     flag = 0

@@ -27,9 +27,10 @@
 #include <deque>
 #include <string>
 #include <tuple>
-#ifdef __AVX2__
+// SSE2 is baseline on x86-64 (the striped SSW port needs __m128i even
+// in non-native builds like the sanitizer drivers); wider ISA paths
+// keep their own __AVX2__/__AVX512BW__ guards
 #include <immintrin.h>
-#endif
 #ifdef __linux__
 #include <sys/resource.h>
 #include <sys/syscall.h>
@@ -198,330 +199,227 @@ struct AlignmentC {
 };
 
 // ------------------------------------------------------------------
-// SSW scalar reimplementation (align/ssw.py semantics, which match
-// reference ext/ssw/ssw.c): forward pass tie-breaks to first ref column
-// / first read row; reverse pass for begins; banded_sw for the cigar.
+// SSW forward passes: FAITHFUL simulation of the reference's striped
+// library (/root/reference/ext/ssw/ssw.c sw_sse2_byte / sw_sse2_word)
+// with ssw_init's score_size=2 adaptive flow (byte first, word rerun on
+// saturation). ssw.c's Farrar formulation is NOT the textbook local
+// affine DP — semantics this port preserves bug-for-bug (probed via
+// tests/test_param_fuzz.py; minimal divergence case q=AGCNNCGT
+// r=AGCCGT A3 B12 O4 E4: ssw 9, textbook 10):
+//   * insertion gaps open only from pre-insertion H (SWPS3 "disallow
+//     adjacent insertion then deletion": E never updated from
+//     lazy-F-corrected H),
+//   * deletion states update from the MAIN-pass H (in-lane F only),
+//   * the lazy-F loop stops GLOBALLY at the first (round, stripe)
+//     where no lane has vF > max(H - gapO, 0), cutting productive
+//     pure extensions,
+//   * lane geometry (segLen = ceil(readLen/lanes)) decides where
+//     in-lane propagation ends, so the 16-lane byte and 8-lane word
+//     kernels are semantically DIFFERENT programs — both implemented,
+//     chosen adaptively like ssw.c. Padded lane positions carry
+//     0-substitution cells exactly like qP_byte/qP_word build them.
+// The python twin (align/ssw.py _striped_pass) simulates the same
+// algorithm; tests/sanitize/ssw_simd_fuzz.cpp gates this port against
+// the REAL ssw.c linked from the reference tree.
 
-static constexpr i64 SSW_NEG_INF = -((i64)1 << 30);
-
-struct FwdResult {
+struct StripedEnd {
     i64 score;
-    i64 ref_end;   // -1 when score == 0
+    i64 ref_end;   // -1 when nothing scored (byte); 0-init quirk (word)
     i64 read_end;
+    bool overflow;  // byte pass: max + bias >= 255 -> rerun in word
 };
 
-// q, r: code arrays (0..3 bases, 4 = N); sub = +A iff equal && <4 else -B
-static FwdResult ssw_forward(const u8* q, i64 m, const u8* r, i64 n,
-                             int A, int B, int O, int E,
-                             std::vector<i64>& H, std::vector<i64>& F,
-                             std::vector<i64>& bestH) {
-    H.assign(m, 0);
-    F.assign(m, SSW_NEG_INF);
-    i64 best = 0, best_i = -1;
-    for (i64 i = 0; i < n; ++i) {
-        u8 rc = r[i];
-        i64 hdiag = 0;  // H[j-1] from previous column, j=0 -> 0
-        i64 ecol = SSW_NEG_INF;
-        i64 prev_hhat = SSW_NEG_INF;
-        i64 cmax = 0;
-        for (i64 j = 0; j < m; ++j) {
-            i64 sub = (q[j] == rc && q[j] < 4) ? A : -B;
-            i64 f = std::max(H[j] - O, F[j] - E);
-            F[j] = f;
-            i64 hhat = hdiag + sub;
-            if (f > hhat) hhat = f;
-            if (hhat < 0) hhat = 0;
-            if (j > 0) {
-                i64 open = prev_hhat - O;
-                ecol = ecol - E;
-                if (open > ecol) ecol = open;
-            }
-            i64 h = (j > 0 && ecol > hhat) ? ecol : hhat;
-            hdiag = H[j];
-            H[j] = h;
-            prev_hhat = hhat;
-            if (h > cmax) cmax = h;
-        }
-        if (cmax > best) {
-            best = cmax;
-            best_i = i;
-            bestH = H;
-        }
+static StripedEnd sw_striped_byte(const u8* q, i64 m, const u8* r, i64 n,
+                                  int A, int B, int O, int E, int terminate,
+                                  std::vector<__m128i>& prof,
+                                  std::vector<__m128i>& Hs,
+                                  std::vector<__m128i>& Hl,
+                                  std::vector<__m128i>& Ee,
+                                  std::vector<__m128i>& Hmx) {
+    const int bias = B;  // abs(min of the 5x5 matrix) = mismatch
+    const i64 seg = (m + 15) / 16;
+    prof.resize(5 * seg);
+    {
+        int8_t* t = (int8_t*)prof.data();
+        for (int c = 0; c < 5; ++c)
+            for (i64 j = 0; j < seg; ++j)
+                for (int l = 0; l < 16; ++l) {
+                    i64 p = j + l * seg;
+                    int v = p >= m ? bias
+                                   : ((q[p] == c && q[p] < 4) ? A + bias
+                                                              : bias - B);
+                    *t++ = (int8_t)v;
+                }
     }
-    if (best == 0) return {0, -1, 0};
-    i64 read_end = 0;
-    for (i64 j = 0; j < m; ++j)
-        if (bestH[j] == best) {
-            read_end = j;
-            break;
-        }
-    return {best, best_i, read_end};
-}
-
-// --- striped SIMD forward pass (AVX2, 16 x i16 lanes) ----------------
-//
-// Farrar-style striped Smith-Waterman forward, written fresh against the
-// scalar ssw_forward above and fuzz-validated bit-exact against it
-// (tests/sanitize/ssw_simd_fuzz.cpp): same tie-breaks (first ref column
-// attaining the best score; first query row within that column). Serves
-// the same role as the reference's SSE2 ssw.c (/root/reference/ext/ssw).
-
-#ifdef __AVX2__
-struct SimdScratch {
-    std::vector<int16_t> profile;  // 5 codes x seg x 16 lanes
-    std::vector<int16_t> H, E, Hnew, best_col;
-};
-
-static bool ssw_forward_simd(const u8* q, i64 m, const u8* r, i64 n, int A,
-                             int B, int O, int E, SimdScratch& s,
-                             i64& best_out, i64& ref_end_out,
-                             i64& read_end_out) {
-    if (m <= 0 || n <= 0) return false;
-    if (m > 20000 || (i64)A * m + 100 > 32000) return false;  // i16 headroom
-    const int L = 16;
-    const i64 seg = (m + L - 1) / L;
-    const int16_t NEGI = -30000;
-
-    // striped profile: lane l, stripe j -> query index l*seg + j
-    s.profile.assign((size_t)(5 * seg * L), (int16_t)-B);
-    for (int c = 0; c < 5; ++c) {
-        int16_t* pc = s.profile.data() + (size_t)c * seg * L;
-        for (i64 j = 0; j < seg; ++j)
-            for (int l = 0; l < L; ++l) {
-                i64 qi = (i64)l * seg + j;
-                int16_t v;
-                if (qi >= m)
-                    v = 0;  // padding lanes never win: kept at H=0 via mask below
-                else if (q[qi] == c && q[qi] < 4)
-                    v = (int16_t)A;
-                else
-                    v = (int16_t)-B;
-                pc[j * L + l] = v;
-            }
-    }
-    s.H.assign((size_t)(seg * L), 0);
-    s.E.assign((size_t)(seg * L), NEGI);
-    s.Hnew.assign((size_t)(seg * L), 0);
-    s.best_col.assign((size_t)(seg * L), 0);
-
-    const __m256i vZero = _mm256_setzero_si256();
-    const __m256i vGapO = _mm256_set1_epi16((int16_t)O);
-    const __m256i vGapE = _mm256_set1_epi16((int16_t)E);
-    // lanes whose query index >= m must stay at 0 so they never produce
-    // a best score; mask built per stripe
-    std::vector<int16_t> valid((size_t)(seg * L));
-    for (i64 j = 0; j < seg; ++j)
-        for (int l = 0; l < L; ++l)
-            valid[j * L + l] = ((i64)l * seg + j) < m ? (int16_t)-1 : 0;
-
-    i64 best = 0, best_i = -1;
-    auto lshift_lane = [](__m256i v) {
-        // shift i16 lanes up by one (lane 0 <- 0): query row l*seg+seg-1
-        // feeds row (l+1)*seg + 0
-        __m256i perm = _mm256_permute2x128_si256(v, v, 0x08);  // low half -> high
-        return _mm256_alignr_epi8(v, perm, 14);
-    };
-
+    Hs.assign(seg, _mm_setzero_si128());
+    Hl.assign(seg, _mm_setzero_si128());
+    Ee.assign(seg, _mm_setzero_si128());
+    Hmx.assign(seg, _mm_setzero_si128());
+    const __m128i vGapO = _mm_set1_epi8((char)(u8)O);
+    const __m128i vGapE = _mm_set1_epi8((char)(u8)E);
+    const __m128i vBias = _mm_set1_epi8((char)(u8)bias);
+    const __m128i vZero = _mm_setzero_si128();
+    __m128i* pvHStore = Hs.data();
+    __m128i* pvHLoad = Hl.data();
+    __m128i* pvE = Ee.data();
+    int best = 0;
+    i64 end_ref = -1, end_read = m - 1;
+    bool overflow = false;
     for (i64 i = 0; i < n; ++i) {
-        const int16_t* prof =
-            s.profile.data() + (size_t)r[i] * seg * L;
-        __m256i vF = _mm256_set1_epi16(NEGI);
-        __m256i vH =
-            lshift_lane(_mm256_loadu_si256((__m256i*)(s.H.data() + (seg - 1) * L)));
-        __m256i vColMax = vZero;
+        __m128i e, vF = vZero, vMaxColumn = vZero;
+        __m128i vH = _mm_slli_si128(pvHStore[seg - 1], 1);
+        const __m128i* vP = prof.data() + (i64)r[i] * seg;
+        std::swap(pvHStore, pvHLoad);
         for (i64 j = 0; j < seg; ++j) {
-            vH = _mm256_adds_epi16(vH, _mm256_loadu_si256((__m256i*)(prof + j * L)));
-            __m256i vE = _mm256_loadu_si256((__m256i*)(s.E.data() + j * L));
-            vH = _mm256_max_epi16(vH, vE);
-            vH = _mm256_max_epi16(vH, vF);
-            vH = _mm256_max_epi16(vH, vZero);
-            __m256i vMask = _mm256_loadu_si256((__m256i*)(valid.data() + j * L));
-            vH = _mm256_and_si256(vH, vMask);
-            _mm256_storeu_si256((__m256i*)(s.Hnew.data() + j * L), vH);
-            vColMax = _mm256_max_epi16(vColMax, vH);
-            // cross-column gap (scalar F): feeds from this column's H
-            __m256i vHO = _mm256_subs_epi16(vH, vGapO);
-            vE = _mm256_max_epi16(_mm256_subs_epi16(vE, vGapE), vHO);
-            _mm256_storeu_si256((__m256i*)(s.E.data() + j * L), vE);
-            // within-column gap (scalar Ecol), lazily corrected below
-            vF = _mm256_max_epi16(_mm256_subs_epi16(vF, vGapE), vHO);
-            vH = _mm256_loadu_si256((__m256i*)(s.H.data() + j * L));  // next diag
+            vH = _mm_adds_epu8(vH, vP[j]);
+            vH = _mm_subs_epu8(vH, vBias);
+            e = pvE[j];
+            vH = _mm_max_epu8(vH, e);
+            vH = _mm_max_epu8(vH, vF);
+            vMaxColumn = _mm_max_epu8(vMaxColumn, vH);
+            pvHStore[j] = vH;
+            vH = _mm_subs_epu8(vH, vGapO);
+            e = _mm_subs_epu8(e, vGapE);
+            e = _mm_max_epu8(e, vH);
+            pvE[j] = e;
+            vF = _mm_subs_epu8(vF, vGapE);
+            vF = _mm_max_epu8(vF, vH);
+            vH = pvHLoad[j];
         }
-        // lazy within-column correction: F wraps to the next lane's row 0
-        // and sweeps the stripes until no cell improves. Opens come from
-        // the pre-correction H only (scalar semantics: the within-column
-        // gap feeds from hhat); extending an existing gap is never worse
-        // than re-opening from a gap-corrected cell when O >= E.
-        for (int pass = 0; pass < L; ++pass) {
-            vF = lshift_lane(vF);
-            bool any = false;
+        for (int k = 0; k < 16; ++k) {
+            vF = _mm_slli_si128(vF, 1);
+            bool stop = false;
             for (i64 j = 0; j < seg; ++j) {
-                __m256i vHj = _mm256_loadu_si256((__m256i*)(s.Hnew.data() + j * L));
-                __m256i vMask = _mm256_loadu_si256((__m256i*)(valid.data() + j * L));
-                __m256i vNew = _mm256_max_epi16(vHj, vF);
-                vNew = _mm256_and_si256(vNew, vMask);
-                __m256i vChanged = _mm256_cmpgt_epi16(vNew, vHj);
-                if (!_mm256_testz_si256(vChanged, vChanged)) any = true;
-                _mm256_storeu_si256((__m256i*)(s.Hnew.data() + j * L), vNew);
-                vColMax = _mm256_max_epi16(vColMax, vNew);
-                vF = _mm256_subs_epi16(vF, vGapE);
+                vH = _mm_max_epu8(pvHStore[j], vF);
+                vMaxColumn = _mm_max_epu8(vMaxColumn, vH);
+                pvHStore[j] = vH;
+                vH = _mm_subs_epu8(vH, vGapO);
+                vF = _mm_subs_epu8(vF, vGapE);
+                __m128i t = _mm_cmpeq_epi8(_mm_subs_epu8(vF, vH), vZero);
+                if (_mm_movemask_epi8(t) == 0xffff) {
+                    stop = true;
+                    break;
+                }
             }
-            if (!any) break;
+            if (stop) break;
         }
-        // column max + tie-break (strictly greater -> first column wins)
-        __m256i t = vColMax;
-        __m128i lo = _mm256_castsi256_si128(t);
-        __m128i hi = _mm256_extracti128_si256(t, 1);
-        __m128i mx = _mm_max_epi16(lo, hi);
-        mx = _mm_max_epi16(mx, _mm_srli_si128(mx, 8));
-        mx = _mm_max_epi16(mx, _mm_srli_si128(mx, 4));
-        mx = _mm_max_epi16(mx, _mm_srli_si128(mx, 2));
-        i64 cmax = (int16_t)_mm_extract_epi16(mx, 0);
-        if (cmax > best) {
-            best = cmax;
-            best_i = i;
-            s.best_col.assign(s.Hnew.begin(), s.Hnew.end());
+        __m128i vm = vMaxColumn;
+        vm = _mm_max_epu8(vm, _mm_srli_si128(vm, 8));
+        vm = _mm_max_epu8(vm, _mm_srli_si128(vm, 4));
+        vm = _mm_max_epu8(vm, _mm_srli_si128(vm, 2));
+        vm = _mm_max_epu8(vm, _mm_srli_si128(vm, 1));
+        int colmax = _mm_extract_epi16(vm, 0) & 0xff;
+        if (colmax > best) {
+            best = colmax;
+            if (best + bias >= 255) {
+                overflow = true;
+                break;
+            }
+            end_ref = i;
+            for (i64 j = 0; j < seg; ++j) Hmx[j] = pvHStore[j];
         }
-        std::swap(s.H, s.Hnew);
+        if (colmax == terminate) break;
     }
-    if (best == 0) {
-        best_out = 0;
-        ref_end_out = -1;
-        read_end_out = 0;
-        return true;
+    if (!overflow) {
+        const u8* t = (const u8*)Hmx.data();
+        for (i64 idx = 0; idx < seg * 16; ++idx)
+            if ((int)t[idx] == best) {
+                i64 p = idx / 16 + (idx % 16) * seg;
+                if (p < end_read) end_read = p;
+            }
     }
-    // first query row attaining best within the best column
-    i64 read_end = 0;
-    for (i64 qi = 0; qi < m; ++qi) {
-        i64 j = qi % seg, l = qi / seg;
-        if (s.best_col[j * L + l] == (int16_t)best) {
-            read_end = qi;
-            break;
-        }
-    }
-    best_out = best;
-    ref_end_out = best_i;
-    read_end_out = read_end;
-    return true;
+    return {(i64)best, end_ref, end_read, overflow};
 }
-#endif  // __AVX2__
 
-#if defined(__AVX512BW__) && defined(__AVX2__)
-// AVX-512 variant: 32 x i16 lanes, mask-register compares. Same
-// structure and tie-breaks as the AVX2 version above; preferred when
-// available (picked in ssw_forward_dispatch).
-static bool ssw_forward_simd512(const u8* q, i64 m, const u8* r, i64 n, int A,
-                                int B, int O, int E, SimdScratch& s,
-                                i64& best_out, i64& ref_end_out,
-                                i64& read_end_out) {
-    if (m <= 0 || n <= 0) return false;
-    if (m > 20000 || (i64)A * m + 100 > 32000) return false;
-    const int L = 32;
-    const i64 seg = (m + L - 1) / L;
-    const int16_t NEGI = -30000;
-
-    s.profile.assign((size_t)(5 * seg * L), (int16_t)-B);
-    for (int c = 0; c < 5; ++c) {
-        int16_t* pc = s.profile.data() + (size_t)c * seg * L;
-        for (i64 j = 0; j < seg; ++j)
-            for (int l = 0; l < L; ++l) {
-                i64 qi = (i64)l * seg + j;
-                pc[j * L + l] =
-                    qi >= m ? (int16_t)0
-                            : (q[qi] == c && q[qi] < 4 ? (int16_t)A
-                                                       : (int16_t)-B);
-            }
+static StripedEnd sw_striped_word(const u8* q, i64 m, const u8* r, i64 n,
+                                  int A, int B, int O, int E, int terminate,
+                                  std::vector<__m128i>& prof,
+                                  std::vector<__m128i>& Hs,
+                                  std::vector<__m128i>& Hl,
+                                  std::vector<__m128i>& Ee,
+                                  std::vector<__m128i>& Hmx) {
+    const i64 seg = (m + 7) / 8;
+    prof.resize(5 * seg);
+    {
+        int16_t* t = (int16_t*)prof.data();
+        for (int c = 0; c < 5; ++c)
+            for (i64 j = 0; j < seg; ++j)
+                for (int l = 0; l < 8; ++l) {
+                    i64 p = j + l * seg;
+                    int v = p >= m ? 0 : ((q[p] == c && q[p] < 4) ? A : -B);
+                    *t++ = (int16_t)v;
+                }
     }
-    s.H.assign((size_t)(seg * L), 0);
-    s.E.assign((size_t)(seg * L), NEGI);
-    s.Hnew.assign((size_t)(seg * L), 0);
-    s.best_col.assign((size_t)(seg * L), 0);
-
-    const __m512i vZero = _mm512_setzero_si512();
-    const __m512i vGapO = _mm512_set1_epi16((int16_t)O);
-    const __m512i vGapE = _mm512_set1_epi16((int16_t)E);
-    std::vector<int16_t> valid((size_t)(seg * L));
-    for (i64 j = 0; j < seg; ++j)
-        for (int l = 0; l < L; ++l)
-            valid[j * L + l] = ((i64)l * seg + j) < m ? (int16_t)-1 : 0;
-
-    // i16 lane shift up by one across the full 512-bit register
-    int16_t shift_idx[32];
-    for (int l = 0; l < 32; ++l) shift_idx[l] = (int16_t)(l - 1);
-    const __m512i vShiftIdx = _mm512_loadu_si512(shift_idx);
-    auto lshift_lane = [&](__m512i v) {
-        return _mm512_maskz_permutexvar_epi16(0xFFFFFFFEu, vShiftIdx, v);
-    };
-
-    i64 best = 0, best_i = -1;
+    Hs.assign(seg, _mm_setzero_si128());
+    Hl.assign(seg, _mm_setzero_si128());
+    Ee.assign(seg, _mm_setzero_si128());
+    Hmx.assign(seg, _mm_setzero_si128());
+    const __m128i vGapO = _mm_set1_epi16((short)O);
+    const __m128i vGapE = _mm_set1_epi16((short)E);
+    __m128i* pvHStore = Hs.data();
+    __m128i* pvHLoad = Hl.data();
+    __m128i* pvE = Ee.data();
+    int best = 0;
+    i64 end_ref = 0, end_read = m - 1;  // end_ref 0-init: ssw.c quirk
     for (i64 i = 0; i < n; ++i) {
-        const int16_t* prof = s.profile.data() + (size_t)r[i] * seg * L;
-        __m512i vF = _mm512_set1_epi16(NEGI);
-        __m512i vH =
-            lshift_lane(_mm512_loadu_si512(s.H.data() + (seg - 1) * L));
-        __m512i vColMax = vZero;
+        __m128i e, vF = _mm_setzero_si128();
+        __m128i vMaxColumn = _mm_setzero_si128();
+        __m128i vH = _mm_slli_si128(pvHStore[seg - 1], 2);
+        const __m128i* vP = prof.data() + (i64)r[i] * seg;
+        std::swap(pvHStore, pvHLoad);
         for (i64 j = 0; j < seg; ++j) {
-            vH = _mm512_adds_epi16(vH, _mm512_loadu_si512(prof + j * L));
-            __m512i vE = _mm512_loadu_si512(s.E.data() + j * L);
-            vH = _mm512_max_epi16(vH, vE);
-            vH = _mm512_max_epi16(vH, vF);
-            vH = _mm512_max_epi16(vH, vZero);
-            __m512i vMask = _mm512_loadu_si512(valid.data() + j * L);
-            vH = _mm512_and_si512(vH, vMask);
-            _mm512_storeu_si512(s.Hnew.data() + j * L, vH);
-            vColMax = _mm512_max_epi16(vColMax, vH);
-            __m512i vHO = _mm512_subs_epi16(vH, vGapO);
-            vE = _mm512_max_epi16(_mm512_subs_epi16(vE, vGapE), vHO);
-            _mm512_storeu_si512(s.E.data() + j * L, vE);
-            vF = _mm512_max_epi16(_mm512_subs_epi16(vF, vGapE), vHO);
-            vH = _mm512_loadu_si512(s.H.data() + j * L);
+            vH = _mm_adds_epi16(vH, vP[j]);
+            e = pvE[j];
+            vH = _mm_max_epi16(vH, e);
+            vH = _mm_max_epi16(vH, vF);
+            vMaxColumn = _mm_max_epi16(vMaxColumn, vH);
+            pvHStore[j] = vH;
+            vH = _mm_subs_epu16(vH, vGapO);
+            e = _mm_subs_epu16(e, vGapE);
+            e = _mm_max_epi16(e, vH);
+            pvE[j] = e;
+            vF = _mm_subs_epu16(vF, vGapE);
+            vF = _mm_max_epi16(vF, vH);
+            vH = pvHLoad[j];
         }
-        for (int pass = 0; pass < L; ++pass) {
-            vF = lshift_lane(vF);
-            bool any = false;
+        for (int k = 0; k < 8; ++k) {
+            vF = _mm_slli_si128(vF, 2);
+            bool stop = false;
             for (i64 j = 0; j < seg; ++j) {
-                __m512i vHj = _mm512_loadu_si512(s.Hnew.data() + j * L);
-                __m512i vMask = _mm512_loadu_si512(valid.data() + j * L);
-                __m512i vNew = _mm512_max_epi16(vHj, vF);
-                vNew = _mm512_and_si512(vNew, vMask);
-                if (_mm512_cmpgt_epi16_mask(vNew, vHj)) any = true;
-                _mm512_storeu_si512(s.Hnew.data() + j * L, vNew);
-                vColMax = _mm512_max_epi16(vColMax, vNew);
-                vF = _mm512_subs_epi16(vF, vGapE);
+                vH = _mm_max_epi16(pvHStore[j], vF);
+                vMaxColumn = _mm_max_epi16(vMaxColumn, vH);
+                pvHStore[j] = vH;
+                vH = _mm_subs_epu16(vH, vGapO);
+                vF = _mm_subs_epu16(vF, vGapE);
+                if (!_mm_movemask_epi8(_mm_cmpgt_epi16(vF, vH))) {
+                    stop = true;
+                    break;
+                }
             }
-            if (!any) break;
+            if (stop) break;
         }
-        i64 cmax = (i64)_mm512_reduce_max_epi32(_mm512_max_epi32(
-            _mm512_srai_epi32(_mm512_slli_epi32(vColMax, 16), 16),
-            _mm512_srai_epi32(vColMax, 16)));
-        if (cmax > best) {
-            best = cmax;
-            best_i = i;
-            s.best_col.assign(s.Hnew.begin(), s.Hnew.end());
+        __m128i vm = vMaxColumn;
+        vm = _mm_max_epi16(vm, _mm_srli_si128(vm, 8));
+        vm = _mm_max_epi16(vm, _mm_srli_si128(vm, 4));
+        vm = _mm_max_epi16(vm, _mm_srli_si128(vm, 2));
+        int colmax = (int)(int16_t)_mm_extract_epi16(vm, 0);
+        if (colmax > best) {
+            best = colmax;
+            end_ref = i;
+            for (i64 j = 0; j < seg; ++j) Hmx[j] = pvHStore[j];
         }
-        std::swap(s.H, s.Hnew);
+        if (colmax == terminate) break;
     }
-    if (best == 0) {
-        best_out = 0;
-        ref_end_out = -1;
-        read_end_out = 0;
-        return true;
+    {
+        const uint16_t* t = (const uint16_t*)Hmx.data();
+        for (i64 idx = 0; idx < seg * 8; ++idx)
+            if ((int)t[idx] == best) {
+                i64 p = idx / 8 + (idx % 8) * seg;
+                if (p < end_read) end_read = p;
+            }
     }
-    i64 read_end = 0;
-    for (i64 qi = 0; qi < m; ++qi) {
-        i64 j = qi % seg, l = qi / seg;
-        if (s.best_col[j * L + l] == (int16_t)best) {
-            read_end = qi;
-            break;
-        }
-    }
-    best_out = best;
-    ref_end_out = best_i;
-    read_end_out = read_end;
-    return true;
+    return {(i64)best, end_ref, end_read, false};
 }
-#endif  // __AVX512BW__ && __AVX2__
-
 
 // literal port of banded_sw (align/ssw.py:85-200 / ext/ssw/ssw.c:590-770)
 static bool banded_sw(const u8* r, i64 ref_len, const u8* q, i64 read_len,
@@ -645,11 +543,8 @@ struct SswResultC {
 };
 
 struct SswScratch {
-    std::vector<i64> H, F, bestH;
+    std::vector<__m128i> prof, Hs, Hl, Ee, Hmx;
     std::vector<u8> qcodes, rcodes, qrev, rrev;
-#ifdef __AVX2__
-    SimdScratch simd;
-#endif
 };
 
 static void encode_codes(const u8* seq, i64 n, std::vector<u8>& out) {
@@ -657,49 +552,39 @@ static void encode_codes(const u8* seq, i64 n, std::vector<u8>& out) {
     for (i64 i = 0; i < n; ++i) out[i] = (u8)nt4(seq[i]);
 }
 
-// forward pass: SIMD when available and in range, else scalar
-static FwdResult ssw_forward_dispatch(const u8* q, i64 m, const u8* r, i64 n,
-                                      int A, int B, int O, int E,
-                                      SswScratch& s) {
-// AVX-512 benches ~15% slower than AVX2 on this part (frequency
-// licensing); it stays fuzz-validated and can be preferred with
-// -DRABBIT_SSW_PREFER_AVX512 on parts where 512-bit does not downclock.
-#if defined(__AVX512BW__) && defined(RABBIT_SSW_PREFER_AVX512)
-    {
-        i64 best, ref_end, read_end;
-        if (ssw_forward_simd512(q, m, r, n, A, B, O, E, s.simd, best, ref_end,
-                                read_end))
-            return {best, ref_end, read_end};
-    }
-#endif
-#ifdef __AVX2__
-    {
-        i64 best, ref_end, read_end;
-        if (ssw_forward_simd(q, m, r, n, A, B, O, E, s.simd, best, ref_end,
-                             read_end))
-            return {best, ref_end, read_end};
-    }
-#endif
-    return ssw_forward(q, m, r, n, A, B, O, E, s.H, s.F, s.bestH);
-}
-
 static SswResultC ssw_align_c(const u8* q, i64 m, const u8* r, i64 n,
                               int A, int B, int O, int E, SswScratch& s) {
-    FwdResult fwd = ssw_forward_dispatch(q, m, r, n, A, B, O, E, s);
+    // ssw_init score_size=2 flow: byte kernel first, word rerun when the
+    // biased u8 arithmetic saturated (reference ext/ssw/ssw.c:843-857)
+    StripedEnd fwd = sw_striped_byte(q, m, r, n, A, B, O, E, 255, s.prof,
+                                     s.Hs, s.Hl, s.Ee, s.Hmx);
+    bool word = false;
+    if (fwd.overflow) {
+        fwd = sw_striped_word(q, m, r, n, A, B, O, E, -1, s.prof, s.Hs, s.Hl,
+                              s.Ee, s.Hmx);
+        word = true;
+    }
     SswResultC res;
     if (fwd.score == 0) {
         res = {0, -1, -1, 0, 0, 0, {}};
         res.cigar.ops.push_back((1 << 4) | OP_M);
         return res;
     }
-    // reverse pass over reversed prefixes
+    // reverse pass over reversed prefixes at the SAME lane width,
+    // terminated at the known best score (ssw.c:875-886)
     s.qrev.assign(q, q + fwd.read_end + 1);
     std::reverse(s.qrev.begin(), s.qrev.end());
     s.rrev.assign(r, r + fwd.ref_end + 1);
     std::reverse(s.rrev.begin(), s.rrev.end());
-    FwdResult rev = ssw_forward_dispatch(s.qrev.data(), (i64)s.qrev.size(),
-                                         s.rrev.data(), (i64)s.rrev.size(), A,
-                                         B, O, E, s);
+    StripedEnd rev =
+        word ? sw_striped_word(s.qrev.data(), (i64)s.qrev.size(),
+                               s.rrev.data(), (i64)s.rrev.size(), A, B, O, E,
+                               (int)fwd.score, s.prof, s.Hs, s.Hl, s.Ee,
+                               s.Hmx)
+             : sw_striped_byte(s.qrev.data(), (i64)s.qrev.size(),
+                               s.rrev.data(), (i64)s.rrev.size(), A, B, O, E,
+                               (int)fwd.score, s.prof, s.Hs, s.Hl, s.Ee,
+                               s.Hmx);
     i64 ref_begin = fwd.ref_end - rev.ref_end;
     i64 read_begin = fwd.read_end - rev.read_end;
     int flag = fwd.score > rev.score ? 2 : 0;

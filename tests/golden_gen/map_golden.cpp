@@ -72,13 +72,54 @@ int main(int argc, char** argv) {
 
     int read_len = argc > 6 ? atoi(argv[6]) : 150;
 
+    // argv[7..]: key=value overrides for the parameter-space fuzz
+    // (tests/test_param_fuzz.py): alignment scores (A,B,O,E,L), index
+    // profile overrides (k,s,l,u,c,msl), index fraction (f), and
+    // mapping knobs (S=dropoff, M=max_tries, R=rescue_level,
+    // N=max_secondary) — the space the reference CLI claims to support
+    // (/root/reference/src/cmdline.cpp:9-158)
+    int pA = 2, pB = 8, pO = 12, pE = 1, pL = 10;
+    int pk = IndexParameters::DEFAULT, ps = IndexParameters::DEFAULT,
+        pl = IndexParameters::DEFAULT, pu = IndexParameters::DEFAULT,
+        pc = IndexParameters::DEFAULT, pmsl = IndexParameters::DEFAULT;
+    float pf = 0.0002f, pS = 0.5f;
+    int pM = 20, pR = 2, pN = 0;
+    for (int i = 7; i < argc; ++i) {
+        std::string kv = argv[i];
+        size_t eq = kv.find('=');
+        if (eq == std::string::npos) continue;
+        std::string key = kv.substr(0, eq);
+        std::string val = kv.substr(eq + 1);
+        if (key == "A") pA = atoi(val.c_str());
+        else if (key == "B") pB = atoi(val.c_str());
+        else if (key == "O") pO = atoi(val.c_str());
+        else if (key == "E") pE = atoi(val.c_str());
+        else if (key == "L") pL = atoi(val.c_str());
+        else if (key == "k") pk = atoi(val.c_str());
+        else if (key == "s") ps = atoi(val.c_str());
+        else if (key == "l") pl = atoi(val.c_str());
+        else if (key == "u") pu = atoi(val.c_str());
+        else if (key == "c") pc = atoi(val.c_str());
+        else if (key == "msl") pmsl = atoi(val.c_str());
+        else if (key == "f") pf = (float)atof(val.c_str());
+        else if (key == "S") pS = (float)atof(val.c_str());
+        else if (key == "M") pM = atoi(val.c_str());
+        else if (key == "R") pR = atoi(val.c_str());
+        else if (key == "N") pN = atoi(val.c_str());
+    }
+
     References references = References::from_fasta(ref_path);
-    IndexParameters ip = IndexParameters::from_read_length(read_len);
+    IndexParameters ip = IndexParameters::from_read_length(
+        read_len, pk, ps, pl, pu, pc, pmsl);
     StrobemerIndex index(references, ip);
-    index.populate(0.0002f, 1);
+    index.populate(pf, 1);
 
     MappingParameters mp;
     mp.r = read_len;
+    mp.dropoff_threshold = pS;
+    mp.max_tries = pM;
+    mp.rescue_level = pR;
+    mp.max_secondary = pN;
     mp.rescue_cutoff = mp.rescue_level < 100
                            ? mp.rescue_level * index.filter_cutoff
                            : 1000;
@@ -87,7 +128,7 @@ int main(int argc, char** argv) {
     if (mode == "details") mp.details = true;
     if (mode == "secondary") mp.max_secondary = 3;
 
-    AlignmentParameters ap{2, 8, 12, 1, 10};
+    AlignmentParameters ap{pA, pB, pO, pE, pL};
     Aligner aligner(ap);
     InsertSizeDistribution isize;
     AlignmentStatistics stats;

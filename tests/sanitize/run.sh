@@ -13,7 +13,10 @@ ASAN_OPTIONS=detect_leaks=0 /tmp/engine_se_asan 4000   # driver leaks its engine
 /tmp/engine_pe_asan
 echo "sanitize: OK"
 
-g++ -O2 -march=native -std=c++17 ssw_simd_fuzz.cpp -o /tmp/ssw_fuzz -lz
+# ssw fuzz links the REAL reference ssw.c (read-only) as the oracle
+gcc -O2 -march=native -c /root/reference/ext/ssw/ssw.c -o /tmp/ssw_ref.o
+g++ -O2 -march=native -std=c++17 ssw_simd_fuzz.cpp /tmp/ssw_ref.o \
+    -o /tmp/ssw_fuzz -lz
 /tmp/ssw_fuzz
 
 # Index-build radix sort: exact stable_sort order across degenerate hash

@@ -150,6 +150,21 @@ class NativePipeline:
             read_group_id,
         )
         self.batch_size = batch_size
+        if use_device and aln_params.gap_extend >= aln_params.gap_open:
+            # ssw.c's striped lazy-F pruning diverges from the device
+            # kernel's textbook DP exactly when gap extension is as
+            # cheap as opening (O == E; probed over 12k tie-dense pairs
+            # — zero divergences at any O > E, see docs/PERF.md round 4
+            # and the align/ssw.py module docstring). Host SSW keeps
+            # byte-parity with the reference there; device dispatch
+            # would not. E > O is rejected by the CLI already.
+            from ..utils.logger import logger
+
+            logger.info(
+                "gap_extend >= gap_open: device extension disabled to "
+                "preserve byte-parity with the reference's ssw semantics "
+                "(host SSW resolves all gapped alignments)")
+            use_device = False
         self.use_device = use_device
         # --shard-index: every index lookup served by the mesh-sharded
         # index (parallel/sharding.ShardedIndex) instead of host arrays;

@@ -303,3 +303,37 @@ def test_cli_flags_reach_mapping_parameters():
 
     src = inspect.getsource(runner)
     assert "pe_ref_async" in src.split("MappingParameters(")[1].split(")")[0]
+
+
+def test_device_gated_off_at_equal_gap_costs():
+    """O == E is the one scoring corner where ssw.c's striped lazy-F
+    pruning diverges from the device kernel's textbook DP (probed:
+    12k tie-dense pairs, zero divergences at any O > E); the pipeline
+    must resolve gapped alignments on the host there."""
+    import numpy as np
+
+    from rabbitsalign_tpu.align.aligner import AlignmentParameters
+    from rabbitsalign_tpu.index.params import IndexParameters
+    from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+    from rabbitsalign_tpu.io.fasta import References
+    from rabbitsalign_tpu.map.common import MappingParameters
+    from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
+
+    rng = np.random.RandomState(3)
+    refs = References()
+    refs.add("c", rng.randint(0, 4, 30000, dtype=np.uint8).tobytes()
+             .translate(bytes.maketrans(bytes(range(4)), b"ACGT")))
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = 2 * index.filter_cutoff
+
+    pipe = NativePipeline(index, params, refs,
+                          AlignmentParameters(gap_open=4, gap_extend=4),
+                          mp)
+    assert not pipe.use_device
+    pipe2 = NativePipeline(index, params, refs,
+                           AlignmentParameters(gap_open=12, gap_extend=1),
+                           mp)
+    assert pipe2.use_device

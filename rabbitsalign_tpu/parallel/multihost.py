@@ -131,3 +131,218 @@ def psum_statistics(values: dict) -> dict:
     gathered = multihost_utils.process_allgather(local)
     total = np.asarray(gathered).reshape(jax.process_count(), -1).sum(axis=0)
     return {k: total[i] for i, k in enumerate(keys)}
+
+
+class PodShardedIndex:
+    """The strobemer index GENUINELY split across pod processes.
+
+    Each host holds ONLY its contiguous, run-aligned slice of the
+    hash-sorted randstrobe arrays (the same cut rule as
+    `parallel.sharding.shard_index_by_hash`, so a query hash is owned by
+    exactly one host); lookups route host-side by hash range, local keys
+    resolve against the local slice, and remote-owned keys are SENT to
+    the owning host over a persistent TCP side channel whose server
+    thread answers from its slice. Request/response (not a lockstep
+    collective) because the rescue preflight issues a data-dependent
+    number of lookups per chunk — hosts must be free to call at
+    different rates. Presents the `find_runs_routed` interface the
+    --shard-index RunFeed path consumes, so phase A is unchanged.
+
+    This is the whole-genome scale-out the blueprint demands (SURVEY
+    §2.7; BASELINE config 5 "sharded GRCh38 index" past one host's
+    memory); the reference has no analog (single process + NUMA
+    replicas, src/main.cpp:325-360). On a TPU pod the same ownership
+    rule rides ICI via ShardedIndex; this class is the cross-HOST tier
+    above it.
+    """
+
+    _HDR = "<qqq"  # nq, cap, opcode
+
+    def __init__(self, index, process_index: int, process_count: int,
+                 peers: List[str]):
+        import socket
+        import struct
+        import threading
+
+        hashes = index.hashes
+        n = hashes.shape[0]
+        from .sharding import _bucket_reachable
+
+        reachable = _bucket_reachable(index)
+        if n == 0:
+            bounds = np.zeros(process_count + 1, dtype=np.int64)
+        else:
+            ideal = (np.arange(1, process_count) * n) // process_count
+            cuts = np.searchsorted(hashes,
+                                   hashes[np.minimum(ideal, n - 1)],
+                                   side="left")
+            bounds = np.concatenate([[0], cuts, [n]])
+        lo, hi = int(bounds[process_index]), int(bounds[process_index + 1])
+        # this host's slice — copies, so the caller can free the full
+        # index and the split is genuine
+        self._h = np.ascontiguousarray(hashes[lo:hi])
+        self._p = np.ascontiguousarray(index.positions[lo:hi])
+        self._k = np.ascontiguousarray(index.packed[lo:hi])
+        self._r = np.ascontiguousarray(reachable[lo:hi])
+        self._base = lo
+        # global routing table (tiny): owner s covers
+        # [start_hash[s], start_hash[s+1])
+        sh = np.full(process_count, np.uint64(0xFFFFFFFFFFFFFFFF),
+                     dtype=np.uint64)
+        for s in range(process_count):
+            if bounds[s] < n:
+                sh[s] = hashes[bounds[s]]
+        ends = np.concatenate([bounds[1:], [n]])
+        nonempty = bounds[:-1] < ends[: process_count]
+        self._route_nonempty = np.maximum.accumulate(
+            np.where(nonempty, np.arange(process_count), 0))
+        self._start_hash = sh
+        self.filter_cutoff = int(index.filter_cutoff)
+        self._kparam = index.k()
+        self.pid = process_index
+        self.nprocs = process_count
+        self._peers = peers
+        self._struct = struct
+        self._socket = socket
+        self._conns = {}
+        self._conn_lock = threading.Lock()
+        # server thread: answer lookups against the local slice
+        host, port = peers[process_index].rsplit(":", 1)
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host, int(port)))
+        srv.listen(process_count)
+        self._srv = srv
+        t = threading.Thread(target=self._serve, daemon=True)
+        t.start()
+
+    def k(self) -> int:
+        return self._kparam
+
+    # --- local slice lookup (StrobemerIndex.find semantics) -----------
+
+    def _lookup_local(self, keys: np.ndarray, cap: int):
+        m = self._h.shape[0]
+        nq = keys.shape[0]
+        lo = np.searchsorted(self._h, keys, side="left")
+        hi = np.searchsorted(self._h, keys, side="right")
+        in_r = lo < m
+        safe = np.where(in_r, lo, 0)
+        found = in_r & (self._h[safe] == keys) & (self._r[safe] > 0)
+        count = np.where(found, hi - lo, 0).astype(np.int64)
+        rows = np.arange(cap, dtype=np.int64)
+        idx = np.minimum(safe[:, None] + rows[None, :],
+                         max(m - 1, 0))
+        valid = found[:, None] & (rows[None, :] < count[:, None])
+        if m:
+            runp = np.where(valid, self._p[idx], 0).astype(np.uint32)
+            runk = np.where(valid, self._k[idx], 0).astype(np.uint32)
+        else:
+            runp = np.zeros((nq, cap), np.uint32)
+            runk = np.zeros((nq, cap), np.uint32)
+        gpos = np.where(found, lo + self._base, 0).astype(np.int64)
+        return (found.astype(np.uint8), gpos, count, runp, runk)
+
+    # --- wire protocol --------------------------------------------------
+
+    def _serve(self) -> None:
+        import threading
+
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve_conn, args=(conn,),
+                             daemon=True).start()
+
+    def _recv_exact(self, conn, nbytes: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < nbytes:
+            part = conn.recv(nbytes - len(buf))
+            if not part:
+                raise ConnectionError("pod lookup peer closed")
+            buf += part
+        return bytes(buf)
+
+    def _serve_conn(self, conn) -> None:
+        struct = self._struct
+        hsz = struct.calcsize(self._HDR)
+        try:
+            while True:
+                nq, cap, _op = struct.unpack(self._HDR,
+                                             self._recv_exact(conn, hsz))
+                keys = np.frombuffer(self._recv_exact(conn, 8 * nq),
+                                     dtype=np.uint64)
+                found, gpos, count, runp, runk = self._lookup_local(keys, cap)
+                conn.sendall(found.tobytes() + gpos.tobytes() +
+                             count.tobytes() + runp.tobytes() +
+                             runk.tobytes())
+        except (ConnectionError, OSError):
+            conn.close()
+
+    def _remote(self, owner: int, keys: np.ndarray, cap: int):
+        with self._conn_lock:
+            conn = self._conns.get(owner)
+            if conn is None:
+                host, port = self._peers[owner].rsplit(":", 1)
+                conn = self._socket.create_connection((host, int(port)),
+                                                      timeout=120)
+                self._conns[owner] = conn
+        nq = keys.shape[0]
+        conn.sendall(self._struct.pack(self._HDR, nq, cap, 0)
+                     + keys.tobytes())
+        found = np.frombuffer(self._recv_exact(conn, nq), np.uint8)
+        gpos = np.frombuffer(self._recv_exact(conn, 8 * nq), np.int64)
+        count = np.frombuffer(self._recv_exact(conn, 8 * nq), np.int64)
+        runp = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
+                             np.uint32).reshape(nq, cap)
+        runk = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
+                             np.uint32).reshape(nq, cap)
+        return found, gpos, count, runp, runk
+
+    # --- the find_runs interface ----------------------------------------
+
+    def find_runs_routed(self, keys: np.ndarray, cap: int):
+        keys = np.ascontiguousarray(np.asarray(keys, dtype=np.uint64))
+        nq = keys.shape[0]
+        owner = np.searchsorted(self._start_hash, keys, side="right") - 1
+        np.clip(owner, 0, self.nprocs - 1, out=owner)
+        owner = self._route_nonempty[owner]
+        found = np.zeros(nq, np.uint8)
+        gpos = np.zeros(nq, np.int64)
+        count = np.zeros(nq, np.int64)
+        runp = np.zeros((nq, cap), np.uint32)
+        runk = np.zeros((nq, cap), np.uint32)
+        for s in range(self.nprocs):
+            sel = np.flatnonzero(owner == s)
+            if sel.size == 0:
+                continue
+            part = (self._lookup_local(keys[sel], cap) if s == self.pid
+                    else self._remote(s, np.ascontiguousarray(keys[sel]),
+                                      cap))
+            found[sel], gpos[sel], count[sel] = part[0], part[1], part[2]
+            runp[sel], runk[sel] = part[3], part[4]
+        fb = found > 0
+        return {
+            "position": np.where(fb, gpos, -1).astype(np.int64),
+            "count": count,
+            "filtered": count > self.filter_cutoff,
+            "run_positions": runp,
+            "run_packed": runk,
+        }
+
+    find_runs = find_runs_routed
+
+    def close(self) -> None:
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        with self._conn_lock:
+            for c in self._conns.values():
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            self._conns.clear()

@@ -6,7 +6,13 @@ production NativePipeline, writes its output shard + manifest, reduces
 statistics over the pod, and prints the reduced stats as JSON.
 
 Usage: python multihost_worker.py <coord> <nprocs> <pid> <ref.fa>
-       <r1.fq> <r2.fq> <out_base>
+       <r1.fq> <r2.fq> <out_base> [shard <peer0,peer1,...>]
+
+With the optional "shard" mode the strobemer index is GENUINELY split
+across the pod: this process keeps only its PodShardedIndex slice, the
+full host arrays are replaced by empty ones (so any residual host-index
+access would crash loudly), and every lookup routes by hash ownership —
+remote-owned keys go to the owning process over the TCP side channel.
 """
 
 import json
@@ -17,6 +23,8 @@ import sys
 def main() -> int:
     coord, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     ref_fa, r1, r2, out_base = sys.argv[4:8]
+    shard_mode = len(sys.argv) > 8 and sys.argv[8] == "shard"
+    peers = sys.argv[9].split(",") if shard_mode else []
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
@@ -48,7 +56,21 @@ def main() -> int:
     mp = MappingParameters(r=150)
     mp.rescue_cutoff = min(mp.rescue_level * index.filter_cutoff, 1000)
 
-    pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
+    if shard_mode:
+        import numpy as np
+
+        from rabbitsalign_tpu.parallel.multihost import PodShardedIndex
+
+        pod = PodShardedIndex(index, process_index, process_count, peers)
+        # genuine split: drop the full host arrays — the RunFeed path
+        # must never touch them (a stray access now fails loudly)
+        index.hashes = np.zeros(0, dtype=np.uint64)
+        index.positions = np.zeros(0, dtype=np.uint32)
+        index.packed = np.zeros(0, dtype=np.uint32)
+        pipe = NativePipeline(index, params, refs, ap, mp, use_device=False,
+                              shard_index=True, sharded_index=pod)
+    else:
+        pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
     writer = ShardWriter(out_base, process_index, process_count)
     n_reads = pipe.map_file_sharded(
         r1, r2 or "", False, 100, writer, process_index, process_count

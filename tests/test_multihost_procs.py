@@ -118,3 +118,84 @@ def test_two_process_pod_matches_single(tmp_path):
 
     merged = open(out_base, "rb").read()
     assert merged == b"".join(single)
+
+
+def test_two_process_pod_sharded_index(tmp_path):
+    """BASELINE config 5's sharded-index clause for real: the index is
+    GENUINELY split across two OS processes (each keeps only its
+    PodShardedIndex hash-range slice; the full host arrays are replaced
+    by empty ones so a stray host-index access crashes), remote-owned
+    keys are exchanged over the TCP side channel, and the merged pod
+    output must be byte-identical to a single-process full-index run."""
+    r = random.Random(23)
+    genome = random_dna(120_000, seed=23)
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(">chrS\n" + genome + "\n")
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    p1 = tmp_path / "se.fq"
+    with open(p1, "w") as f1:
+        for i in range(1200):
+            st = r.randrange(0, len(genome) - 200)
+            a = list(genome[st : st + 150])
+            for _ in range(r.randrange(0, 4)):
+                a[r.randrange(150)] = r.choice("ACGT")
+            rd = "".join(a)
+            if i % 4 == 2:
+                rd = "".join(comp[c] for c in reversed(rd))
+            if i % 17 == 5:  # unmappable -> rescue lookups cross hosts too
+                rd = "".join(r.choice("ACGT") for _ in range(150))
+            f1.write(f"@s{i}\n{rd}\n+\n{'I'*150}\n")
+
+    out_base = str(tmp_path / "podshard.sam")
+    coord = f"127.0.0.1:{_free_port()}"
+    peers = f"127.0.0.1:{_free_port()},127.0.0.1:{_free_port()}"
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(pid), str(ref_fa),
+             str(p1), "", out_base, "shard", peers],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd="/root/repo",
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(out.decode())
+    stats = [json.loads(o.split("STATS ", 1)[1]) for o in outs]
+    assert stats[0] == stats[1]
+    assert stats[0]["reads"] == 1200.0
+    assert stats[0].get("feed_miss", 0) == 0.0  # RunFeed never missed
+
+    from rabbitsalign_tpu.parallel.multihost import merge_output
+
+    merge_output(out_base, 2)
+
+    # single-process, full-index golden
+    from rabbitsalign_tpu.align.aligner import AlignmentParameters
+    from rabbitsalign_tpu.index.params import IndexParameters
+    from rabbitsalign_tpu.index.strobemer_index import StrobemerIndex
+    from rabbitsalign_tpu.io.fasta import References
+    from rabbitsalign_tpu.map.common import MappingParameters
+    from rabbitsalign_tpu.pipeline.native_pipeline import NativePipeline
+
+    refs = References.from_fasta(str(ref_fa))
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    ap = AlignmentParameters()
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = min(mp.rescue_level * index.filter_cutoff, 1000)
+    pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
+    single = []
+    n_single = pipe.map_file(str(p1), "", False, 100, single.append)
+    assert n_single == 1200
+
+    merged = open(out_base, "rb").read()
+    assert merged == b"".join(single)

@@ -451,3 +451,66 @@ def test_find_runs_routed_matches_psum(world, sharded):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
     np.testing.assert_array_equal(a["run_positions"], b["run_positions"])
     np.testing.assert_array_equal(a["run_packed"], b["run_packed"])
+
+
+def test_pod_sharded_index_matches_host(world):
+    """PodShardedIndex (the index GENUINELY split across pod processes,
+    remote-owned keys sent to the owner over the TCP side channel):
+    two instances in one process, each holding only its slice, the
+    full wire protocol exercised by routing instance 0's queries
+    through instance 1's server — element-equal to the host index."""
+    import socket
+
+    from rabbitsalign_tpu.parallel.multihost import PodShardedIndex
+
+    genome, refs, params, index = world
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    peers = [f"127.0.0.1:{free_port()}", f"127.0.0.1:{free_port()}"]
+    pod0 = PodShardedIndex(index, 0, 2, peers)
+    pod1 = PodShardedIndex(index, 1, 2, peers)
+    try:
+        # the two slices are disjoint and cover the index
+        assert pod0._h.shape[0] + pod1._h.shape[0] == len(index)
+        assert pod0._base == 0
+        assert pod1._base == pod0._h.shape[0]
+
+        rng = np.random.RandomState(7)
+        picks = rng.randint(0, index.hashes.shape[0], 400)
+        queries = np.concatenate([
+            index.hashes[picks],
+            rng.randint(0, 2**63, 60).astype(np.uint64),
+        ])
+        cap = max(1, index.filter_cutoff)
+        for pod in (pod0, pod1):  # each host resolves the same answer
+            res = pod.find_runs_routed(queries, cap)
+            want_pos = index.find(queries)
+            assert np.array_equal(res["position"], want_pos)
+            found = want_pos >= 0
+            want_count = np.atleast_1d(index.get_count(want_pos[found]))
+            assert np.array_equal(res["count"][found], want_count)
+            assert np.array_equal(res["filtered"][found],
+                                  want_count > index.filter_cutoff)
+            for i in np.flatnonzero(found & ~res["filtered"])[:40]:
+                pos = int(want_pos[i])
+                cnt = int(res["count"][i])
+                assert np.array_equal(
+                    res["run_positions"][i, :cnt],
+                    index.positions[pos : pos + cnt])
+                assert np.array_equal(
+                    res["run_packed"][i, :cnt],
+                    index.packed[pos : pos + cnt])
+        # both hosts had to serve remote keys for the test to mean
+        # anything: each owns roughly half the key space
+        owner = (np.searchsorted(pod0._start_hash, queries, side="right")
+                 - 1).clip(0, 1)
+        assert (owner == 0).any() and (owner == 1).any()
+    finally:
+        pod0.close()
+        pod1.close()

@@ -225,6 +225,13 @@ class NativeEngine:
         # high-volume bucket; see engine_buckets)
         self.buckets = (buckets if buckets is not None
                         else engine_buckets(getattr(map_param, "r", 150)))
+        # job-shape telemetry (docs/PERF.md round-4 bucket analysis):
+        # per-bucket job counts (last slot = no bucket fits -> host),
+        # plus 32-wide (qlen, tlen) histograms of every planned job
+        self._shape_bucket = np.zeros(len(self.buckets) + 1, np.int64)
+        self._shape_q = np.zeros(80, np.int64)
+        self._shape_t = np.zeros(80, np.int64)
+        self._shape_small = 0  # sub-MIN_DEVICE_JOBS leftovers -> host
         # keep every borrowed array alive for the engine lifetime
         self._keep = []
         ref_blob, ref_off = _offsets(references.sequences)
@@ -401,6 +408,13 @@ class NativeEngine:
         for bi, (qcap, tcap, _, _) in enumerate(self.buckets):
             mask = (assigned < 0) & (q <= qcap) & (t <= tcap) & (t <= 2000)
             assigned[mask] = bi
+        self._shape_bucket += np.bincount(
+            np.where(assigned < 0, len(self.buckets), assigned),
+            minlength=len(self.buckets) + 1)
+        self._shape_q += np.bincount(
+            np.minimum(q // 32, 79), minlength=80)
+        self._shape_t += np.bincount(
+            np.minimum(t // 32, 79), minlength=80)
         plans = []
         for bi, (qcap, tcap, bcap, groups) in enumerate(self.buckets):
             idxs = np.flatnonzero(assigned == bi).astype(np.int64)
@@ -409,6 +423,7 @@ class NativeEngine:
             for start in range(0, idxs.shape[0], bsz):
                 part = idxs[start : start + bsz]
                 if part.shape[0] < self.MIN_DEVICE_JOBS:
+                    self._shape_small += int(part.shape[0])
                     continue  # host resolves these in phase B
                 # power-of-two group counts (1, 2, 4, ...): each distinct
                 # batch width is a separate compiled program, so widths
@@ -510,6 +525,21 @@ class NativeEngine:
             "seed_nam_s": float(out[1]),
             "host_align_s": float(out[2]),
             "phase_b_s": float(out[3]),
+        }
+
+    def job_shapes(self) -> dict:
+        """Extend-job shape telemetry accumulated by plan_batches:
+        per-bucket job counts (last = no bucket fits), sub-batch
+        leftovers resolved on host, and 32bp-binned qlen/tlen
+        histograms — the data behind the bucket-geometry decisions
+        (docs/PERF.md round 4)."""
+        return {
+            "buckets": [(int(qc), int(tc), int(n)) for (qc, tc, _, _), n
+                        in zip(self.buckets, self._shape_bucket)],
+            "unbucketed": int(self._shape_bucket[-1]),
+            "small_to_host": int(self._shape_small),
+            "qlen_hist_32": self._shape_q.copy(),
+            "tlen_hist_32": self._shape_t.copy(),
         }
 
     def isize(self) -> Tuple[float, float, float]:

@@ -43,7 +43,10 @@ PE_GENOME_MB = 40.0
 # so default runs on a cold machine stay fast while machines with the
 # cache report a driver-visible at-scale number.
 SCALE_GENOME_MB = 3000.0
-N_SCALE_PAIRS = 16000
+# 24k pairs = the same 48k reads per pass as the 40 Mbp config, so the
+# two PE numbers differ only by genome scale, not by per-run fixed-cost
+# amortization (32k reads vs 48k was worth ~1 us/read of confound)
+N_SCALE_PAIRS = 24000
 # bump when simulate_pe/np_genome mutation logic changes: cached read
 # FASTQs are keyed on this so a simulator change can't silently reuse
 # stale reads (the .sti already keys on params.filename_extension())

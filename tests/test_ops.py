@@ -209,7 +209,7 @@ def test_portable_extend_matches_host_traceback(sw):
 
 
 def test_pallas_extend_matches_sw_jax_tpu():
-    """Fused Pallas extend (int16 DP forward + in-walk RLE traceback)
+    """Fused Pallas extend (int32 DP forward + in-walk RLE traceback)
     must reproduce the portable sw_jax + host-traceback golden exactly:
     scores, end/begin coordinates, cigars, edit counts, and the >RLE_M
     overflow marker. Needs a real TPU (run with

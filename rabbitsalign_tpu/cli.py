@@ -31,6 +31,7 @@ class CommandLineOptions:
     use_index: bool = False
     mmap_index: bool = False
     pin_workers: bool = False
+    pod_index_peers: str = ""
     is_sam_out: bool = True
     output_unmapped: bool = True
     max_secondary: int = 0
@@ -188,6 +189,13 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
                    help="This host's index in the pod [0]")
     p.add_argument("--coordinator", metavar="HOST:PORT",
                    help="jax.distributed coordinator address (node 0)")
+    p.add_argument("--pod-index-peers", metavar="HOST:PORT,...", default="",
+                   help="Split the index across the pod hosts (one lookup "
+                        "endpoint per node, comma-separated, node-id "
+                        "order); each host keeps only its hash-range "
+                        "slice and serves it to the others. With "
+                        "--mmap-index a host never materializes the full "
+                        "index in RAM")
     p.add_argument("ref_filename", metavar="reference",
                    help="Reference in FASTA format")
     p.add_argument("reads1", nargs="?", default="", help="Reads 1 (FASTA/FASTQ, may be .gz)")
@@ -222,6 +230,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     opt.use_index = args.use_index
     opt.mmap_index = args.mmap_index
     opt.pin_workers = args.pin_workers
+    opt.pod_index_peers = args.pod_index_peers
 
     for name in ("r", "k", "l", "u", "s", "c"):
         val = getattr(args, name)

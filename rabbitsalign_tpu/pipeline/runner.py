@@ -236,16 +236,51 @@ def _map_reads(
             psum_statistics,
         )
 
+        if not use_tpu:
+            # sitecustomize pins the axon platform by config, which the
+            # JAX_PLATFORMS env alone cannot override post-import; the
+            # single-chip axon backend would then report a 1-process pod
+            # regardless of jax.distributed. Must run before any backend
+            # initializes.
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         pid, pcount = init_distributed(
             getattr(opt, "coordinator", None), opt.num_nodes,
             getattr(opt, "node_id", 0),
         )
+        # --pod-index-peers: the index GENUINELY split across pod hosts
+        # (each keeps only its hash-range slice; remote-owned keys go to
+        # the owning host over the TCP side channel). Pair with
+        # --mmap-index and a host never materializes the full index in
+        # RAM: the slice is copied out of the memmap and the mapped
+        # pages drop back to the page cache.
+        sharded = None
+        shard_flag = getattr(opt, "shard_index", False)
+        pod_peers = getattr(opt, "pod_index_peers", "") or ""
+        if pod_peers:
+            from ..parallel.multihost import PodShardedIndex
+
+            peers = pod_peers.split(",")
+            if len(peers) != pcount:
+                raise RuntimeError(
+                    f"--pod-index-peers lists {len(peers)} endpoints for a "
+                    f"{pcount}-host pod")
+            sharded = PodShardedIndex(index, pid, pcount, peers)
+            index.hashes = np.zeros(0, dtype=np.uint64)
+            index.positions = np.zeros(0, dtype=np.uint32)
+            index.packed = np.zeros(0, dtype=np.uint32)
+            shard_flag = True
+            logger.info(
+                f"Pod-sharded index: host {pid} holds "
+                f"{sharded._h.shape[0]} of the randstrobes "
+                f"({sharded._h.nbytes / 1e9:.2f} GB slice)")
         pipeline = NativePipeline(
             index, index_parameters, references, aln_params, map_param,
             opt.read_group_id, use_device=use_tpu,
             batch_size=getattr(opt, "tpu_batch", 1024),
             device_seed=getattr(opt, "device_seed", False),
-            shard_index=getattr(opt, "shard_index", False),
+            shard_index=shard_flag, sharded_index=sharded,
         )
         if opt.n_threads > 1 or getattr(opt, "deterministic", False):
             logger.info("multi-host mode runs one mapping thread per host; "

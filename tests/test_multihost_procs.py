@@ -199,3 +199,51 @@ def test_two_process_pod_sharded_index(tmp_path):
 
     merged = open(out_base, "rb").read()
     assert merged == b"".join(single)
+
+
+def test_pod_sharded_cli_end_to_end(tmp_path):
+    """The --pod-index-peers CLI surface: two real `rabbitsalign-tpu`
+    processes form the pod, each holding only its index slice, and the
+    merged SAM equals a plain single-process CLI run (modulo @PG CL)."""
+    r = random.Random(31)
+    genome = random_dna(100_000, seed=31)
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(">chrC\n" + genome + "\n")
+    p1 = tmp_path / "se.fq"
+    with open(p1, "w") as f1:
+        for i in range(800):
+            st = r.randrange(0, len(genome) - 200)
+            a = list(genome[st : st + 150])
+            for _ in range(r.randrange(0, 4)):
+                a[r.randrange(150)] = r.choice("ACGT")
+            f1.write(f"@s{i}\n{''.join(a)}\n+\n{'I'*150}\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    single = subprocess.run(
+        ["rabbitsalign-tpu", "--no-tpu", str(ref_fa), str(p1)],
+        capture_output=True, env=env, cwd="/root/repo")
+    assert single.returncode == 0, single.stderr.decode()[-800:]
+
+    out = str(tmp_path / "pod.sam")
+    coord = f"127.0.0.1:{_free_port()}"
+    peers = f"127.0.0.1:{_free_port()},127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            ["rabbitsalign-tpu", "--no-tpu", "-o", out,
+             "--num-nodes", "2", "--node-id", str(pid),
+             "--coordinator", coord, "--pod-index-peers", peers,
+             str(ref_fa), str(p1)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd="/root/repo")
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+    merged = open(out).read().splitlines()
+    want = single.stdout.decode().splitlines()
+    merged = [l for l in merged if not l.startswith("@PG")]
+    want = [l for l in want if not l.startswith("@PG")]
+    assert merged == want

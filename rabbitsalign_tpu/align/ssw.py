@@ -71,6 +71,8 @@ def _striped_pass(q: np.ndarray, r: np.ndarray, A: int, B: int, O: int,
     reversed array forward is the reversed iteration)."""
     m = int(q.shape[0])
     n = int(r.shape[0])
+    if m == 0 or n == 0:  # empty input: nothing scores (seg would be 0)
+        return 0, (-1 if lanes == 16 else 0), max(m - 1, 0), False
     byte_mode = lanes == 16
     bias = B if byte_mode else 0
     sat = 255 if byte_mode else 32767

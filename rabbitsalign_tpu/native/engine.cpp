@@ -236,6 +236,7 @@ static StripedEnd sw_striped_byte(const u8* q, i64 m, const u8* r, i64 n,
                                   std::vector<__m128i>& Hl,
                                   std::vector<__m128i>& Ee,
                                   std::vector<__m128i>& Hmx) {
+    if (m <= 0 || n <= 0) return {0, -1, m > 0 ? m - 1 : 0, false};
     const int bias = B;  // abs(min of the 5x5 matrix) = mismatch
     const i64 seg = (m + 15) / 16;
     prof.resize(5 * seg);
@@ -338,6 +339,7 @@ static StripedEnd sw_striped_word(const u8* q, i64 m, const u8* r, i64 n,
                                   std::vector<__m128i>& Hl,
                                   std::vector<__m128i>& Ee,
                                   std::vector<__m128i>& Hmx) {
+    if (m <= 0 || n <= 0) return {0, 0, m > 0 ? m - 1 : 0, false};
     const i64 seg = (m + 7) / 8;
     prof.resize(5 * seg);
     {

@@ -284,3 +284,91 @@ def test_pallas_forward_int16_bitexact_tpu():
     assert np.array_equal(te32, te16)
     assert np.array_equal(qe32, qe16)
     assert np.array_equal(d32, d16)
+
+
+def test_portable_extend_matches_striped_ssw_default_scoring():
+    """The device kernel keeps the TEXTBOOK recurrence while host SSW is
+    striped-exact (ssw.c semantics); the two provably coincide only for
+    gap_open > gap_extend (the pipeline gates device dispatch off at
+    O == E). This pins the O > E equivalence empirically: adversarial
+    pairs at default scoring, full coordinate + cigar agreement between
+    the portable extend twin and ssw_align."""
+    import re
+
+    from rabbitsalign_tpu.ops.extend_device import (
+        ops_to_cigars,
+        pack_input,
+        unpack_output,
+    )
+    from rabbitsalign_tpu.ops.extend_portable import extend_batch_packed_portable
+
+    def norm(cig):
+        runs = re.findall(r"(\d+)([A-Z=])", cig)
+        out = []
+        for ln, op in runs:
+            op = "M" if op in "=XM" else op
+            if out and out[-1][1] == op:
+                out[-1][0] += int(ln)
+            else:
+                out.append([int(ln), op])
+        return "".join(f"{l}{o}" for l, o in out)
+
+    rng = np.random.RandomState(99)
+    pyr = random.Random(5150)
+    Q, T, B = 152, 256, 128
+    qc = np.full((B, Q), 4, np.uint8)
+    tc = np.full((B, T), 4, np.uint8)
+    ql = np.zeros(B, np.int32)
+    tl = np.zeros(B, np.int32)
+    for b in range(B):
+        mode = b % 5
+        m = pyr.randrange(30, 151)
+        n = pyr.randrange(m, min(T, m + 120))
+        if mode == 0:
+            q = rng.randint(0, 4, m).astype(np.uint8)
+            t = rng.randint(0, 4, n).astype(np.uint8)
+            st = pyr.randrange(0, n - m + 1)
+            t[st:st + m] = q
+            for _ in range(m // 15):
+                t[st + pyr.randrange(m)] = pyr.randrange(4)
+        elif mode == 1:  # tandem repeats: tie-heavy
+            u = pyr.randrange(3, 20)
+            q = (np.arange(m) % u % 4).astype(np.uint8)
+            t = (np.arange(n) % u % 4).astype(np.uint8)
+        elif mode == 2:  # N runs
+            q = rng.randint(0, 4, m).astype(np.uint8)
+            p = pyr.randrange(0, max(1, m - 9))
+            q[p:p + pyr.randrange(2, 8)] = 4
+            t = rng.randint(0, 4, n).astype(np.uint8)
+            st = pyr.randrange(0, n - m + 1)
+            t[st:st + m] = np.where(q == 4, rng.randint(0, 4, m).astype(np.uint8), q)
+        elif mode == 3:  # homopolymer
+            q = np.zeros(m, np.uint8)
+            t = np.zeros(n, np.uint8)
+            for _ in range(4):
+                t[pyr.randrange(n)] = pyr.randrange(4)
+        else:
+            q = rng.randint(0, 5, m).astype(np.uint8)
+            t = rng.randint(0, 5, n).astype(np.uint8)
+        qc[b, :m] = q
+        tc[b, :n] = t
+        ql[b] = m
+        tl[b] = n
+    buf = pack_input(np.ascontiguousarray(qc.T), np.ascontiguousarray(tc.T),
+                     ql, tl)
+    out = np.asarray(extend_batch_packed_portable(buf, Q, T, PARAMS))
+    (op_runs, len_runs, n_runs, score, t_end, q_end, t_begin, q_begin,
+     edits) = unpack_output(out)
+    cigars = ops_to_cigars(op_runs, len_runs, n_runs, score)
+    for b in range(B):
+        res = ssw_align(qc[b, :ql[b]].astype(np.int8),
+                        tc[b, :tl[b]].astype(np.int8), 2, 8, 12, 1)
+        if res.score1 == 0:
+            assert score[b] == 0, b
+            continue
+        assert (int(score[b]), int(t_begin[b]), int(t_end[b]),
+                int(q_begin[b]), int(q_end[b])) == (
+            res.score1, res.ref_begin, res.ref_end, res.read_begin,
+            res.read_end), b
+        if cigars[b] is not None:
+            assert norm(str(cigars[b][0])) == norm(str(res.cigar)), b

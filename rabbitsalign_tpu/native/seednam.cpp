@@ -1114,6 +1114,10 @@ static void find_nams_phase2(const IndexView& ix,
         merge_hits(hpr[rc], ix.k, true, rc != 0, rr.nams);
 }
 
+#ifndef PF_L1
+#define PF_L1 16
+#define PF_L2 8
+#endif
 static void find_nams_one(const IndexView& ix,
                           const std::vector<QueryRandstrobe>& qrs,
                           ReadResult& rr, NamScratch& scratch) {
@@ -1125,12 +1129,12 @@ static void find_nams_one(const IndexView& ix,
     // will touch (repetitive-filter probe, position/packed records).
     scratch.found.resize(nq);
     for (i64 qi = 0; qi < nq; ++qi) {
-        if (qi + 16 < nq) {
-            u64 top = qrs[qi + 16].hash >> (64 - ix.bits);
+        if (qi + PF_L1 < nq) {
+            u64 top = qrs[qi + PF_L1].hash >> (64 - ix.bits);
             __builtin_prefetch(&ix.buckets[top]);
         }
-        if (qi + 8 < nq) {
-            u64 top = qrs[qi + 8].hash >> (64 - ix.bits);
+        if (qi + PF_L2 < nq) {
+            u64 top = qrs[qi + PF_L2].hash >> (64 - ix.bits);
             __builtin_prefetch(&ix.hashes[ix.buckets[top]]);
         }
         i64 pos = ix_find(ix, qrs[qi].hash);

@@ -289,6 +289,11 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     opt.coordinator = args.coordinator
     if opt.num_nodes > 1 and not opt.output_file_name:
         p.error("multi-host runs need -o PATH on a shared filesystem")
+    if opt.pod_index_peers and opt.num_nodes <= 1:
+        # the pod-sharded index only exists inside the multihost branch;
+        # silently running single-node with the full index in RAM would
+        # defeat the flag's stated point
+        p.error("--pod-index-peers requires --num-nodes > 1")
 
     if opt.use_index and opt.only_gen_index:
         p.error("Options -i and --use-index cannot be used at the same time")

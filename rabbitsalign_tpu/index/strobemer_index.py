@@ -396,6 +396,9 @@ class StrobemerIndex:
             if got != 8 * m:
                 raise InvalidIndexFile(
                     f"{filename}: truncated start-index vector")
+            if m != (1 << self.bits) + 1:
+                raise InvalidIndexFile(
+                    "randstrobe_start_indices vector is of the wrong size")
 
     # --- columnar mmap sidecar (TPU-native load path) -----------------
     #
@@ -422,7 +425,10 @@ class StrobemerIndex:
         import os
 
         d = self._cols_dir(filename)
-        tmp = d + ".tmp"
+        # per-process tmp name: every pod host (and a concurrent bench /
+        # CLI run) may build the sidecar for the same .sti at once; a
+        # shared ".tmp" would be renamed away under a slower writer
+        tmp = f"{d}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         for name, arr in (("hashes", self.hashes),
                           ("positions", self.positions),
@@ -441,11 +447,17 @@ class StrobemerIndex:
         }
         with open(os.path.join(tmp, "header.json"), "w") as f:
             json.dump(hdr, f)
-        if os.path.isdir(d):
-            import shutil
+        import shutil
 
+        if os.path.isdir(d):
             shutil.rmtree(d)
-        os.replace(tmp, d)
+        try:
+            os.replace(tmp, d)
+        except OSError:
+            # another process published between the rmtree and the
+            # rename (os.replace onto a non-empty dir raises); their
+            # sidecar is equivalent — drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def read_mmap(self, filename: str, warm: bool = True) -> bool:
         """Open `filename`'s columnar sidecar as read-only memmaps.
@@ -540,5 +552,3 @@ def _warm_page_cache(files) -> None:
                     pass
         except OSError:  # pragma: no cover - cache warming only
             return
-            if self.randstrobe_start_indices.shape[0] != (1 << self.bits) + 1:
-                raise InvalidIndexFile("randstrobe_start_indices vector is of the wrong size")

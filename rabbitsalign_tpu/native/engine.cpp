@@ -29,7 +29,14 @@
 #include <tuple>
 // SSE2 is baseline on x86-64 (the striped SSW port needs __m128i even
 // in non-native builds like the sanitizer drivers); wider ISA paths
-// keep their own __AVX2__/__AVX512BW__ guards
+// keep their own __AVX2__/__AVX512BW__ guards. Non-x86 hosts get a
+// clear diagnostic instead of a missing-header error: the auto-build
+// catches the failure and the package degrades to the validated
+// Python layer (native/__init__.py returns None -> engine_available()
+// is False).
+#if !defined(__x86_64__) && !defined(__SSE2__)
+#error "engine.cpp targets x86-64 (SSE2 baseline); non-x86 hosts run the Python layer"
+#endif
 #include <immintrin.h>
 #ifdef __linux__
 #include <sys/resource.h>

@@ -166,24 +166,20 @@ class PodShardedIndex:
 
         hashes = index.hashes
         n = hashes.shape[0]
-        from .sharding import _bucket_reachable
+        from .sharding import _bucket_reachable, shard_bounds
 
         reachable = _bucket_reachable(index)
-        if n == 0:
-            bounds = np.zeros(process_count + 1, dtype=np.int64)
-        else:
-            ideal = (np.arange(1, process_count) * n) // process_count
-            cuts = np.searchsorted(hashes,
-                                   hashes[np.minimum(ideal, n - 1)],
-                                   side="left")
-            bounds = np.concatenate([[0], cuts, [n]])
+        bounds = shard_bounds(hashes, process_count)
         lo, hi = int(bounds[process_index]), int(bounds[process_index + 1])
-        # this host's slice — copies, so the caller can free the full
-        # index and the split is genuine
-        self._h = np.ascontiguousarray(hashes[lo:hi])
-        self._p = np.ascontiguousarray(index.positions[lo:hi])
-        self._k = np.ascontiguousarray(index.packed[lo:hi])
-        self._r = np.ascontiguousarray(reachable[lo:hi])
+        # this host's slice — genuine copies (np.ascontiguousarray on a
+        # contiguous slice returns a VIEW keeping the full 12 GB array
+        # alive; np.array(copy=True) detaches, so the caller can free
+        # the full index and the memory split is real)
+        self._h = np.array(hashes[lo:hi], dtype=np.uint64, copy=True)
+        self._p = np.array(index.positions[lo:hi], dtype=np.uint32,
+                           copy=True)
+        self._k = np.array(index.packed[lo:hi], dtype=np.uint32, copy=True)
+        self._r = np.array(reachable[lo:hi], dtype=np.uint8, copy=True)
         self._base = lo
         # global routing table (tiny): owner s covers
         # [start_hash[s], start_hash[s+1])
@@ -205,6 +201,7 @@ class PodShardedIndex:
         self._struct = struct
         self._socket = socket
         self._conns = {}
+        self._io_locks = {}
         self._conn_lock = threading.Lock()
         # server thread: answer lookups against the local slice
         host, port = peers[process_index].rsplit(":", 1)
@@ -282,6 +279,8 @@ class PodShardedIndex:
             conn.close()
 
     def _remote(self, owner: int, keys: np.ndarray, cap: int):
+        import threading
+
         with self._conn_lock:
             conn = self._conns.get(owner)
             if conn is None:
@@ -289,16 +288,23 @@ class PodShardedIndex:
                 conn = self._socket.create_connection((host, int(port)),
                                                       timeout=120)
                 self._conns[owner] = conn
-        nq = keys.shape[0]
-        conn.sendall(self._struct.pack(self._HDR, nq, cap, 0)
-                     + keys.tobytes())
-        found = np.frombuffer(self._recv_exact(conn, nq), np.uint8)
-        gpos = np.frombuffer(self._recv_exact(conn, 8 * nq), np.int64)
-        count = np.frombuffer(self._recv_exact(conn, 8 * nq), np.int64)
-        runp = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
-                             np.uint32).reshape(nq, cap)
-        runk = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
-                             np.uint32).reshape(nq, cap)
+                self._io_locks[owner] = threading.Lock()
+            io_lock = self._io_locks[owner]
+        # the per-owner lock spans the WHOLE request/response exchange:
+        # find_runs_routed must stay thread-safe (ShardedIndex's contract,
+        # consumed by ThreadedNativePipeline), and two callers interleaving
+        # frames on one socket would silently read each other's runs
+        with io_lock:
+            nq = keys.shape[0]
+            conn.sendall(self._struct.pack(self._HDR, nq, cap, 0)
+                         + keys.tobytes())
+            found = np.frombuffer(self._recv_exact(conn, nq), np.uint8)
+            gpos = np.frombuffer(self._recv_exact(conn, 8 * nq), np.int64)
+            count = np.frombuffer(self._recv_exact(conn, 8 * nq), np.int64)
+            runp = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
+                                 np.uint32).reshape(nq, cap)
+            runk = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
+                                 np.uint32).reshape(nq, cap)
         return found, gpos, count, runp, runk
 
     # --- the find_runs interface ----------------------------------------

@@ -43,6 +43,22 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def shard_bounds(hashes: np.ndarray, n_shards: int) -> np.ndarray:
+    """Run-aligned contiguous cut points into the hash-sorted arrays:
+    n_shards+1 bounds, each cut moved DOWN to the first entry of its
+    equal-hash run so no run straddles two shards. The SINGLE source of
+    the ownership rule — the ICI tier (`shard_index_by_hash`) and the
+    cross-host pod tier (`multihost.PodShardedIndex`) must agree on who
+    owns a hash, so both call this."""
+    n = hashes.shape[0]
+    if n == 0:
+        return np.zeros(n_shards + 1, dtype=np.int64)
+    ideal = (np.arange(1, n_shards) * n) // n_shards
+    cuts = np.searchsorted(hashes, hashes[np.minimum(ideal, n - 1)],
+                           side="left")
+    return np.concatenate([[0], cuts, [n]]).astype(np.int64)
+
+
 def shard_index_by_hash(hashes: np.ndarray, positions: np.ndarray, packed: np.ndarray,
                         n_shards: int, reachable: Optional[np.ndarray] = None):
     """Split the hash-sorted randstrobe arrays into n contiguous shards
@@ -58,14 +74,7 @@ def shard_index_by_hash(hashes: np.ndarray, positions: np.ndarray, packed: np.nd
     n = hashes.shape[0]
     if reachable is None:
         reachable = np.ones(n, dtype=np.uint8)
-    if n == 0:
-        bounds = np.zeros(n_shards + 1, dtype=np.int64)
-    else:
-        ideal = (np.arange(1, n_shards) * n) // n_shards
-        # move each cut down to the first entry of its run
-        cuts = np.searchsorted(hashes, hashes[np.minimum(ideal, n - 1)],
-                               side="left")
-        bounds = np.concatenate([[0], cuts, [n]])
+    bounds = shard_bounds(hashes, n_shards)
     m = int(np.max(np.diff(bounds))) if n else 1
     h = np.full((n_shards, m), SENTINEL, dtype=np.uint64)
     p = np.zeros((n_shards, m), dtype=positions.dtype)

@@ -305,6 +305,27 @@ def test_cli_flags_reach_mapping_parameters():
     assert "pe_ref_async" in src.split("MappingParameters(")[1].split(")")[0]
 
 
+def test_pod_peers_requires_multinode():
+    """--pod-index-peers is only consumed inside the multihost branch;
+    accepting it on a single-node run would silently map with the full
+    index in RAM (the exact scenario the flag exists to avoid)."""
+    import pytest
+
+    from rabbitsalign_tpu.cli import parse_command_line_arguments
+
+    with pytest.raises(SystemExit):
+        parse_command_line_arguments([
+            "--pod-index-peers", "h1:9000,h2:9000",
+            "-o", "out.sam", "ref.fa", "r.fq",
+        ])
+    # and the same peers parse fine once the pod is declared
+    opt = parse_command_line_arguments([
+        "--pod-index-peers", "h1:9000,h2:9000", "--num-nodes", "2",
+        "--node-id", "0", "-o", "out.sam", "ref.fa", "r.fq",
+    ])
+    assert opt.pod_index_peers == "h1:9000,h2:9000"
+
+
 def test_device_gated_off_at_equal_gap_costs():
     """O == E is the one scoring corner where ssw.c's striped lazy-F
     pruning diverges from the device kernel's textbook DP (probed:

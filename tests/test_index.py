@@ -81,6 +81,39 @@ def test_sti_roundtrip(tmp_path):
     assert idx.filter_cutoff == idx2.filter_cutoff
 
 
+def test_sti_wrong_bucket_table_size_rejected(tmp_path):
+    """A .sti whose start-index vector length differs from
+    (1 << bits) + 1 must raise InvalidIndexFile, not load silently:
+    the native engine's ix_find would read buckets[top + 1] past the
+    end of a short table. (Regression: this check was stranded as dead
+    code when the mmap sidecar landed.)"""
+    import struct
+
+    from rabbitsalign_tpu.index.strobemer_index import InvalidIndexFile
+
+    contigs = [random_dna(20000, seed=31)]
+    path = make_refs(tmp_path, contigs)
+    refs = References.from_fasta(str(path))
+    params = IndexParameters.from_read_length(150)
+    idx = StrobemerIndex(refs, params)
+    idx.populate(0.0002)
+    sti = tmp_path / "x.sti"
+    idx.write(str(sti))
+
+    blob = bytearray(sti.read_bytes())
+    m = idx.randstrobe_start_indices.shape[0]
+    # the m field sits 8 * m + 8 bytes from the end; shrink the vector
+    # by one entry and patch m to match (self-consistent, wrong size)
+    off = len(blob) - 8 * m - 8
+    assert struct.unpack_from("<Q", blob, off)[0] == m
+    struct.pack_into("<Q", blob, off, m - 1)
+    sti.write_bytes(bytes(blob[:-8]))
+
+    idx2 = StrobemerIndex(refs, params)
+    with pytest.raises(InvalidIndexFile):
+        idx2.read(str(sti))
+
+
 def test_columnar_mmap_sidecar(tmp_path):
     """write_columns/read_mmap: element-identical arrays + header fields,
     stale-sidecar invalidation on .sti change, and the parameter check

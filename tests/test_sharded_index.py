@@ -480,6 +480,17 @@ def test_pod_sharded_index_matches_host(world):
         assert pod0._h.shape[0] + pod1._h.shape[0] == len(index)
         assert pod0._base == 0
         assert pod1._base == pod0._h.shape[0]
+        # the slices must be GENUINE copies: a view would keep the full
+        # index arrays alive and defeat the cross-host memory split
+        for pod in (pod0, pod1):
+            assert not np.shares_memory(pod._h, index.hashes)
+            assert not np.shares_memory(pod._p, index.positions)
+            assert not np.shares_memory(pod._k, index.packed)
+        # and ownership must come from the same cut rule as the ICI tier
+        from rabbitsalign_tpu.parallel.sharding import shard_bounds
+
+        b = shard_bounds(index.hashes, 2)
+        assert pod1._base == int(b[1])
 
         rng = np.random.RandomState(7)
         picks = rng.randint(0, index.hashes.shape[0], 400)

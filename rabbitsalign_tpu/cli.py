@@ -289,6 +289,12 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     opt.coordinator = args.coordinator
     if opt.num_nodes > 1 and not opt.output_file_name:
         p.error("multi-host runs need -o PATH on a shared filesystem")
+    if opt.mmap_index and not opt.use_index:
+        # the sidecar only exists on the --use-index load path; building
+        # the index in RAM and silently ignoring the flag is exactly the
+        # GRCh38-scale startup cost the user asked to avoid
+        p.error("--mmap-index requires --use-index (the sidecar is keyed "
+                "on an existing .sti)")
     if opt.pod_index_peers and opt.num_nodes <= 1:
         # the pod-sharded index only exists inside the multihost branch;
         # silently running single-node with the full index in RAM would

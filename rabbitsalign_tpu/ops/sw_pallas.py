@@ -158,7 +158,7 @@ def _pick_dtype(Q: int, T: int, params: SwParams):
     the init-transient decay."""
     import os
 
-    if not os.environ.get("RSB_SW16"):
+    if os.environ.get("RSB_SW16", "") in ("", "0"):
         return jnp.int32
     worst_h = params.match * min(Q, T)
     D = Q + T - 1

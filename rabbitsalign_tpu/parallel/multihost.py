@@ -221,6 +221,15 @@ class PodShardedIndex:
     def _lookup_local(self, keys: np.ndarray, cap: int):
         m = self._h.shape[0]
         nq = keys.shape[0]
+        if m == 0:
+            # an empty slice can still be routed to (keys below the
+            # smallest indexed hash route to shard 0 even when the
+            # run-aligned cut left it empty); everything is a miss —
+            # indexing self._h[safe] below would raise on a 0-length
+            # array
+            return (np.zeros(nq, np.uint8), np.zeros(nq, np.int64),
+                    np.zeros(nq, np.int64), np.zeros((nq, cap), np.uint32),
+                    np.zeros((nq, cap), np.uint32))
         lo = np.searchsorted(self._h, keys, side="left")
         hi = np.searchsorted(self._h, keys, side="right")
         in_r = lo < m
@@ -277,6 +286,33 @@ class PodShardedIndex:
                              runk.tobytes())
         except (ConnectionError, OSError):
             conn.close()
+        except Exception:
+            # never leave a requester stalled mid-frame on a server-side
+            # bug: closing makes its recv raise ConnectionError instead
+            # of timing out 120 s later
+            conn.close()
+            raise
+
+    def _connect(self, owner: int):
+        """Dial a peer, retrying connection refusal: pod hosts reach
+        PodShardedIndex construction at very different times (GB-scale
+        slice copies, mmap cold faults), so the fast host's first lookup
+        can precede a slow host's server bind by minutes. Deadline via
+        RSB_POD_CONNECT_TIMEOUT (seconds, default 600)."""
+        import os
+        import time
+
+        host, port = self._peers[owner].rsplit(":", 1)
+        deadline = time.monotonic() + float(
+            os.environ.get("RSB_POD_CONNECT_TIMEOUT", "600"))
+        while True:
+            try:
+                return self._socket.create_connection((host, int(port)),
+                                                      timeout=120)
+            except ConnectionRefusedError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.2)
 
     def _remote(self, owner: int, keys: np.ndarray, cap: int):
         import threading
@@ -284,27 +320,40 @@ class PodShardedIndex:
         with self._conn_lock:
             conn = self._conns.get(owner)
             if conn is None:
-                host, port = self._peers[owner].rsplit(":", 1)
-                conn = self._socket.create_connection((host, int(port)),
-                                                      timeout=120)
+                conn = self._connect(owner)
                 self._conns[owner] = conn
-                self._io_locks[owner] = threading.Lock()
+                self._io_locks.setdefault(owner, threading.Lock())
             io_lock = self._io_locks[owner]
         # the per-owner lock spans the WHOLE request/response exchange:
         # find_runs_routed must stay thread-safe (ShardedIndex's contract,
         # consumed by ThreadedNativePipeline), and two callers interleaving
         # frames on one socket would silently read each other's runs
-        with io_lock:
-            nq = keys.shape[0]
-            conn.sendall(self._struct.pack(self._HDR, nq, cap, 0)
-                         + keys.tobytes())
-            found = np.frombuffer(self._recv_exact(conn, nq), np.uint8)
-            gpos = np.frombuffer(self._recv_exact(conn, 8 * nq), np.int64)
-            count = np.frombuffer(self._recv_exact(conn, 8 * nq), np.int64)
-            runp = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
-                                 np.uint32).reshape(nq, cap)
-            runk = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
-                                 np.uint32).reshape(nq, cap)
+        try:
+            with io_lock:
+                nq = keys.shape[0]
+                conn.sendall(self._struct.pack(self._HDR, nq, cap, 0)
+                             + keys.tobytes())
+                found = np.frombuffer(self._recv_exact(conn, nq), np.uint8)
+                gpos = np.frombuffer(self._recv_exact(conn, 8 * nq),
+                                     np.int64)
+                count = np.frombuffer(self._recv_exact(conn, 8 * nq),
+                                      np.int64)
+                runp = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
+                                     np.uint32).reshape(nq, cap)
+                runk = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
+                                     np.uint32).reshape(nq, cap)
+        except Exception:
+            # a failed exchange leaves the stream mid-frame: evict the
+            # socket so the next lookup reconnects instead of parsing
+            # the dead/desynced stream at wrong offsets
+            with self._conn_lock:
+                if self._conns.get(owner) is conn:
+                    del self._conns[owner]
+            try:
+                conn.close()
+            except OSError:
+                pass
+            raise
         return found, gpos, count, runp, runk
 
     # --- the find_runs interface ----------------------------------------

@@ -79,12 +79,16 @@ def run_aligner(opt: CommandLineOptions) -> int:
         f"({len(references)} contig{'s' if len(references) != 1 else ''})"
     )
 
-    if getattr(opt, "use_tpu", False) and not opt.only_gen_index:
+    if (getattr(opt, "use_tpu", False) and not opt.only_gen_index
+            and aln_params.gap_extend < aln_params.gap_open):
         # compile/cache-load the device extend programs (production layout:
         # device-resident reference, so the program shape depends on the
         # genome length) while the host builds or reads the index. Only
         # the genome LENGTH is needed — no coded copy. An -i run never
         # maps, so it must not pay (or block exit on) these compiles.
+        # gap_extend >= gap_open mirrors NativePipeline's O==E gate:
+        # device extension is disabled there, so the programs would be
+        # dead weight compiled on the mapping core.
         from .native_pipeline import prewarm_extend_programs
 
         prewarm_extend_programs(aln_params, getattr(opt, "tpu_batch", 1024),

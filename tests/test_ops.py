@@ -237,6 +237,26 @@ def test_pallas_extend_matches_sw_jax_tpu():
     _check_extend_parity(pairs, Q, T, out2, sw2)
 
 
+def test_pick_dtype_env_gate(monkeypatch):
+    """RSB_SW16 is an opt-IN: unset AND '0' must both select int32
+    (regression: string truthiness made RSB_SW16=0 enable the 0.86x
+    int16 path), '1' selects int16 when the score span bounds hold."""
+    import jax.numpy as jnp
+
+    from rabbitsalign_tpu.ops.sw_jax import SwParams
+    from rabbitsalign_tpu.ops.sw_pallas import _pick_dtype
+
+    p = SwParams(2, 8, 12, 1)
+    monkeypatch.delenv("RSB_SW16", raising=False)
+    assert _pick_dtype(152, 256, p) == jnp.int32
+    monkeypatch.setenv("RSB_SW16", "0")
+    assert _pick_dtype(152, 256, p) == jnp.int32
+    monkeypatch.setenv("RSB_SW16", "1")
+    assert _pick_dtype(152, 256, p) == jnp.int16
+    # span bound fails (worst H = 100*512 alone exceeds 2^15)
+    assert _pick_dtype(512, 2048, SwParams(100, 8, 12, 1)) == jnp.int32
+
+
 def test_pallas_forward_int16_bitexact_tpu():
     """The opt-in int16 DP path (RSB_SW16=1; synthesized sign-bit
     compares, see _pick_dtype) must be BIT-EXACT vs the production

@@ -453,6 +453,51 @@ def test_find_runs_routed_matches_psum(world, sharded):
     np.testing.assert_array_equal(a["run_packed"], b["run_packed"])
 
 
+def test_pod_sharded_index_empty_shard():
+    """A run-aligned cut can leave shard 0 empty (the globally smallest
+    hash's run spans past n/nprocs). Keys below the smallest indexed
+    hash still route to that shard and must answer as misses — locally
+    and over the wire — not crash (regression: IndexError indexing the
+    0-length slice)."""
+    import socket
+
+    from rabbitsalign_tpu.parallel.multihost import PodShardedIndex
+
+    class _Stub:
+        hashes = np.array([5, 5, 5, 5, 5, 9], np.uint64)
+        positions = np.arange(6, dtype=np.uint32)
+        packed = np.arange(6, dtype=np.uint32)
+        bits = 2
+        randstrobe_start_indices = np.array([0, 6, 6, 6, 6], np.uint64)
+        filter_cutoff = 30
+
+        def k(self):
+            return 20
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    peers = [f"127.0.0.1:{free_port()}", f"127.0.0.1:{free_port()}"]
+    pod0 = PodShardedIndex(_Stub(), 0, 2, peers)
+    pod1 = PodShardedIndex(_Stub(), 1, 2, peers)
+    try:
+        assert pod0._h.shape[0] == 0  # the cut rule left shard 0 empty
+        assert pod1._h.shape[0] == 6
+        queries = np.array([3, 5, 9, 2**60], np.uint64)
+        for pod in (pod0, pod1):  # pod1 resolves key 3 over the wire
+            res = pod.find_runs_routed(queries, 4)
+            assert res["position"][0] == -1  # below smallest hash: miss
+            assert res["position"][3] == -1
+            assert res["count"][1] == 5 and res["count"][2] == 1
+    finally:
+        pod0.close()
+        pod1.close()
+
+
 def test_pod_sharded_index_matches_host(world):
     """PodShardedIndex (the index GENUINELY split across pod processes,
     remote-owned keys sent to the owner over the TCP side channel):

@@ -388,6 +388,12 @@ class StrobemerIndex:
                 self.packed[a:b] = blk["packed"]
                 a = b
             (m,) = struct.unpack("<Q", f.read(8))
+            # validate BEFORE allocating: a corrupted m field would
+            # otherwise drive an arbitrarily large np.empty + readinto
+            # before the size check fires
+            if m != (1 << self.bits) + 1:
+                raise InvalidIndexFile(
+                    "randstrobe_start_indices vector is of the wrong size")
             # readinto the destination array directly: read()+frombuffer+
             # copy holds and touches the (up to 2 GB at bits=28) vector
             # three times
@@ -396,9 +402,6 @@ class StrobemerIndex:
             if got != 8 * m:
                 raise InvalidIndexFile(
                     f"{filename}: truncated start-index vector")
-            if m != (1 << self.bits) + 1:
-                raise InvalidIndexFile(
-                    "randstrobe_start_indices vector is of the wrong size")
 
     # --- columnar mmap sidecar (TPU-native load path) -----------------
     #
@@ -418,6 +421,25 @@ class StrobemerIndex:
 
     def _cols_dir(self, filename: str) -> str:
         return filename + ".cols"
+
+    @staticmethod
+    def _sti_fingerprint(filename: str) -> str:
+        """Cheap content fingerprint of the .sti: size + sha1 over three
+        64 KiB probes (head, middle, tail). Size+mtime alone misses a
+        cp -p'd stale .sti (same size, preserved mtime, different
+        bytes); hashing all 12 GB would cost the sidecar's whole point."""
+        import hashlib
+        import os
+
+        h = hashlib.sha1()
+        size = os.path.getsize(filename)
+        h.update(str(size).encode())
+        with open(filename, "rb") as f:
+            for off in sorted({0, max(0, size // 2 - 32768),
+                               max(0, size - 65536)}):
+                f.seek(off)
+                h.update(f.read(65536))
+        return h.hexdigest()
 
     def write_columns(self, filename: str) -> None:
         """Write the columnar sidecar next to `filename` (the .sti)."""
@@ -444,13 +466,16 @@ class StrobemerIndex:
             "filter_cutoff": int(self.filter_cutoff),
             "sti_size": st.st_size,
             "sti_mtime_ns": st.st_mtime_ns,
+            "sti_sha": self._sti_fingerprint(filename),
         }
         with open(os.path.join(tmp, "header.json"), "w") as f:
             json.dump(hdr, f)
         import shutil
 
         if os.path.isdir(d):
-            shutil.rmtree(d)
+            # two processes rebuilding the same stale sidecar can both
+            # enter the rmtree; the loser must not crash mid-walk
+            shutil.rmtree(d, ignore_errors=True)
         try:
             os.replace(tmp, d)
         except OSError:
@@ -476,8 +501,15 @@ class StrobemerIndex:
                 hdr = json.load(f)
             st = os.stat(filename)
             if (hdr.get("version") != self.COLS_VERSION
-                    or hdr.get("sti_size") != st.st_size
-                    or hdr.get("sti_mtime_ns") != st.st_mtime_ns):
+                    or hdr.get("sti_size") != st.st_size):
+                return False
+            if "sti_sha" in hdr:
+                # content fingerprint: catches a same-size .sti swap even
+                # when mtime was preserved (cp -p)
+                if hdr["sti_sha"] != self._sti_fingerprint(filename):
+                    return False
+            elif hdr.get("sti_mtime_ns") != st.st_mtime_ns:
+                # sidecars written before the fingerprint existed
                 return False
             # the parameter check read() performs must still happen:
             # parse just the .sti header (a few hundred bytes)

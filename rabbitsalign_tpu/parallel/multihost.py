@@ -203,6 +203,7 @@ class PodShardedIndex:
         self._conns = {}
         self._io_locks = {}
         self._conn_lock = threading.Lock()
+        self._pool = None  # lazily-built remote fan-out executor
         # server thread: answer lookups against the local slice
         host, port = peers[process_index].rsplit(":", 1)
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -318,43 +319,74 @@ class PodShardedIndex:
         import threading
 
         with self._conn_lock:
-            conn = self._conns.get(owner)
-            if conn is None:
-                conn = self._connect(owner)
-                self._conns[owner] = conn
-                self._io_locks.setdefault(owner, threading.Lock())
-            io_lock = self._io_locks[owner]
+            io_lock = self._io_locks.setdefault(owner, threading.Lock())
         # the per-owner lock spans the WHOLE request/response exchange:
         # find_runs_routed must stay thread-safe (ShardedIndex's contract,
         # consumed by ThreadedNativePipeline), and two callers interleaving
-        # frames on one socket would silently read each other's runs
-        try:
-            with io_lock:
-                nq = keys.shape[0]
-                conn.sendall(self._struct.pack(self._HDR, nq, cap, 0)
-                             + keys.tobytes())
-                found = np.frombuffer(self._recv_exact(conn, nq), np.uint8)
-                gpos = np.frombuffer(self._recv_exact(conn, 8 * nq),
-                                     np.int64)
-                count = np.frombuffer(self._recv_exact(conn, 8 * nq),
-                                      np.int64)
-                runp = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
-                                     np.uint32).reshape(nq, cap)
-                runk = np.frombuffer(self._recv_exact(conn, 4 * nq * cap),
-                                     np.uint32).reshape(nq, cap)
-        except Exception:
-            # a failed exchange leaves the stream mid-frame: evict the
-            # socket so the next lookup reconnects instead of parsing
-            # the dead/desynced stream at wrong offsets
-            with self._conn_lock:
-                if self._conns.get(owner) is conn:
-                    del self._conns[owner]
-            try:
-                conn.close()
-            except OSError:
-                pass
-            raise
-        return found, gpos, count, runp, runk
+        # frames on one socket would silently read each other's runs.
+        # The connection is (re)resolved AFTER taking io_lock, so a thread
+        # queued behind a failed exchange sees the eviction and redials
+        # instead of writing to the dead socket; dialing holds only this
+        # owner's lock, never the global _conn_lock (a slow peer must not
+        # block other owners' exchanges or close()).
+        with io_lock:
+            for attempt in (0, 1):
+                with self._conn_lock:
+                    conn = self._conns.get(owner)
+                if conn is None:
+                    conn = self._connect(owner)
+                    with self._conn_lock:
+                        self._conns[owner] = conn
+                try:
+                    nq = keys.shape[0]
+                    conn.sendall(self._struct.pack(self._HDR, nq, cap, 0)
+                                 + keys.tobytes())
+                    found = np.frombuffer(self._recv_exact(conn, nq),
+                                          np.uint8)
+                    gpos = np.frombuffer(self._recv_exact(conn, 8 * nq),
+                                         np.int64)
+                    count = np.frombuffer(self._recv_exact(conn, 8 * nq),
+                                          np.int64)
+                    runp = np.frombuffer(
+                        self._recv_exact(conn, 4 * nq * cap),
+                        np.uint32).reshape(nq, cap)
+                    runk = np.frombuffer(
+                        self._recv_exact(conn, 4 * nq * cap),
+                        np.uint32).reshape(nq, cap)
+                    return found, gpos, count, runp, runk
+                except (ConnectionError, OSError):
+                    # a failed exchange leaves the stream mid-frame: evict
+                    # the socket (next lookup reconnects instead of parsing
+                    # the desynced stream at wrong offsets) and retry ONCE
+                    # on a fresh connection — one transient peer hiccup
+                    # must not fail every in-flight lookup batch
+                    with self._conn_lock:
+                        if self._conns.get(owner) is conn:
+                            del self._conns[owner]
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                    if attempt:
+                        raise
+
+    def _fanout(self):
+        """Lazily-built executor for the concurrent remote fan-out.
+
+        Sized past (nprocs-1): per-owner exchanges serialize on io_lock
+        anyway, but ThreadedNativePipeline can have several worker
+        threads fanning out at once, and a pool worker parked on a busy
+        owner's io_lock must not starve another owner's send."""
+        with self._conn_lock:
+            pool = self._pool
+            if pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                pool = ThreadPoolExecutor(
+                    max_workers=min(32, max(1, (self.nprocs - 1) * 4)),
+                    thread_name_prefix="pod-fanout")
+                self._pool = pool
+        return pool
 
     # --- the find_runs interface ----------------------------------------
 
@@ -369,13 +401,27 @@ class PodShardedIndex:
         count = np.zeros(nq, np.int64)
         runp = np.zeros((nq, cap), np.uint32)
         runk = np.zeros((nq, cap), np.uint32)
+        # remote owners are queried CONCURRENTLY (one pool task per owner,
+        # submitted before the local lookup runs): an N-host pod pays ~1
+        # round-trip per batch instead of N-1 sequential RTTs, and the
+        # local slice lookup overlaps the wire wait
+        pending = []
         for s in range(self.nprocs):
+            if s == self.pid:
+                continue
             sel = np.flatnonzero(owner == s)
             if sel.size == 0:
                 continue
-            part = (self._lookup_local(keys[sel], cap) if s == self.pid
-                    else self._remote(s, np.ascontiguousarray(keys[sel]),
-                                      cap))
+            ks = np.ascontiguousarray(keys[sel])
+            pending.append((sel, self._fanout().submit(
+                self._remote, s, ks, cap)))
+        sel0 = np.flatnonzero(owner == self.pid)
+        if sel0.size:
+            part = self._lookup_local(keys[sel0], cap)
+            found[sel0], gpos[sel0], count[sel0] = part[0], part[1], part[2]
+            runp[sel0], runk[sel0] = part[3], part[4]
+        for sel, fut in pending:
+            part = fut.result()
             found[sel], gpos[sel], count[sel] = part[0], part[1], part[2]
             runp[sel], runk[sel] = part[3], part[4]
         fb = found > 0
@@ -394,6 +440,10 @@ class PodShardedIndex:
             self._srv.close()
         except OSError:
             pass
+        with self._conn_lock:
+            pool, self._pool = self._pool, None
+        if pool is not None:
+            pool.shutdown(wait=False)
         with self._conn_lock:
             for c in self._conns.values():
                 try:

@@ -136,6 +136,12 @@ def run_aligner(opt: CommandLineOptions) -> int:
             sti_path = opt.ref_filename + index_parameters.filename_extension()
             logger.info(f"Writing index to {sti_path}")
             index.write(sti_path)
+            # write the mmap sidecar at creation time: the first
+            # --mmap-index run at GRCh38 scale must open in <1 s, not
+            # silently pay a full .sti read + ~12 GB rewrite (the lazy
+            # build in map-mode stays as the fallback)
+            logger.info("Writing mmap sidecar (columnar)")
+            index.write_columns(sti_path)
             return 0
 
     map_param.rescue_cutoff = (

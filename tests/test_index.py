@@ -152,11 +152,25 @@ def test_columnar_mmap_sidecar(tmp_path):
     with pytest.raises(InvalidIndexFile):
         idx3.read_mmap(sti, warm=False)
 
-    # a rewritten .sti invalidates the sidecar (mtime/size key)
+    # an mtime-only touch with identical bytes keeps the sidecar valid:
+    # the content fingerprint, not mtime, is the key
     os.utime(sti, ns=(os.stat(sti).st_atime_ns,
                       os.stat(sti).st_mtime_ns + 1))
     idx4 = StrobemerIndex(refs, params)
-    assert not idx4.read_mmap(sti, warm=False)
+    assert idx4.read_mmap(sti, warm=False)
+
+    # ... but a same-size, mtime-preserved content swap (cp -p of a
+    # stale .sti) IS detected by the fingerprint
+    st = os.stat(sti)
+    size = os.path.getsize(sti)
+    with open(sti, "r+b") as f:
+        f.seek(size - 9)
+        b = f.read(1)
+        f.seek(size - 9)
+        f.write(bytes([b[0] ^ 0xFF]))
+    os.utime(sti, ns=(st.st_atime_ns, st.st_mtime_ns))
+    idx5 = StrobemerIndex(refs, params)
+    assert not idx5.read_mmap(sti, warm=False)
 
 
 @pytest.mark.skipif(not have_reference(), reason="reference tree not mounted")

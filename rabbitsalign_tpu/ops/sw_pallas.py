@@ -191,6 +191,7 @@ def _kernel(
     Eg: int,
     acc,
     R: int,
+    SPLIT: int = 1,
 ):
     # R anti-diagonals per grid step (R=8 matches the traceback kernel's
     # blocking; fat shapes drop to R=1 so the double-buffered (R, Q, B)
@@ -199,8 +200,18 @@ def _kernel(
     # per-diagonal VPU work (recurrence + three sublane shifts), not by
     # grid-step overhead — but it keeps the target row index static for
     # the production shape and halves the number of output DMAs.
+    #
+    # SPLIT=2 (round 5, cross-batch ILP): the batch is split into two
+    # (Q, B/2) lane halves whose diagonal recurrences are computed
+    # independently inside each unrolled step — two independent
+    # dependency chains per diagonal let Mosaic fill the single chain's
+    # compare/select stalls. Measured 1.24x at the production tight
+    # bucket, bit-exact (docs/PERF.md "Cross-batch ILP"). The reversed-
+    # target window stays full-width (its roll/insert is 2 ops/diagonal,
+    # and a lane-offset slice feeding a broadcast does not legalize).
     g = pl.program_id(0)
     Q, B = H1.shape
+    Bh = B // SPLIT
     zero = acc(0)
     neg = acc(NEG16 if acc == jnp.int16 else NEG)
     cA = acc(A)
@@ -222,27 +233,31 @@ def _kernel(
         besth_ref[:] = zeros
         bestt_ref[:] = jnp.full((Q, B), acc(-1), acc)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
-    is_row0 = row == jnp.int32(0)
+    row_full = jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
+    is_row0 = row_full == jnp.int32(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Q, Bh), 0)
 
     def shift_down(x, fill):
         # sublane shift by one via slice + concatenate (works for any
         # dtype — this Mosaic build has no 16-bit rotate; measured equal
         # to pltpu.roll+select for int32 on v5e)
-        top = jnp.full((1, B), fill, x.dtype)
+        top = jnp.full((1, Bh), fill, x.dtype)
         return jnp.concatenate([top, x[: Q - 1]], axis=0)
 
     # DP state lives in registers across the 8 in-step diagonals; the
-    # scratch planes are read once and written once per grid step
-    h1 = H1[:]
-    h1s = H1S[:]
-    e_prev = E1[:]
-    f_prev = F1[:]
+    # scratch planes are read once and written once per grid step.
+    # Per-half state: (h1, h1s, e_prev, f_prev, bh, bt, qv, qsv) — each
+    # a (Q, Bh) lane slice (the full plane when SPLIT=1)
     rv32 = revt[:]
-    bh = besth_ref[:]
-    bt = bestt_ref[:]
-    qv = q_ref[:]  # acc dtype
-    qsv = qs_ref[:]
+    halves = []
+    for s in range(SPLIT):
+        sl = slice(s * Bh, (s + 1) * Bh)
+        halves.append([
+            H1[:, sl], H1S[:, sl], E1[:, sl], F1[:, sl],
+            besth_ref[:, sl], bestt_ref[:, sl],
+            q_ref[:, sl], qs_ref[:, sl],
+        ])
+    qv = halves[0][6]  # for the zerot idiom below (shape (Q, Bh))
 
     # Every ordered comparison in the recurrence is canonicalized to
     # `a <= b` so that ONE primitive covers both dtypes:
@@ -287,25 +302,14 @@ def _kernel(
 
     c_zero = zerot if acc == jnp.int16 else zero
 
-    for j in range(R):
-        d = g * jnp.int32(R) + jnp.int32(j)
-        # slide the reversed-target window; insert this diagonal's base
-        # (the revt/q planes stay int32 — 32-bit keeps the rotate on the
-        # supported path). t_ref is always an (8, B) block (TPU requires
-        # sublane-divisible blocks): R=8 indexes rows statically; smaller
-        # R addresses its sub-block of 8 dynamically
-        if R == 8:
-            tcol = t_ref[j : j + 1, :]  # (1, B)
-        else:
-            trow = (g * jnp.int32(R)) % jnp.int32(8) + jnp.int32(j)
-            tcol = t_ref[pl.ds(trow, 1), :]
-        rv32 = jnp.where(is_row0, tcol, pltpu.roll(rv32, shift=1, axis=0))
-
-        # every max is compare+select, with every ordered comparison in
-        # `le` polarity (see the le() definitions above) — the compare
-        # results double as the direction bits the traceback needs.
-        # Subtractions of constants are adds of negated constants
-        # (arith.subi does not legalize on i16 either).
+    def step(st, rv32_s, d):
+        # one diagonal of the recurrence for one lane half. Every max is
+        # compare+select, with every ordered comparison in `le` polarity
+        # (see the le() definitions above) — the compare results double
+        # as the direction bits the traceback needs. Subtractions of
+        # constants are adds of negated constants (arith.subi does not
+        # legalize on i16 either).
+        h1, h1s, e_prev, f_prev, bh, bt, qv, qsv = st
         Hm1s = shift_down(h1, zero)
         Em1s = shift_down(e_prev, neg)
         e_open = Hm1s + acc(-O)
@@ -321,7 +325,7 @@ def _kernel(
 
         # H(q-1, t-1) = diagonal d-2 shifted = the Hm1s computed at the
         # previous diagonal, carried in h1s — saves one shift per step
-        rv = rv32.astype(acc) if acc != jnp.int32 else rv32
+        rv = rv32_s.astype(acc) if acc != jnp.int32 else rv32_s
         if acc == jnp.int16:
             # only `ne` legalizes on packed i16 (eq does not — probed
             # 2026-08 at production shapes), so both equality tests are
@@ -359,7 +363,6 @@ def _kernel(
             # traceback never needs the sequence planes
             | eq_bit
         )
-        dirs_ref[j] = dirs.astype(jnp.uint8)
 
         h_le_bh = le(H, bh)  # ~(bh < H): strict > updates
         bh = jnp.where(h_le_bh, bh, H)
@@ -367,19 +370,41 @@ def _kernel(
         # 2048); strict > keeps the smallest t per row on score ties,
         # matching the SSW tie-break
         bt = jnp.where(h_le_bh, bt, (d - row).astype(acc))
+        return [H, Hm1s, E, F, bh, bt, qv, qsv], dirs
 
-        h1s = Hm1s
-        h1 = H
-        e_prev = E
-        f_prev = F
+    for j in range(R):
+        d = g * jnp.int32(R) + jnp.int32(j)
+        # slide the reversed-target window; insert this diagonal's base
+        # (the revt/q planes stay int32 — 32-bit keeps the rotate on the
+        # supported path). t_ref is always an (8, B) block (TPU requires
+        # sublane-divisible blocks): R=8 indexes rows statically; smaller
+        # R addresses its sub-block of 8 dynamically
+        if R == 8:
+            tcol = t_ref[j : j + 1, :]  # (1, B)
+        else:
+            trow = (g * jnp.int32(R)) % jnp.int32(8) + jnp.int32(j)
+            tcol = t_ref[pl.ds(trow, 1), :]
+        rv32 = jnp.where(is_row0, tcol, pltpu.roll(rv32, shift=1, axis=0))
 
-    H1[:] = h1
-    H1S[:] = h1s
-    E1[:] = e_prev
-    F1[:] = f_prev
+        dirs_halves = []
+        for s in range(SPLIT):
+            rv_s = rv32[:, s * Bh:(s + 1) * Bh] if SPLIT > 1 else rv32
+            halves[s], dirs_s = step(halves[s], rv_s, d)
+            dirs_halves.append(dirs_s)
+        dirs = (jnp.concatenate(dirs_halves, axis=1)
+                if SPLIT > 1 else dirs_halves[0])
+        dirs_ref[j] = dirs.astype(jnp.uint8)
+
     revt[:] = rv32
-    besth_ref[:] = bh
-    bestt_ref[:] = bt
+    for s in range(SPLIT):
+        sl = slice(s * Bh, (s + 1) * Bh)
+        h1, h1s, e_prev, f_prev, bh, bt, _, _ = halves[s]
+        H1[:, sl] = h1
+        H1S[:, sl] = h1s
+        E1[:, sl] = e_prev
+        F1[:, sl] = f_prev
+        besth_ref[:, sl] = bh
+        bestt_ref[:, sl] = bt
 
 
 def sw_forward_pallas(q_codes, t_codes, qlen, tlen, params: SwParams):
@@ -421,6 +446,11 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
     # 256x512 cells even a 4-plane block starves the DP scratch of VMEM
     # (the (512, 2048) bucket compiles only with single-diagonal steps)
     R = 8 if Q * B <= 256 * 512 else 1
+    # cross-batch ILP (round 5): two independent per-half recurrence
+    # chains per diagonal, 1.24x at the tight bucket (docs/PERF.md
+    # "Cross-batch ILP"). int32 only (the i16 path's synthesized
+    # compares were refuted anyway) and lane halves must be vreg-aligned
+    SPLIT = 2 if (acc == jnp.int32 and B % 256 == 0) else 1
     kernel = functools.partial(
         _kernel,
         A=params.match,
@@ -429,6 +459,7 @@ def _sw_forward_pallas_core(q_t, t_t, qlen, tlen, params: SwParams):
         Eg=params.gap_extend,
         acc=acc,
         R=R,
+        SPLIT=SPLIT,
     )
     dirs, best_h, best_d = pl.pallas_call(
         kernel,

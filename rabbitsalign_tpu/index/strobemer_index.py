@@ -552,8 +552,15 @@ class StrobemerIndex:
             files = [os.path.join(d, x + ".bin")
                      for x in ("buckets", "hashes", "positions", "packed")]
             t = threading.Thread(
-                target=_warm_page_cache, args=(files,), daemon=True)
+                target=_warm_page_cache,
+                args=(files, (self.hashes, self.positions,
+                              self.randstrobe_start_indices)),
+                daemon=True)
             t.start()
+            # exposed so benchmarks/probes can wait for full residency
+            # + the random-access warm before timing (production never
+            # joins it — mapping overlaps the stream)
+            self._warmer = t
         return True
 
 
@@ -571,11 +578,20 @@ def _madvise_willneed(arr) -> None:
         pass
 
 
-def _warm_page_cache(files) -> None:
+def _warm_page_cache(files, arrays=None) -> None:
     """Stream files sequentially through the page cache (separate fds;
     the GIL is released during readinto, so this overlaps compute on a
     single core — IO wait costs no CPU). Bucket table first: every
-    lookup starts there."""
+    lookup starts there. Once streaming completes, run the random-
+    access warm pass over the index arrays (see
+    warm_index_random_access) — pages are resident by then, so the
+    burst targets exactly the freshly-faulted state the pass0 penalty
+    attaches to."""
+    import time
+
+    from ..utils.logger import logger
+
+    t0 = time.perf_counter()
     buf = bytearray(32 << 20)
     for path in files:
         try:
@@ -584,3 +600,56 @@ def _warm_page_cache(files) -> None:
                     pass
         except OSError:  # pragma: no cover - cache warming only
             return
+    logger.debug(f"index warmer: streamed in {time.perf_counter()-t0:.1f}s")
+    if arrays is not None:
+        t0 = time.perf_counter()
+        warm_index_random_access(*arrays)
+        logger.debug(
+            f"index warmer: random-access warm {time.perf_counter()-t0:.1f}s")
+
+
+def warm_index_random_access(hashes, positions, buckets,
+                             budget_s: float = None) -> None:
+    """Burn off the first-pass page-mapping penalty on a freshly-loaded
+    big index with a short adaptive random-access burst.
+
+    Measured at the 3 Gbp config (tests/sanitize/pass0_probe.py and
+    docs/PERF.md §4b): the first ~2 s of mapping work after the 12 GB
+    index is freshly faulted runs 2-10x slow — the excess is user CPU
+    in the mapping thread itself at constant frequency with zero
+    guest-visible fault/THP/migration counters moving, i.e. the host
+    maps freshly-allocated guest frames small and random access pays
+    double page walks until the host collapses/warms them. The penalty
+    burns off with random-access WORK (a sleep does not re-arm or cure
+    it), so this burst absorbs it outside the mapping path: one
+    controlled cold-start A/B cut the first timed pass from 6.8 s to
+    1.3 s (48 k reads). Rounds self-terminate when a round stops
+    getting faster (<20% improvement), so a warm index pays ~2 cheap
+    rounds. RSB_INDEX_WARM_S overrides the budget; 0 disables."""
+    import os
+    import time
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("RSB_INDEX_WARM_S", "8"))
+    n = len(hashes)
+    if budget_s <= 0 or n == 0:
+        return
+    rng = np.random.RandomState(0xC0FFEE)
+    t_end = time.perf_counter() + budget_s
+    prev = None
+    sink = 0
+    while time.perf_counter() < t_end:
+        t0 = time.perf_counter()
+        # realistic access mix: random hash gathers double as warm-up
+        # and as searchsorted probes; positions/buckets gathers mirror
+        # the NAM-building loads
+        keys = hashes[rng.randint(0, n, 500_000)]
+        sink += int(np.searchsorted(hashes, keys).sum())
+        sink += int(positions[rng.randint(0, n, 1_000_000)].sum())
+        if buckets is not None and len(buckets):
+            sink += int(buckets[rng.randint(0, len(buckets),
+                                            500_000)].sum())
+        dt = time.perf_counter() - t0
+        if prev is not None and dt > 0.8 * prev:
+            break  # <20% improvement left — warm
+        prev = dt

@@ -144,6 +144,22 @@ def run_aligner(opt: CommandLineOptions) -> int:
             index.write_columns(sti_path)
             return 0
 
+    # Big freshly-loaded index arrays (plain .sti read or fresh build)
+    # carry the first-pass page-mapping penalty (docs/PERF.md §4b);
+    # burn it off in the background while mapping starts. The mmap
+    # path's warmer thread does this itself after streaming.
+    if (not getattr(opt, "mmap_index", False)
+            and getattr(index.hashes, "nbytes", 0) > (1 << 30)):
+        import threading
+
+        from ..index.strobemer_index import warm_index_random_access
+
+        threading.Thread(
+            target=warm_index_random_access,
+            args=(index.hashes, index.positions,
+                  index.randstrobe_start_indices),
+            daemon=True).start()
+
     map_param.rescue_cutoff = (
         map_param.rescue_level * index.filter_cutoff
         if map_param.rescue_level < 100

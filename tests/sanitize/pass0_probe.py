@@ -54,6 +54,44 @@ def rusage():
             "utime": r.ru_utime, "stime": r.ru_stime}
 
 
+def thread_cpu():
+    """Per-thread cumulative CPU seconds (utime+stime) from
+    /proc/self/task/*/stat, keyed by '<name>:<tid>' — attributes which
+    THREADS inside this process burn the pass0 excess (RUSAGE_SELF sums
+    all threads; the mapping thread vs the jax/axon client threads is
+    the question)."""
+    tick = os.sysconf("SC_CLK_TCK")
+    out = {}
+    base = "/proc/self/task"
+    try:
+        tids = os.listdir(base)
+    except OSError:
+        return out
+    for tid in tids:
+        try:
+            with open(f"{base}/{tid}/stat") as f:
+                st = f.read()
+            # comm may contain spaces — it is parenthesized
+            rest = st.rsplit(")", 1)[1].split()
+            name = st[st.index("(") + 1: st.rindex(")")]
+            ut, stm = int(rest[11]), int(rest[12])  # fields 14,15
+            out[f"{name}:{tid}"] = (ut + stm) / tick
+        except (OSError, ValueError, IndexError):
+            pass
+    return out
+
+
+def cpu_mhz():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("cpu MHz"):
+                    return float(line.split(":")[1])
+    except OSError:
+        pass
+    return 0.0
+
+
 def delta(a, b):
     return {k: (round(b[k] - a[k], 3) if isinstance(b[k], float)
                 else b[k] - a[k]) for k in b if k in a}
@@ -94,27 +132,44 @@ def main():
     sink = []
     chunk = 8000
 
+    from rabbitsalign_tpu.utils.logger import logger
+    logger.set_level("debug")
+
     warm = NativePipeline(index, params, refs, aln_params, map_param,
                           use_device=on_tpu)
     t0 = time.perf_counter()
     warm.map_file(q1, q2, False, chunk, sink.append)
     print(f"probe: warmup {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    warmer = getattr(index, "_warmer", None)
+    if warmer is not None and warmer.is_alive():
+        t0 = time.perf_counter()
+        warmer.join(600)
+        print(f"probe: waited {time.perf_counter()-t0:.1f}s more for the "
+              f"warmer (stream + random-access warm)", file=sys.stderr)
 
     rows = []
     for i in range(n_passes):
         pipeline = NativePipeline(index, params, refs, aln_params, map_param,
                                   use_device=on_tpu)
-        r0, v0 = rusage(), vmstat()
+        r0, v0, tc0 = rusage(), vmstat(), thread_cpu()
+        mhz0 = cpu_mhz()
         t0 = time.perf_counter()
         n = pipeline.map_file(q1, q2, False, chunk, sink.append)
         wall = time.perf_counter() - t0
         dr, dv = delta(r0, rusage()), delta(v0, vmstat())
+        tc1 = thread_cpu()
+        dtc = {k: round(tc1[k] - tc0.get(k, 0.0), 3)
+               for k in tc1 if tc1[k] - tc0.get(k, 0.0) > 0.02}
         t = pipeline.engine.timers()
         rows.append((wall, n, dr, dv, t))
         print(f"pass{i}: wall={wall:.2f}s ({n/wall:,.0f} r/s) "
               f"seed+nam={t['seed_nam_s']:.2f} phaseA={t['phase_a_s']:.2f} "
-              f"phaseB={t['phase_b_s']:.2f}", file=sys.stderr)
+              f"phaseB={t['phase_b_s']:.2f} mhz={mhz0:.0f}->{cpu_mhz():.0f}",
+              file=sys.stderr)
         print(f"  rusage: {dr}", file=sys.stderr)
+        print(f"  thread cpu (>20ms): "
+              f"{dict(sorted(dtc.items(), key=lambda kv: -kv[1]))}",
+              file=sys.stderr)
         moved = {k: v for k, v in dv.items() if v}
         print(f"  vmstat moved: {moved}", file=sys.stderr)
 

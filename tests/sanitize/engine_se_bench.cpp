@@ -9,6 +9,7 @@
 #include <chrono>
 
 extern "C" {
+void engine_timers(void*, double*);
 void* index_build(const unsigned char*, const long*, long, int, int, int, int,
                   int, unsigned long, int, int);
 long index_build_count(void*);
@@ -104,7 +105,10 @@ int main(int argc, char** argv) {
         chunk_free(ch);
     }
     double dt = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
-    printf("%d reads in %.3fs = %.0f reads/s (jobs %ld)\n", n_reads, dt,
-           n_reads / dt, total_jobs);
+    double tm[4];
+    engine_timers(eng, tm);
+    printf("%d reads in %.3fs = %.0f reads/s (jobs %ld) "
+           "seed_nam=%.3f phaseA=%.3f hostalign=%.3f phaseB=%.3f\n",
+           n_reads, dt, n_reads / dt, total_jobs, tm[1], tm[0], tm[2], tm[3]);
     return 0;
 }

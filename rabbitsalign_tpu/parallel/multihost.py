@@ -181,6 +181,26 @@ class PodShardedIndex:
         self._k = np.array(index.packed[lo:hi], dtype=np.uint32, copy=True)
         self._r = np.array(reachable[lo:hi], dtype=np.uint8, copy=True)
         self._base = lo
+        # slice-trimmed bucket table: the engine's 75 ns ix_find owes its
+        # speed to the bucket narrowing; a flat searchsorted over the
+        # slice was measured 6x the whole lookup cost (docs/PERF.md
+        # §1b'). The slice covers a contiguous top-bits range, so only
+        # those buckets are kept (~(2^bits)/nprocs entries).
+        bits = int(index.bits)
+        self._bits = bits
+        if hi > lo:
+            top_lo = int(self._h[0]) >> (64 - bits)
+            top_hi = int(self._h[-1]) >> (64 - bits)
+        else:
+            top_lo = top_hi = 0
+        bt_full = index.randstrobe_start_indices
+        bt = np.clip(np.asarray(bt_full[top_lo:top_hi + 2],
+                                dtype=np.int64), lo, hi) - lo
+        self._bt = bt
+        self._top0 = top_lo
+        run_max = int((bt[1:] - bt[:-1]).max()) if bt.shape[0] > 1 else 0
+        self._iters = (max(1, int(np.ceil(np.log2(run_max + 1))) + 1)
+                       if run_max > 0 else 1)
         # global routing table (tiny): owner s covers
         # [start_hash[s], start_hash[s+1])
         sh = np.full(process_count, np.uint64(0xFFFFFFFFFFFFFFFF),
@@ -204,6 +224,12 @@ class PodShardedIndex:
         self._io_locks = {}
         self._conn_lock = threading.Lock()
         self._pool = None  # lazily-built remote fan-out executor
+        # wire-traffic telemetry (per process; batch-granular, so the
+        # lock is cold): docs/PERF.md §1b' pod-mode characterization
+        self._stats_lock = threading.Lock()
+        self.stats = {"lookup_batches": 0, "lookup_keys": 0,
+                      "remote_batches": 0, "remote_keys": 0,
+                      "tx_bytes": 0, "rx_bytes": 0}
         # server thread: answer lookups against the local slice
         host, port = peers[process_index].rsplit(":", 1)
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -219,36 +245,91 @@ class PodShardedIndex:
 
     # --- local slice lookup (StrobemerIndex.find semantics) -----------
 
-    def _lookup_local(self, keys: np.ndarray, cap: int):
+    def _lookup_sparse(self, keys: np.ndarray, cap: int):
+        """Bucket-bounded vectorized lookup against the local slice.
+
+        Returns (found u8, gpos i64, count i64, ent_p u32, ent_k u32)
+        where ent_p/ent_k concatenate min(count, cap) run entries per
+        FOUND key in key order — the sparse form that both the wire
+        protocol and the dense edge consume. The binary searches run
+        only inside the key's bucket run (self._bt narrows to ~2^-bits
+        of the slice), with a fixed iteration count derived from the
+        longest bucket, as a lock-step vector loop."""
         m = self._h.shape[0]
         nq = keys.shape[0]
-        if m == 0:
+        e0p = np.zeros(0, np.uint32)
+        if m == 0 or nq == 0:
             # an empty slice can still be routed to (keys below the
             # smallest indexed hash route to shard 0 even when the
-            # run-aligned cut left it empty); everything is a miss —
-            # indexing self._h[safe] below would raise on a 0-length
-            # array
+            # run-aligned cut left it empty); everything is a miss
             return (np.zeros(nq, np.uint8), np.zeros(nq, np.int64),
-                    np.zeros(nq, np.int64), np.zeros((nq, cap), np.uint32),
-                    np.zeros((nq, cap), np.uint32))
-        lo = np.searchsorted(self._h, keys, side="left")
-        hi = np.searchsorted(self._h, keys, side="right")
-        in_r = lo < m
-        safe = np.where(in_r, lo, 0)
-        found = in_r & (self._h[safe] == keys) & (self._r[safe] > 0)
+                    np.zeros(nq, np.int64), e0p, e0p)
+        tops = (keys >> np.uint64(64 - self._bits)).astype(np.int64)
+        tops -= self._top0
+        np.clip(tops, 0, self._bt.shape[0] - 2, out=tops)
+        blo = self._bt[tops]
+        bhi = self._bt[tops + 1]
+        mmax = m - 1
+
+        def bound(cmp_lt):
+            ll, rr = blo.copy(), bhi.copy()
+            for _ in range(self._iters):
+                active = ll < rr
+                if not active.any():
+                    break
+                mid = (ll + rr) >> 1
+                mv = self._h[np.minimum(mid, mmax)]
+                go = active & cmp_lt(mv)
+                ll = np.where(go, mid + 1, ll)
+                rr = np.where(active & ~go, mid, rr)
+            return ll
+
+        lo = bound(lambda mv: mv < keys)
+        hi = bound(lambda mv: mv <= keys)
+        safe = np.minimum(lo, mmax)
+        found = (lo < bhi) & (self._h[safe] == keys) & (self._r[safe] > 0)
         count = np.where(found, hi - lo, 0).astype(np.int64)
-        rows = np.arange(cap, dtype=np.int64)
-        idx = np.minimum(safe[:, None] + rows[None, :],
-                         max(m - 1, 0))
-        valid = found[:, None] & (rows[None, :] < count[:, None])
-        if m:
-            runp = np.where(valid, self._p[idx], 0).astype(np.uint32)
-            runk = np.where(valid, self._k[idx], 0).astype(np.uint32)
+        gpos = np.where(found, lo + self._base, 0).astype(np.int64)
+        cnt = np.minimum(count, cap)
+        sel = np.flatnonzero(cnt > 0)
+        if sel.size:
+            c = cnt[sel]
+            tot = int(c.sum())
+            csum0 = np.concatenate(([0], np.cumsum(c)[:-1]))
+            col = np.arange(tot, dtype=np.int64) - np.repeat(csum0, c)
+            offs = np.repeat(lo[sel], c) + col
+            ent_p = self._p[offs]
+            ent_k = self._k[offs]
         else:
+            ent_p = ent_k = e0p
+        return (found.astype(np.uint8), gpos, count, ent_p, ent_k)
+
+    @staticmethod
+    def _densify(nq: int, cap: int, found, count, ent_p, ent_k,
+                 runp=None, runk=None, rows_map=None):
+        """Scatter sparse run entries into the dense (nq, cap) planes
+        the RunFeed interface consumes. rows_map translates sparse row
+        numbers to output rows (for remote-share scatter)."""
+        if runp is None:
             runp = np.zeros((nq, cap), np.uint32)
             runk = np.zeros((nq, cap), np.uint32)
-        gpos = np.where(found, lo + self._base, 0).astype(np.int64)
-        return (found.astype(np.uint8), gpos, count, runp, runk)
+        cnt = np.minimum(np.where(found > 0, count, 0), cap)
+        sel = np.flatnonzero(cnt > 0)
+        if sel.size:
+            c = cnt[sel]
+            tot = int(c.sum())
+            csum0 = np.concatenate(([0], np.cumsum(c)[:-1]))
+            col = np.arange(tot, dtype=np.int64) - np.repeat(csum0, c)
+            out_rows = sel if rows_map is None else rows_map[sel]
+            runp[np.repeat(out_rows, c), col] = ent_p
+            runk[np.repeat(out_rows, c), col] = ent_k
+        return runp, runk
+
+    def _lookup_local(self, keys: np.ndarray, cap: int):
+        nq = keys.shape[0]
+        found, gpos, count, ent_p, ent_k = self._lookup_sparse(keys, cap)
+        runp, runk = self._densify(nq, cap, found, count, ent_p, ent_k)
+        return (found, gpos, count, runp, runk)
 
     # --- wire protocol --------------------------------------------------
 
@@ -281,10 +362,17 @@ class PodShardedIndex:
                                              self._recv_exact(conn, hsz))
                 keys = np.frombuffer(self._recv_exact(conn, 8 * nq),
                                      dtype=np.uint64)
-                found, gpos, count, runp, runk = self._lookup_local(keys, cap)
+                found, gpos, count, ent_p, ent_k = self._lookup_sparse(
+                    keys, cap)
+                # sparse response: run entries only for found keys
+                # (min(count, cap) each, key order) — the dense form was
+                # nq*cap*8 B ≈ 260 MB per 48k-read chunk at cap 30; the
+                # sparse form carries only real entries (docs/PERF.md
+                # §1b')
                 conn.sendall(found.tobytes() + gpos.tobytes() +
-                             count.tobytes() + runp.tobytes() +
-                             runk.tobytes())
+                             count.tobytes() +
+                             struct.pack("<q", ent_p.shape[0]) +
+                             ent_p.tobytes() + ent_k.tobytes())
         except (ConnectionError, OSError):
             conn.close()
         except Exception:
@@ -347,13 +435,18 @@ class PodShardedIndex:
                                          np.int64)
                     count = np.frombuffer(self._recv_exact(conn, 8 * nq),
                                           np.int64)
-                    runp = np.frombuffer(
-                        self._recv_exact(conn, 4 * nq * cap),
-                        np.uint32).reshape(nq, cap)
-                    runk = np.frombuffer(
-                        self._recv_exact(conn, 4 * nq * cap),
-                        np.uint32).reshape(nq, cap)
-                    return found, gpos, count, runp, runk
+                    (tot,) = self._struct.unpack(
+                        "<q", self._recv_exact(conn, 8))
+                    ent_p = np.frombuffer(self._recv_exact(conn, 4 * tot),
+                                          np.uint32)
+                    ent_k = np.frombuffer(self._recv_exact(conn, 4 * tot),
+                                          np.uint32)
+                    with self._stats_lock:
+                        self.stats["remote_batches"] += 1
+                        self.stats["remote_keys"] += nq
+                        self.stats["tx_bytes"] += 24 + 8 * nq
+                        self.stats["rx_bytes"] += 17 * nq + 8 + 8 * tot
+                    return found, gpos, count, ent_p, ent_k
                 except (ConnectionError, OSError):
                     # a failed exchange leaves the stream mid-frame: evict
                     # the socket (next lookup reconnects instead of parsing
@@ -393,6 +486,9 @@ class PodShardedIndex:
     def find_runs_routed(self, keys: np.ndarray, cap: int):
         keys = np.ascontiguousarray(np.asarray(keys, dtype=np.uint64))
         nq = keys.shape[0]
+        with self._stats_lock:
+            self.stats["lookup_batches"] += 1
+            self.stats["lookup_keys"] += nq
         owner = np.searchsorted(self._start_hash, keys, side="right") - 1
         np.clip(owner, 0, self.nprocs - 1, out=owner)
         owner = self._route_nonempty[owner]
@@ -417,13 +513,15 @@ class PodShardedIndex:
                 self._remote, s, ks, cap)))
         sel0 = np.flatnonzero(owner == self.pid)
         if sel0.size:
-            part = self._lookup_local(keys[sel0], cap)
+            part = self._lookup_sparse(keys[sel0], cap)
             found[sel0], gpos[sel0], count[sel0] = part[0], part[1], part[2]
-            runp[sel0], runk[sel0] = part[3], part[4]
+            self._densify(nq, cap, part[0], part[2], part[3], part[4],
+                          runp, runk, rows_map=sel0)
         for sel, fut in pending:
             part = fut.result()
             found[sel], gpos[sel], count[sel] = part[0], part[1], part[2]
-            runp[sel], runk[sel] = part[3], part[4]
+            self._densify(nq, cap, part[0], part[2], part[3], part[4],
+                          runp, runk, rows_map=sel)
         fb = found > 0
         return {
             "position": np.where(fb, gpos, -1).astype(np.int64),

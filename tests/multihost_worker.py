@@ -71,15 +71,24 @@ def main() -> int:
                               shard_index=True, sharded_index=pod)
     else:
         pipe = NativePipeline(index, params, refs, ap, mp, use_device=False)
+    import time
+
+    chunk = int(os.environ.get("RSB_POD_CHUNK", "100"))
     writer = ShardWriter(out_base, process_index, process_count)
+    t0 = time.perf_counter()
     n_reads = pipe.map_file_sharded(
-        r1, r2 or "", False, 100, writer, process_index, process_count
+        r1, r2 or "", False, chunk, writer, process_index, process_count
     )
+    wall = time.perf_counter() - t0
     writer.close()
 
-    stats = psum_statistics({"reads": float(n_reads), **{
+    pod_stats = {}
+    if shard_mode:
+        pod_stats = {f"pod_{k}": float(v) for k, v in pod.stats.items()}
+    print(f"WALL {wall:.3f}")  # this process's map wall (pre-reduce)
+    stats = psum_statistics({"reads": float(n_reads), "wall": wall, **{
         k: float(v) for k, v in pipe.counters().items()
-    }})
+    }, **pod_stats})
     print("STATS " + json.dumps(stats))
     return 0
 

@@ -1,0 +1,119 @@
+"""Pod-mode (PodShardedIndex) overhead measurement — docs/PERF.md §1b'.
+
+Runs the SAME 48k-read SE workload at 40 Mbp three ways:
+  1. single   — one process, full index, plain pipeline
+  2. pod1     — one process "pod" (shard machinery on, all keys local):
+                isolates the RunFeed + routing overhead from the wire
+  3. pod2     — two OS processes, each holding HALF the index (full
+                host arrays emptied), remote keys over the TCP side
+                channel with the concurrent fan-out
+
+All processes compete for this box's ONE core, so pod2's combined
+throughput UPPER-BOUNDS protocol overhead (two python runtimes + the
+server threads steal from each other); on a real multi-host deployment
+the per-process work is what scales. Reported per variant: reads/s
+(reads / max process wall), remote round-trips, keys and bytes per
+chunk, from the PodShardedIndex wire telemetry.
+
+Run: python tests/sanitize/pod_bench.py [n_reads]
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def main():
+    import random
+
+    import bench
+
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
+    genome = bench.np_genome(int(40e6), 4321)
+    d = "/tmp/pod_bench"
+    os.makedirs(d, exist_ok=True)
+    ref_fa = os.path.join(d, "ref.fa")
+    if not os.path.exists(ref_fa):
+        with open(ref_fa, "wb") as f:
+            f.write(b">chr21\n")
+            f.write(genome if isinstance(genome, bytes) else genome.encode())
+            f.write(b"\n")
+    gs = genome.decode() if isinstance(genome, bytes) else genome
+    r = random.Random(17)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    fq = os.path.join(d, f"reads_{n_reads}.fq")
+    if not os.path.exists(fq):
+        with open(fq, "w") as f:
+            for i in range(n_reads):
+                st = r.randrange(0, len(gs) - 200)
+                a = list(gs[st:st + 150])
+                for _ in range(r.randrange(0, 4)):
+                    a[r.randrange(150)] = r.choice("ACGT")
+                rd = "".join(a)
+                if i % 4 == 2:
+                    rd = "".join(comp[c] for c in reversed(rd))
+                if i % 50 == 1:  # unmappable -> rescue lookups
+                    rd = "".join(r.choice("ACGT") for _ in range(150))
+                f.write(f"@s{i}\n{rd}\n+\n{'I' * 150}\n")
+
+    worker = os.path.join("tests", "multihost_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["RSB_POD_CHUNK"] = "8000"
+
+    def run_pod(nprocs, shard):
+        coord = f"127.0.0.1:{_free_port()}"
+        peers = ",".join(f"127.0.0.1:{_free_port()}"
+                         for _ in range(nprocs))
+        out_base = os.path.join(d, f"out_{nprocs}_{int(shard)}.sam")
+        args_tail = (["shard", peers] if shard else [])
+        t0 = time.perf_counter()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, coord, str(nprocs), str(pid), ref_fa,
+             fq, "", out_base] + args_tail,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd="/root/repo") for pid in range(nprocs)]
+        walls, stats = [], None
+        for p in procs:
+            out, err = p.communicate(timeout=1200)
+            assert p.returncode == 0, err.decode()[-2000:]
+            o = out.decode()
+            walls.append(float(o.split("WALL ", 1)[1].split()[0]))
+            stats = json.loads(o.split("STATS ", 1)[1])
+        total = time.perf_counter() - t0
+        return walls, stats, total
+
+    print(f"{n_reads} SE reads, 40 Mbp index, chunk 8000", file=sys.stderr)
+    for tag, nprocs, shard in (("single", 1, False), ("pod1", 1, True),
+                               ("pod2", 2, True)):
+        walls, stats, total = run_pod(nprocs, shard)
+        rps = stats["reads"] / max(walls)
+        line = (f"{tag}: {rps:,.0f} reads/s (map wall max={max(walls):.2f}s "
+                f"sum={sum(walls):.2f}s; incl. index build total={total:.1f}s)")
+        if shard and stats.get("pod_lookup_batches"):
+            nb = stats.get("pod_remote_batches", 0)
+            line += (f"  lookups: {stats['pod_lookup_batches']:.0f} batches "
+                     f"{stats['pod_lookup_keys']:.0f} keys; remote: "
+                     f"{nb:.0f} round-trips "
+                     f"{stats.get('pod_remote_keys', 0):.0f} keys "
+                     f"tx={stats.get('pod_tx_bytes', 0) / 1e6:.1f}MB "
+                     f"rx={stats.get('pod_rx_bytes', 0) / 1e6:.1f}MB")
+        print(line)
+
+
+if __name__ == "__main__":
+    main()

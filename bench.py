@@ -264,13 +264,19 @@ def run_config(tag, refs, params, index, on_tpu, path1, path2, n_passes):
 
 
 def kernel_microbench():
-    """Device-resident cell rate of the fused extend program, measured
-    with K chained in-jit iterations (single dispatches over the axon
-    tunnel are link-bound, not compute-bound)."""
-    import functools
+    """Device-resident cell rate of the fused extend program.
 
+    Paired-slope timing between two chained-iteration counts (the
+    discipline of tests/sanitize/lookup_bench.py): a single dispatch
+    over the axon tunnel is link-bound, and even a K=16 chain still
+    carries ~1.6 ms/dispatch of amortized tunnel fixed cost — round 5
+    measured the K=16 method reporting 2.9 us/pair where the slope says
+    1.3 (docs/PERF.md 1a''). The slope cancels every fixed cost, so the
+    printed number is the hardware's."""
     import jax
     import jax.numpy as jnp
+
+    import functools
 
     from rabbitsalign_tpu.ops.extend_device import (
         _extend_batch_packed_body,
@@ -279,36 +285,49 @@ def kernel_microbench():
     from rabbitsalign_tpu.ops.sw_jax import SwParams
 
     sw = SwParams(2, 8, 12, 1)
-    K = 16
+    K_LO, K_HI = 2, 10
     r2 = np.random.RandomState(0)
     for tag, (Q, T, B) in (("tight r150 (production)", (152, 256, 1024)),
                            ("legacy", (256, 512, 512))):
         q_t = r2.randint(0, 4, (Q, B)).astype(np.uint8)
         t_t = r2.randint(0, 4, (T, B)).astype(np.uint8)
-
+        # plant gapped alignments so the traceback walks are realistic
+        for i in range(B):
+            ln = int(r2.randint(120, min(Q, 151)))
+            off = int(r2.randint(0, 40))
+            t_t[off:off + ln, i] = q_t[:ln, i]
         with jax.enable_x64(False):
             buf = jax.device_put(pack_input(
                 q_t, t_t, np.full(B, 150, np.int32),
                 np.full(B, 250, np.int32)))
 
-            @jax.jit
-            def chain(b0):
+            @functools.partial(jax.jit, static_argnums=0)
+            def chain(K, b0):
                 def it(i, acc):
                     b = b0.at[0, 0].set((i % 4).astype(jnp.uint8))
-                    return acc + _extend_batch_packed_body(b, Q, T, sw)[:8].astype(jnp.int32)
-                return jax.lax.fori_loop(0, K, it, jnp.zeros((8, B), jnp.int32))
+                    return acc + _extend_batch_packed_body(
+                        b, Q, T, sw)[:8].astype(jnp.int32)
+                return jax.lax.fori_loop(0, K, it,
+                                         jnp.zeros((8, B), jnp.int32))
 
-            np.asarray(chain(buf))
-            best = 1e9
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(chain(buf))
-                best = min(best, (time.perf_counter() - t0) / K)
+            np.asarray(chain(K_LO, buf))
+            np.asarray(chain(K_HI, buf))
+            paired = []
+            for _ in range(5):
+                tt = {}
+                for K in (K_LO, K_HI):
+                    t0 = time.perf_counter()
+                    np.asarray(chain(K, buf))
+                    tt[K] = time.perf_counter() - t0
+                paired.append((tt[K_HI] - tt[K_LO]) / (K_HI - K_LO))
+            paired.sort()
+            best = paired[len(paired) // 2]  # median of paired slopes
         useful = B * 150 * 250 / best
         print(f"bench: SW extend ({Q},{T})xB{B} [{tag}]: "
               f"{best/B*1e6:.2f} us/pair, {useful/1e9:.1f} Gcells/s useful, "
               f"{B*Q*T/best/1e9:.1f} padded (fwd+traceback+RLE, "
-              f"device-resident, {K} chained iterations)", file=sys.stderr)
+              f"device-resident, paired slope K={K_LO}->{K_HI})",
+              file=sys.stderr)
 
 
 def _probe_device(timeout_s: float = 180.0) -> bool:

@@ -570,3 +570,102 @@ def test_pod_sharded_index_matches_host(world):
     finally:
         pod0.close()
         pod1.close()
+
+
+def test_pod_lookup_sparse_fuzz():
+    """Property fuzz for the round-5 bucket-bounded sparse lookup
+    (PodShardedIndex._lookup_sparse + the sparse wire + densify): random
+    synthetic indexes with skewed duplicate runs (incl. runs longer than
+    cap), random bucket widths and pod sizes, keys planted at run
+    heads/tails/one-off/misses — element-equal to a straightforward
+    flat-searchsorted oracle that replicates the pre-round-5 dense
+    logic (incl. the bucket-quirk reachability rule)."""
+    import socket
+
+    from rabbitsalign_tpu.parallel.multihost import PodShardedIndex
+    from rabbitsalign_tpu.parallel.sharding import _bucket_reachable
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    rng = np.random.RandomState(0xF00D)
+    for trial in range(12):
+        bits = int(rng.randint(2, 12))
+        n_runs = int(rng.randint(1, 200))
+        # geometric-ish run lengths with occasional very long runs
+        lens = rng.geometric(0.4, n_runs)
+        long_ix = rng.rand(n_runs) < 0.05
+        lens[long_ix] += rng.randint(30, 120, int(long_ix.sum()))
+        vals = np.sort(rng.randint(0, 2**63, n_runs).astype(np.uint64))
+        vals = np.unique(vals)
+        lens = lens[: vals.shape[0]]
+        hashes = np.repeat(vals, lens).astype(np.uint64)
+        n = hashes.shape[0]
+
+        class _Stub:
+            pass
+
+        stub = _Stub()
+        stub.hashes = hashes
+        stub.positions = rng.randint(0, 2**31, n).astype(np.uint32)
+        stub.packed = rng.randint(0, 2**32, n).astype(np.uint32)
+        stub.bits = bits
+        stub.filter_cutoff = int(rng.randint(1, 40))
+        stub.k = lambda self=None: 20
+        # bucket table exactly as StrobemerIndex builds it: bucket b
+        # covers hashes whose top `bits` equal b
+        tops = (hashes >> np.uint64(64 - bits)).astype(np.int64)
+        bt = np.searchsorted(tops, np.arange((1 << bits) + 1))
+        stub.randstrobe_start_indices = bt.astype(np.uint64)
+        reach = _bucket_reachable(stub)
+
+        cap = int(rng.randint(1, 12))
+        nprocs = int(rng.randint(1, 4))
+        peers = [f"127.0.0.1:{free_port()}" for _ in range(nprocs)]
+        pods = [PodShardedIndex(stub, p, nprocs, peers)
+                for p in range(nprocs)]
+        try:
+            # query mix: run heads, tails, interior, off-by-one, misses
+            qs = [rng.randint(0, 2**63, 40).astype(np.uint64)]
+            picks = rng.randint(0, n, 80)
+            qs.append(hashes[picks])
+            qs.append(hashes[picks] + np.uint64(1))
+            qs.append(hashes[picks] - np.uint64(1))
+            qs.append(np.array([0, 2**64 - 1, hashes[0], hashes[-1]],
+                               np.uint64))
+            keys = np.concatenate(qs)
+
+            # oracle: the pre-round-5 flat logic
+            lo = np.searchsorted(hashes, keys, side="left")
+            hi = np.searchsorted(hashes, keys, side="right")
+            in_r = lo < n
+            safe = np.where(in_r, lo, 0)
+            found = in_r & (hashes[safe] == keys) & (reach[safe] > 0)
+            count = np.where(found, hi - lo, 0).astype(np.int64)
+            pos = np.where(found, lo, -1).astype(np.int64)
+
+            for pod in pods:
+                res = pod.find_runs_routed(keys, cap)
+                assert np.array_equal(res["position"], pos), trial
+                assert np.array_equal(res["count"], count), trial
+                assert np.array_equal(res["filtered"],
+                                      count > stub.filter_cutoff), trial
+                cnt = np.minimum(count, cap)
+                for i in np.flatnonzero(found):
+                    c = int(cnt[i])
+                    assert np.array_equal(
+                        res["run_positions"][i, :c],
+                        stub.positions[lo[i]: lo[i] + c]), (trial, i)
+                    assert np.array_equal(
+                        res["run_packed"][i, :c],
+                        stub.packed[lo[i]: lo[i] + c]), (trial, i)
+                    assert not res["run_positions"][i, c:].any(), (trial, i)
+                miss = ~found
+                assert not res["run_positions"][miss].any(), trial
+        finally:
+            for pod in pods:
+                pod.close()

@@ -340,7 +340,7 @@ def test_interleaved_concordance(world, tmp_path):
         assert golden == "".join(texts), diff_head(golden, "".join(texts))
 
 
-@pytest.mark.parametrize("read_len", [50, 100, 300])
+@pytest.mark.parametrize("read_len", [50, 100, 125, 250, 300, 400])
 def test_profile_concordance(tmp_path, read_len):
     """Non-default read-length profiles: the reference picks (k, s, l, u)
     from its parameter table (/root/reference/src/indexparameters.cpp:

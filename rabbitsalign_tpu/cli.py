@@ -125,6 +125,11 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
                         "loading it up front — O(1) open, pages stream in "
                         "while mapping runs (12 GB GRCh38-class indexes "
                         "open in seconds instead of minutes)")
+    p.add_argument("--no-sidecar", action="store_true",
+                   help="With -i/--create-index: skip writing the columnar "
+                        "mmap sidecar (a second full copy of the index "
+                        "arrays on disk); the sidecar is then built lazily "
+                        "on the first --mmap-index run")
     # Seeding
     p.add_argument("-r", dest="r", type=int, default=None, metavar="INT",
                    help="Mean read length; index parameters are chosen from it")
@@ -229,6 +234,7 @@ def parse_command_line_arguments(argv: Optional[List[str]] = None) -> CommandLin
     opt.only_gen_index = args.create_index
     opt.use_index = args.use_index
     opt.mmap_index = args.mmap_index
+    opt.no_sidecar = args.no_sidecar
     opt.pin_workers = args.pin_workers
     opt.pod_index_peers = args.pod_index_peers
 

@@ -358,6 +358,17 @@ class StrobemerIndex:
                     "Index parameters in .sti file and those specified on command line differ"
                 )
             (n,) = struct.unpack("<Q", f.read(8))
+            # validate BEFORE allocating (like the m check below): a
+            # corrupted count field must not drive 16n bytes of np.empty.
+            # n has no closed form, but it is bounded by what the file
+            # can actually hold past this offset
+            import os as _os
+
+            remain = _os.fstat(f.fileno()).st_size - f.tell()
+            if n * 16 > remain:
+                raise InvalidIndexFile(
+                    f"{filename}: randstrobe count {n} exceeds file size "
+                    f"({remain} bytes remain)")
             # stream the record vector in blocks straight into the column
             # arrays: a whole-file read() plus per-column copies holds
             # 2x the index transiently (20 GB at GRCh38 scale).
@@ -423,20 +434,27 @@ class StrobemerIndex:
         return filename + ".cols"
 
     @staticmethod
-    def _sti_fingerprint(filename: str) -> str:
-        """Cheap content fingerprint of the .sti: size + sha1 over three
-        64 KiB probes (head, middle, tail). Size+mtime alone misses a
-        cp -p'd stale .sti (same size, preserved mtime, different
-        bytes); hashing all 12 GB would cost the sidecar's whole point."""
+    def _sti_fingerprint(filename: str, probes: int = 3) -> str:
+        """Cheap content fingerprint of the .sti: size + sha1 over
+        `probes` uniformly-spread 64 KiB windows (k=3 = head, middle,
+        tail — byte-compatible with the original 3-probe layout).
+        Size+mtime alone misses a cp -p'd stale .sti (same size,
+        preserved mtime, different bytes); hashing all 12 GB would cost
+        the sidecar's whole point. Validation uses the dense k=64
+        variant when the .sti's mtime changed since the sidecar was
+        built (a same-size in-place rewrite is exactly when sampling
+        sparsely is risky)."""
         import hashlib
         import os
 
         h = hashlib.sha1()
         size = os.path.getsize(filename)
         h.update(str(size).encode())
+        span = max(0, size - 65536)
+        offs = sorted({max(0, span * i // max(1, probes - 1))
+                       for i in range(probes)})
         with open(filename, "rb") as f:
-            for off in sorted({0, max(0, size // 2 - 32768),
-                               max(0, size - 65536)}):
+            for off in offs:
                 f.seek(off)
                 h.update(f.read(65536))
         return h.hexdigest()
@@ -467,6 +485,9 @@ class StrobemerIndex:
             "sti_size": st.st_size,
             "sti_mtime_ns": st.st_mtime_ns,
             "sti_sha": self._sti_fingerprint(filename),
+            # dense variant, checked instead of sti_sha whenever the
+            # .sti's mtime no longer matches (see read_mmap)
+            "sti_sha64": self._sti_fingerprint(filename, probes=64),
         }
         with open(os.path.join(tmp, "header.json"), "w") as f:
             json.dump(hdr, f)
@@ -505,8 +526,18 @@ class StrobemerIndex:
                 return False
             if "sti_sha" in hdr:
                 # content fingerprint: catches a same-size .sti swap even
-                # when mtime was preserved (cp -p)
-                if hdr["sti_sha"] != self._sti_fingerprint(filename):
+                # when mtime was preserved (cp -p). When the mtime STILL
+                # matches the manifest, the sparse 3-probe check
+                # suffices; an mtime change means the .sti was rewritten
+                # in place — exactly when sparse sampling could miss a
+                # same-size content change — so use the dense 64-probe
+                # fingerprint then (4 MB of reads, still O(1) vs 12 GB)
+                if (hdr.get("sti_mtime_ns") == st.st_mtime_ns
+                        or "sti_sha64" not in hdr):
+                    if hdr["sti_sha"] != self._sti_fingerprint(filename):
+                        return False
+                elif hdr["sti_sha64"] != self._sti_fingerprint(filename,
+                                                               probes=64):
                     return False
             elif hdr.get("sti_mtime_ns") != st.st_mtime_ns:
                 # sidecars written before the fingerprint existed

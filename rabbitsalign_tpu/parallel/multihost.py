@@ -221,6 +221,7 @@ class PodShardedIndex:
         self._struct = struct
         self._socket = socket
         self._conns = {}
+        self._ever_connected = {}  # per-owner: fast redial after a death
         self._io_locks = {}
         self._conn_lock = threading.Lock()
         self._pool = None  # lazily-built remote fan-out executor
@@ -325,11 +326,6 @@ class PodShardedIndex:
             runk[np.repeat(out_rows, c), col] = ent_k
         return runp, runk
 
-    def _lookup_local(self, keys: np.ndarray, cap: int):
-        nq = keys.shape[0]
-        found, gpos, count, ent_p, ent_k = self._lookup_sparse(keys, cap)
-        runp, runk = self._densify(nq, cap, found, count, ent_p, ent_k)
-        return (found, gpos, count, runp, runk)
 
     # --- wire protocol --------------------------------------------------
 
@@ -392,12 +388,21 @@ class PodShardedIndex:
         import time
 
         host, port = self._peers[owner].rsplit(":", 1)
-        deadline = time.monotonic() + float(
-            os.environ.get("RSB_POD_CONNECT_TIMEOUT", "600"))
+        budget = float(os.environ.get("RSB_POD_CONNECT_TIMEOUT", "600"))
+        if self._ever_connected.get(owner):
+            # this peer WAS up: a refused redial mid-run means it died,
+            # not that it is still starting — fail fast (the caller holds
+            # the per-owner io_lock; a 600 s loop here would stall every
+            # worker thread's batches to this owner for 10 minutes each)
+            budget = min(budget, float(
+                os.environ.get("RSB_POD_REDIAL_TIMEOUT", "5")))
+        deadline = time.monotonic() + budget
         while True:
             try:
-                return self._socket.create_connection((host, int(port)),
+                conn = self._socket.create_connection((host, int(port)),
                                                       timeout=120)
+                self._ever_connected[owner] = True
+                return conn
             except ConnectionRefusedError:
                 if time.monotonic() >= deadline:
                     raise
@@ -437,6 +442,17 @@ class PodShardedIndex:
                                           np.int64)
                     (tot,) = self._struct.unpack(
                         "<q", self._recv_exact(conn, 8))
+                    if not (0 <= tot <= nq * cap):
+                        # a garbage entry count means the stream is
+                        # desynced (mid-frame leftovers from a failed
+                        # exchange): treat exactly like a socket error —
+                        # evict + retry on a fresh connection — instead
+                        # of letting recv(4*tot) raise Value/MemoryError
+                        # past the except below and leave the poisoned
+                        # socket cached for the NEXT batch to misparse
+                        raise ConnectionError(
+                            f"pod lookup response desynced (tot={tot}, "
+                            f"nq={nq}, cap={cap})")
                     ent_p = np.frombuffer(self._recv_exact(conn, 4 * tot),
                                           np.uint32)
                     ent_k = np.frombuffer(self._recv_exact(conn, 4 * tot),
@@ -453,15 +469,26 @@ class PodShardedIndex:
                     # the desynced stream at wrong offsets) and retry ONCE
                     # on a fresh connection — one transient peer hiccup
                     # must not fail every in-flight lookup batch
-                    with self._conn_lock:
-                        if self._conns.get(owner) is conn:
-                            del self._conns[owner]
-                    try:
-                        conn.close()
-                    except OSError:
-                        pass
+                    self._evict(owner, conn)
                     if attempt:
                         raise
+                except BaseException:
+                    # any OTHER failure mid-exchange (Value/MemoryError
+                    # from corrupt frames, KeyboardInterrupt, ...) leaves
+                    # the stream equally desynced: evict before
+                    # propagating so the next batch cannot misparse the
+                    # leftovers as its own reply
+                    self._evict(owner, conn)
+                    raise
+
+    def _evict(self, owner: int, conn) -> None:
+        with self._conn_lock:
+            if self._conns.get(owner) is conn:
+                del self._conns[owner]
+        try:
+            conn.close()
+        except OSError:
+            pass
 
     def _fanout(self):
         """Lazily-built executor for the concurrent remote fan-out.

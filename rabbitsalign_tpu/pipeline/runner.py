@@ -95,6 +95,7 @@ def run_aligner(opt: CommandLineOptions) -> int:
                                 r=opt.r, ref_len=references.total_length())
 
     index = StrobemerIndex(references, index_parameters, opt.bits)
+    mmap_ok = False  # did a sidecar open (with its own warmer) succeed?
     if opt.use_index:
         sti_path = opt.ref_filename + index_parameters.filename_extension()
         logger.info(f"Reading index from {sti_path}")
@@ -105,7 +106,8 @@ def run_aligner(opt: CommandLineOptions) -> int:
         # the disk instead of stalling minutes behind a 12 GB fread-
         # style load at GRCh38 scale
         if getattr(opt, "mmap_index", False):
-            if not index.read_mmap(sti_path):
+            mmap_ok = index.read_mmap(sti_path)
+            if not mmap_ok:
                 index.read(sti_path)
                 logger.info("Building mmap sidecar (one-time) ...")
                 index.write_columns(sti_path)
@@ -139,16 +141,29 @@ def run_aligner(opt: CommandLineOptions) -> int:
             # write the mmap sidecar at creation time: the first
             # --mmap-index run at GRCh38 scale must open in <1 s, not
             # silently pay a full .sti read + ~12 GB rewrite (the lazy
-            # build in map-mode stays as the fallback)
-            logger.info("Writing mmap sidecar (columnar)")
-            index.write_columns(sti_path)
+            # build in map-mode stays as the fallback). The sidecar is
+            # a second full copy of the arrays: --no-sidecar skips it,
+            # and a failed write (e.g. ENOSPC) must not fail the -i run
+            # — the .sti above is the real artifact
+            if not getattr(opt, "no_sidecar", False):
+                logger.info("Writing mmap sidecar (columnar)")
+                try:
+                    index.write_columns(sti_path)
+                except OSError as e:
+                    logger.warning(
+                        f"sidecar write failed ({e}); the .sti is intact "
+                        f"— the sidecar will be built lazily on first "
+                        f"--mmap-index use")
             return 0
 
     # Big freshly-loaded index arrays (plain .sti read or fresh build)
     # carry the first-pass page-mapping penalty (docs/PERF.md §4b);
     # burn it off in the background while mapping starts. The mmap
-    # path's warmer thread does this itself after streaming.
-    if (not getattr(opt, "mmap_index", False)
+    # path's warmer thread does this itself after streaming — but only
+    # when the sidecar open SUCCEEDED (a first --mmap-index run falls
+    # back to a plain read + sidecar build and is exactly as cold as
+    # the non-mmap path)
+    if (not mmap_ok
             and getattr(index.hashes, "nbytes", 0) > (1 << 30)):
         import threading
 

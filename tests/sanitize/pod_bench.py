@@ -20,25 +20,17 @@ Run: python tests/sanitize/pod_bench.py [n_reads]
 
 import json
 import os
-import socket
 import subprocess
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-
-def _free_port():
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    p = s.getsockname()[1]
-    s.close()
-    return p
+from tests.util import free_port as _free_port  # noqa: E402
+from tests.util import write_synthetic_se_fastq  # noqa: E402
 
 
 def main():
-    import random
-
     import bench
 
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
@@ -52,22 +44,9 @@ def main():
             f.write(genome if isinstance(genome, bytes) else genome.encode())
             f.write(b"\n")
     gs = genome.decode() if isinstance(genome, bytes) else genome
-    r = random.Random(17)
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     fq = os.path.join(d, f"reads_{n_reads}.fq")
     if not os.path.exists(fq):
-        with open(fq, "w") as f:
-            for i in range(n_reads):
-                st = r.randrange(0, len(gs) - 200)
-                a = list(gs[st:st + 150])
-                for _ in range(r.randrange(0, 4)):
-                    a[r.randrange(150)] = r.choice("ACGT")
-                rd = "".join(a)
-                if i % 4 == 2:
-                    rd = "".join(comp[c] for c in reversed(rd))
-                if i % 50 == 1:  # unmappable -> rescue lookups
-                    rd = "".join(r.choice("ACGT") for _ in range(150))
-                f.write(f"@s{i}\n{rd}\n+\n{'I' * 150}\n")
+        write_synthetic_se_fastq(fq, gs, n_reads)
 
     worker = os.path.join("tests", "multihost_worker.py")
     env = dict(os.environ)

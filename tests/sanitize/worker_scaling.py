@@ -25,7 +25,6 @@ sys.path.insert(0, ".")
 
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    import random
 
     import bench
     from rabbitsalign_tpu.align.aligner import AlignmentParameters
@@ -48,24 +47,13 @@ def main():
     index.populate(0.0002)
 
     gs = genome.decode() if isinstance(genome, bytes) else genome
-    r = random.Random(17)
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     d = "/tmp/worker_scaling"
     os.makedirs(d, exist_ok=True)
     fq = os.path.join(d, f"reads_{n_reads}.fq")
     if not os.path.exists(fq):
-        with open(fq, "w") as f:
-            for i in range(n_reads):
-                st = r.randrange(0, len(gs) - 200)
-                a = list(gs[st:st + 150])
-                for _ in range(r.randrange(0, 4)):
-                    a[r.randrange(150)] = r.choice("ACGT")
-                rd = "".join(a)
-                if i % 4 == 2:
-                    rd = "".join(comp[c] for c in reversed(rd))
-                if i % 50 == 1:
-                    rd = "".join(r.choice("ACGT") for _ in range(150))
-                f.write(f"@s{i}\n{rd}\n+\n{'I' * 150}\n")
+        from tests.util import write_synthetic_se_fastq
+
+        write_synthetic_se_fastq(fq, gs, n_reads)
 
     ap = AlignmentParameters()
     mp = MappingParameters(r=150)

@@ -244,3 +244,81 @@ def test_sti_byte_identical_with_reference(tmp_path):
     mine2 = tmp_path / "mine2.sti"
     idx2.write(str(mine2))
     assert golden2.read_bytes() == mine2.read_bytes()
+
+
+def test_columnar_sidecar_dense_probe_on_mtime_change(tmp_path):
+    """An in-place same-size .sti rewrite (new mtime) is validated with
+    the DENSE 64-probe fingerprint: a content change that the sparse
+    3-probe (head/middle/tail) check cannot see must still invalidate
+    the sidecar. Regression for the round-5 review finding that sti_sha
+    alone ignored mtime entirely."""
+    import os
+
+    contigs = [random_dna(400_000, seed=41)]
+    path = make_refs(tmp_path, contigs)
+    refs = References.from_fasta(str(path))
+    params = IndexParameters.from_read_length(150)
+    idx = StrobemerIndex(refs, params)
+    idx.populate(0.0002)
+    sti = str(tmp_path / "big.sti")
+    idx.write(sti)
+    idx.write_columns(sti)
+    size = os.path.getsize(sti)
+    assert size > 600_000, "need a .sti big enough for probe gaps"
+    # a byte outside all three sparse windows (head 64K, middle
+    # size/2 +- 32K, tail 64K)
+    off = 200_000
+    assert off > 65536 and abs(off - size // 2) > 40000 \
+        and off < size - 65536
+
+    idx2 = StrobemerIndex(refs, params)
+    assert idx2.read_mmap(sti, warm=False)  # fresh sidecar valid
+
+    st = os.stat(sti)
+    with open(sti, "r+b") as f:
+        f.seek(off)
+        b = f.read(1)
+        f.seek(off)
+        f.write(bytes([b[0] ^ 0xFF]))
+    # keep the mtime: the sparse check (by design) cannot see this
+    os.utime(sti, ns=(st.st_atime_ns, st.st_mtime_ns))
+    idx3 = StrobemerIndex(refs, params)
+    assert idx3.read_mmap(sti, warm=False), \
+        "sparse-probe blind spot is accepted by design when mtime matches"
+    # ... but with a NEW mtime (in-place rewrite) the dense probe runs
+    # and must catch it
+    os.utime(sti, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    idx4 = StrobemerIndex(refs, params)
+    assert not idx4.read_mmap(sti, warm=False), \
+        "mtime change must trigger the dense fingerprint"
+
+
+def test_sti_corrupt_randstrobe_count_rejected(tmp_path):
+    """A corrupted randstrobe-count field must raise InvalidIndexFile
+    BEFORE allocating 16n bytes (the n-field sibling of the m-field
+    validate-before-allocate fix): n is bounded by what the file can
+    hold past the header."""
+    import struct
+
+    from rabbitsalign_tpu.index.strobemer_index import InvalidIndexFile
+
+    contigs = [random_dna(20000, seed=37)]
+    path = make_refs(tmp_path, contigs)
+    refs = References.from_fasta(str(path))
+    params = IndexParameters.from_read_length(150)
+    idx = StrobemerIndex(refs, params)
+    idx.populate(0.0002)
+    sti = tmp_path / "x.sti"
+    idx.write(str(sti))
+
+    blob = bytearray(sti.read_bytes())
+    n = idx.hashes.shape[0]
+    m = idx.randstrobe_start_indices.shape[0]
+    off = len(blob) - 8 * m - 8 - 16 * n - 8  # the n field
+    assert struct.unpack_from("<Q", blob, off)[0] == n
+    struct.pack_into("<Q", blob, off, 1 << 56)  # ~1 EB of records
+    sti.write_bytes(bytes(blob))
+
+    idx2 = StrobemerIndex(refs, params)
+    with pytest.raises(InvalidIndexFile, match="exceeds file size"):
+        idx2.read(str(sti))

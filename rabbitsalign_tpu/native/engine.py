@@ -62,7 +62,17 @@ def engine_buckets(r: int = 150) -> Tuple[Tuple[int, int, int, int], ...]:
     # batches amortize it); validated to fit VMEM for q0 <= 160 — the
     # single-diagonal grid steps kick in past Q*B = 256*512
     bcap = 1024 if q0 <= 160 else 512
-    tight = ((q0, t0, bcap, 2),) if (q0, t0) != (256, 512) else ()
+    # dispatch-group fusing: `groups` kernel invocations ride ONE jit
+    # dispatch (one transfer each way); each dispatch costs fixed
+    # jax-client CPU that competes with phase A on the mapping core
+    # (docs/PERF.md §3), so the right count depends on the host:link
+    # balance. Default 2 (the round-3-measured geometry);
+    # RSB_TIGHT_GROUPS overrides for deployments where client CPU is
+    # free but link latency binds (or vice versa).
+    import os
+
+    tg = int(os.environ.get("RSB_TIGHT_GROUPS", "2"))
+    tight = ((q0, t0, bcap, tg),) if (q0, t0) != (256, 512) else ()
     return tight + ENGINE_BUCKETS
 
 def _lib():

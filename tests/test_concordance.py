@@ -697,3 +697,60 @@ def test_pe_async_concordance_engine(world):
     n_async = eng_async.isize()[2]
     n_mono = eng_mono.isize()[2]
     assert 0 < n_async <= 50 < n_mono
+
+
+def test_mixed_read_length_concordance(tmp_path):
+    """Reads whose lengths differ from (and exceed) the index profile's
+    r: the reference maps whatever arrives with the r-chosen parameters
+    (src/main.cpp estimates r once, reads vary freely). Lengths 60-400
+    on the r=150 profile drive the engine's bucket FALL-THROUGH (qlen
+    past the tight (152, 256) rectangle lands in the legacy buckets /
+    host SSW) and the long-read rescue windows. SE SAM must be
+    byte-identical to the golden in both layers."""
+    rng = random.Random(99)
+    genome = "".join(rng.choice("ACGT") for _ in range(220_000))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">c1 mixed\n" + genome + "\n")
+    refs = References.from_fasta(str(ref))
+    params = IndexParameters.from_read_length(150)
+    index = StrobemerIndex(refs, params)
+    index.populate(0.0002)
+    world = (tmp_path, genome, str(ref), refs, params, index)
+
+    lengths = [60, 90, 120, 150, 151, 152, 153, 170, 200, 250, 300, 400]
+    recs = []
+    for i in range(480):
+        ln = lengths[i % len(lengths)]
+        st = rng.randrange(0, len(genome) - ln - 12)
+        s = list(genome[st : st + ln])
+        for _ in range(max(1, ln // 60)):
+            s[rng.randrange(ln)] = rng.choice("ACGT")
+        s = "".join(s)
+        if i % 7 == 3:  # indel -> gapped extension at this length
+            cut = rng.randrange(ln // 3, ln - 15)
+            g = rng.randrange(1, 6)
+            s = genome[st : st + cut] + genome[st + cut + g : st + ln + g]
+        if i % 9 == 4:
+            s = "".join(COMP[c] for c in reversed(s))
+        recs.append((f"r{i}", s))
+    fq = tmp_path / "mixed.fq"
+    write_fq(fq, recs)
+
+    golden = run_golden(str(ref), fq, None, "sam", 150)
+    ours = run_python_se(world, recs, "sam", 150)
+    assert golden == ours, diff_head(golden, ours)
+
+    from rabbitsalign_tpu.native.engine import NativeEngine, engine_available
+
+    if engine_available():
+        mp = MappingParameters(r=150)
+        mp.rescue_cutoff = 2 * index.filter_cutoff
+        eng = NativeEngine(index, params, refs, AlignmentParameters(), mp, "")
+        texts = []
+        for ci in range(0, len(recs), CHUNK):
+            chunk = [SamRecord(n, s.encode(), b"I" * len(s))
+                     for n, s in recs[ci : ci + CHUNK]]
+            texts.append(eng.chunk_b(eng.chunk_a(chunk, [], [], ci // CHUNK)))
+        golden_split = run_golden(str(ref), fq, None, "split", 150)
+        assert golden_split == "".join(texts), \
+            diff_head(golden_split, "".join(texts))

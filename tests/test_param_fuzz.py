@@ -149,12 +149,31 @@ def _draw_combo(rng):
 
 
 def _golden(ref, r1, r2, combo):
+    """Run map_golden; returns None when the REFERENCE ITSELF crashes.
+
+    An extended fuzz session (round 5, 3000 combos) found parameter
+    corners where the reference's own code aborts: at e.g.
+    A=1 B=12 O=4 E=4 the striped SSW can fail to produce an alignment
+    and align_SE hands an is_unaligned Alignment to Sam::add, which
+    asserts in debug builds (/root/reference/src/sam.cpp:127) and
+    SEGFAULTS in -DNDEBUG release builds (reproduced on the exact
+    inputs). There is no defined reference output for such combos —
+    the harness instead asserts OUR side completes gracefully (we emit
+    proper flag-4 unmapped records)."""
     args = [str(GOLDEN), str(ref), str(r1), str(r2) if r2 else "-",
             str(combo["chunk"]), combo["mode"], str(combo["read_len"])]
     for key in ("A", "B", "O", "E", "L", "S", "M", "R", "N", "f", "k", "s"):
         if key in combo:
             args.append(f"{key}={combo[key]}")
-    out = subprocess.run(args, capture_output=True, check=True)
+    out = subprocess.run(args, capture_output=True)
+    if out.returncode != 0:
+        crashed = (out.returncode < 0
+                   or b"Assertion" in out.stderr
+                   or out.returncode in (134, 139))
+        assert crashed, (
+            f"map_golden failed non-crash (rc={out.returncode}): "
+            f"{out.stderr[-500:]}")
+        return None
     return out.stdout.decode()
 
 
@@ -268,7 +287,7 @@ def _diff_head(a, b):
 def test_param_space_fuzz(tmp_path):
     rng = random.Random(20260819)
     genome = _genome(rng)
-    n_eng = n_py = 0
+    n_eng = n_py = n_ref_crash = 0
     for trial in range(N_COMBOS):
         combo = _draw_combo(rng)
         ref, refs, params, index = _build_world(tmp_path, genome, combo)
@@ -294,15 +313,29 @@ def test_param_space_fuzz(tmp_path):
         split_combo["mode"] = "pe_split" if combo["paired"] else "split"
         golden_split = _golden(ref, r1p, r2p, split_combo)
         ours = _run_engine(refs, params, index, combo, se_recs, pe_pairs)
-        assert golden_split == ours, (
-            f"engine diverged at combo {trial}: {combo}\n"
-            f"{_diff_head(golden_split, ours)}")
-        n_eng += 1
+        if golden_split is None:
+            # reference-crash combo (see _golden): no defined reference
+            # output — OUR completing without raising IS the assertion
+            n_ref_crash += 1
+        else:
+            assert golden_split == ours, (
+                f"engine diverged at combo {trial}: {combo}\n"
+                f"{_diff_head(golden_split, ours)}")
+            n_eng += 1
         if trial % 7 == 0:
             golden_mono = _golden(ref, r1p, r2p, combo)
             py = _run_python(refs, params, index, combo, se_recs, pe_pairs)
-            assert golden_mono == py, (
-                f"python layer diverged at combo {trial}: {combo}\n"
-                f"{_diff_head(golden_mono, py)}")
-            n_py += 1
-    assert n_eng == N_COMBOS and n_py >= N_COMBOS // 7
+            if golden_mono is None:
+                n_ref_crash += 1
+            else:
+                assert golden_mono == py, (
+                    f"python layer diverged at combo {trial}: {combo}\n"
+                    f"{_diff_head(golden_mono, py)}")
+                n_py += 1
+    # crash combos are rare corners; the fuzz must still be comparing
+    # real outputs for nearly every draw
+    assert n_eng >= N_COMBOS - max(2, N_COMBOS // 50)
+    assert n_py >= N_COMBOS // 7 - max(1, N_COMBOS // 100)
+    if n_ref_crash:
+        print(f"param fuzz: {n_ref_crash} reference-crash combo(s) "
+              f"(reference's own assert/segv; our side completed)")

@@ -66,9 +66,12 @@ def engine_buckets(r: int = 150) -> Tuple[Tuple[int, int, int, int], ...]:
     # dispatch (one transfer each way); each dispatch costs fixed
     # jax-client CPU that competes with phase A on the mapping core
     # (docs/PERF.md §3), so the right count depends on the host:link
-    # balance. Default 2 (the round-3-measured geometry);
-    # RSB_TIGHT_GROUPS overrides for deployments where client CPU is
-    # free but link latency binds (or vice versa).
+    # balance. Round-5 A/B on this box (SE-1Mbp end-to-end, interleaved
+    # best-of-6): groups=4 was a wash vs 2 (152.2k vs 151.9k r/s — the
+    # halved dispatch count cancels against the doubled serial device
+    # leg per call), so the round-3 default of 2 stands;
+    # RSB_TIGHT_GROUPS overrides for deployments with a different
+    # balance.
     import os
 
     tg = int(os.environ.get("RSB_TIGHT_GROUPS", "2"))

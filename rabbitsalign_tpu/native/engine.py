@@ -74,7 +74,16 @@ def engine_buckets(r: int = 150) -> Tuple[Tuple[int, int, int, int], ...]:
     # balance.
     import os
 
-    tg = int(os.environ.get("RSB_TIGHT_GROUPS", "2"))
+    try:
+        tg = int(os.environ.get("RSB_TIGHT_GROUPS", "2"))
+    except ValueError:
+        tg = 2
+    # the planner quantizes to pow2 group widths and the prewarm only
+    # compiles those; clamp to a sane pow2 so a bad env value degrades
+    # to the default instead of crashing plan_batches (range step 0) or
+    # silently disabling the device path (negative)
+    if tg < 1 or (tg & (tg - 1)) != 0 or tg > 16:
+        tg = 2
     tight = ((q0, t0, bcap, tg),) if (q0, t0) != (256, 512) else ()
     return tight + ENGINE_BUCKETS
 

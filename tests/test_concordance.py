@@ -742,15 +742,30 @@ def test_mixed_read_length_concordance(tmp_path):
 
     from rabbitsalign_tpu.native.engine import NativeEngine, engine_available
 
-    if engine_available():
-        mp = MappingParameters(r=150)
-        mp.rescue_cutoff = 2 * index.filter_cutoff
-        eng = NativeEngine(index, params, refs, AlignmentParameters(), mp, "")
-        texts = []
-        for ci in range(0, len(recs), CHUNK):
-            chunk = [SamRecord(n, s.encode(), b"I" * len(s))
-                     for n, s in recs[ci : ci + CHUNK]]
-            texts.append(eng.chunk_b(eng.chunk_a(chunk, [], [], ci // CHUNK)))
-        golden_split = run_golden(str(ref), fq, None, "split", 150)
-        assert golden_split == "".join(texts), \
-            diff_head(golden_split, "".join(texts))
+    if not engine_available():
+        pytest.skip("native engine unavailable")
+    mp = MappingParameters(r=150)
+    mp.rescue_cutoff = 2 * index.filter_cutoff
+    eng = NativeEngine(index, params, refs, AlignmentParameters(), mp, "")
+    eng.MIN_DEVICE_JOBS = 1  # plan every job, even tiny chunks
+    texts = []
+    seen_buckets = set()
+    for ci in range(0, len(recs), CHUNK):
+        chunk = [SamRecord(n, s.encode(), b"I" * len(s))
+                 for n, s in recs[ci : ci + CHUNK]]
+        ch = eng.chunk_a(chunk, [], [], ci // CHUNK)
+        # drive the BUCKET ASSIGNMENT itself (the device planner): every
+        # planned job must fit its bucket rectangle — a long read
+        # mis-assigned to the tight (152, 256) bucket would be truncated
+        # on the device — and the mixed lengths must actually reach the
+        # legacy fall-through buckets, not just the tight one
+        for idxs, qcap, tcap, B, sub in eng.plan_batches(ch, 1024):
+            seen_buckets.add((qcap, tcap))
+            assert (ch.qlens[idxs] <= qcap).all(), (qcap, tcap)
+            assert (ch.tlens[idxs] <= tcap).all(), (qcap, tcap)
+        texts.append(eng.chunk_b(ch))
+    assert len(seen_buckets) >= 2, (
+        f"mixed lengths never left the first bucket: {seen_buckets}")
+    golden_split = run_golden(str(ref), fq, None, "split", 150)
+    assert golden_split == "".join(texts), \
+        diff_head(golden_split, "".join(texts))

@@ -47,6 +47,15 @@ def main():
     fq = os.path.join(d, f"reads_{n_reads}.fq")
     if not os.path.exists(fq):
         write_synthetic_se_fastq(fq, gs, n_reads)
+    # PE set (half as many pairs = same read count): the PE path's
+    # rescue preflight drives the remote lookup traffic hardest
+    pe1 = os.path.join(d, f"pe1_{n_reads}.fq")
+    pe2 = os.path.join(d, f"pe2_{n_reads}.fq")
+    if not os.path.exists(pe1):
+        gb = genome if isinstance(genome, bytes) else genome.encode()
+        r1, r2 = bench.simulate_pe(gb, n_reads // 2, 17)
+        bench.write_fastq(pe1, r1, "p")
+        bench.write_fastq(pe2, r2, "p")
 
     worker = os.path.join("tests", "multihost_worker.py")
     env = dict(os.environ)
@@ -54,16 +63,18 @@ def main():
     env.pop("XLA_FLAGS", None)
     env["RSB_POD_CHUNK"] = "8000"
 
-    def run_pod(nprocs, shard):
+    def run_pod(nprocs, shard, paired=False):
         coord = f"127.0.0.1:{_free_port()}"
         peers = ",".join(f"127.0.0.1:{_free_port()}"
                          for _ in range(nprocs))
-        out_base = os.path.join(d, f"out_{nprocs}_{int(shard)}.sam")
+        out_base = os.path.join(
+            d, f"out_{nprocs}_{int(shard)}_{int(paired)}.sam")
         args_tail = (["shard", peers] if shard else [])
+        reads = [pe1, pe2] if paired else [fq, ""]
         t0 = time.perf_counter()
         procs = [subprocess.Popen(
             [sys.executable, worker, coord, str(nprocs), str(pid), ref_fa,
-             fq, "", out_base] + args_tail,
+             reads[0], reads[1], out_base] + args_tail,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             cwd="/root/repo") for pid in range(nprocs)]
         walls, stats = [], None
@@ -76,10 +87,13 @@ def main():
         total = time.perf_counter() - t0
         return walls, stats, total
 
-    print(f"{n_reads} SE reads, 40 Mbp index, chunk 8000", file=sys.stderr)
-    for tag, nprocs, shard in (("single", 1, False), ("pod1", 1, True),
-                               ("pod2", 2, True)):
-        walls, stats, total = run_pod(nprocs, shard)
+    print(f"{n_reads} reads (SE + PE variants), 40 Mbp index, chunk 8000",
+          file=sys.stderr)
+    for tag, nprocs, shard, paired in (
+            ("single   ", 1, False, False), ("pod1     ", 1, True, False),
+            ("pod2     ", 2, True, False), ("single-pe", 1, False, True),
+            ("pod2-pe  ", 2, True, True)):
+        walls, stats, total = run_pod(nprocs, shard, paired)
         rps = stats["reads"] / max(walls)
         line = (f"{tag}: {rps:,.0f} reads/s (map wall max={max(walls):.2f}s "
                 f"sum={sum(walls):.2f}s; incl. index build total={total:.1f}s)")
